@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies, one semantics (top-k cosine neighbors per query):
+
+- ``cosine_topk``: brute-force scan — the correctness baseline. The
+  query side is broadcast, so the big side is a single map-only pass
+  (no shuffle of the corpus); cosine is a JVM higher-order-function
+  expression, fully codegen'd. At 100 TB this is the fallback path.
+- ``ivf_topk``: inverted-file variant — candidates restricted to the
+  query's partition (here the precomputed ``label`` cluster id, i.e.
+  a coarse quantizer computed upstream). The probe then scans
+  |corpus|/|clusters| rows; with the corpus stored partitioned by the
+  cluster id, partition pruning makes this sub-linear in files read.
+
+Generalizes the reference's lookup-join J3 (broadcast probe by key,
+``src/ingest_weather_data.py:60-62``) from exact keys to nearest
+neighbors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.functions.vector import (
+    cosine_similarity,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+    top_k_per_group,
+)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_emb",
+) -> DataFrame:
+    """Brute-force top-k cosine neighbors per query (queries broadcast).
+
+    Similarity is rounded to 6 dp *before* ranking so the ordering is
+    stable across engines/ulp differences; ties break on neighbor id.
+    """
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6).alias(
+            "similarity"
+        ),
+    )
+    return top_k_per_group(
+        scored,
+        [query_id_col],
+        [F.col("similarity").desc(), F.col(id_col).asc()],
+        k,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    partition_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_emb",
+) -> DataFrame:
+    """IVF-style top-k: only candidates sharing the query's coarse
+    cluster (``partition_col``) are scored — an equi-join on the
+    cluster id replaces the cross join, so Spark prunes + hashes
+    instead of scanning."""
+    scored = corpus.join(F.broadcast(queries), on=partition_col).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6).alias(
+            "similarity"
+        ),
+    )
+    return top_k_per_group(
+        scored,
+        [query_id_col],
+        [F.col("similarity").desc(), F.col(id_col).asc()],
+        k,
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold among pairs
+    sharing a blocking key (coarse cluster) — the blocked self-join
+    keeps the pair space |n|²/|blocks| instead of |n|²."""
+    a = corpus.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = corpus.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = a.join(b, on="_blk").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias(
+                "similarity"
+            ),
+        )
+        .filter(F.col("similarity") >= threshold)
+    )

@@ -1,0 +1,122 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Generalizes the reference's string surface (SURVEY.md §2.8: lower,
+slicing, concat, fuzzy ratio) into corpus-scale text statistics:
+tokenization, type/token ratios, quality scoring, language-ID
+heuristics, content fingerprinting, corpus token frequencies.
+
+All pure built-in column expressions (split / higher-order array
+functions / md5) — JVM-side, codegen'd, no Python in the hot path.
+Every operator is deterministic so DuckDB oracles can hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/keyword language-ID
+# heuristic. Ordered: earlier languages win argmax ties.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "y", "es", "una"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "is")
+
+
+def tokens(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def count_in(arr: Column, words: tuple[str, ...]) -> Column:
+    """Number of array elements in ``words``."""
+    return F.size(F.filter(arr, lambda x: x.isin(*words))).cast("long")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_cols: list[str] | None = None) -> DataFrame:
+    """Per-document token statistics: token count, distinct tokens,
+    type/token ratio, mean token length."""
+    ids = id_cols or ["doc_id"]
+    t = tokens(text_col)
+    n_tok = F.size(t).cast("long")
+    n_distinct = F.size(F.array_distinct(t)).cast("long")
+    sum_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    ).cast("long")
+    return df.select(
+        *ids,
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(n_distinct / n_tok, 6).alias("type_token_ratio"),
+        F.round(sum_len / n_tok, 6).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_cols: list[str] | None = None) -> DataFrame:
+    """Heuristic document quality: stopword density (evidence of real
+    prose) and a length factor. Deterministic, bounded [0,1]."""
+    ids = id_cols or ["doc_id"]
+    t = tokens(text_col)
+    n_tok = F.size(t).cast("long")
+    n_stop = count_in(t, STOPWORDS)
+    stop_ratio = n_stop / n_tok
+    length_factor = F.least(F.lit(1.0), n_tok / F.lit(50.0))
+    return df.select(
+        *ids,
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round((1.0 - stop_ratio) * length_factor, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_cols: list[str] | None = None) -> DataFrame:
+    """Keyword-marker language ID: count per-language marker words,
+    argmax with fixed priority order; 'und' (undetermined) if no
+    marker hits."""
+    ids = id_cols or ["doc_id"]
+    t = tokens(text_col)
+    hit_cols = {lang: count_in(t, words) for lang, words in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[hit_cols[lang] for lang in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(hit_cols[lang] == best, F.lit(lang))
+    return df.select(
+        *ids,
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in langs],
+        pred.alias("predicted_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_cols: list[str] | None = None) -> DataFrame:
+    """Two content fingerprints per document: md5 of the
+    whitespace-normalized text (exact-dup key) and md5 of the sorted
+    distinct token vocabulary (bag-of-words dup key, robust to word
+    order)."""
+    ids = id_cols or ["doc_id"]
+    c = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+    vocab = F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), " ")
+    return df.select(
+        *ids,
+        F.md5(norm).alias("text_fp"),
+        F.md5(vocab).alias("vocab_fp"),
+    )
+
+
+def token_frequencies(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus-level top-k token frequencies (count desc, token asc).
+    Explode → two-phase hash aggregate (map-side combine) → tiny
+    ordered head; the classic wordcount, shuffle bounded by |vocab|."""
+    tok = df.select(F.explode(tokens(text_col)).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -393,3 +393,302 @@ ORACLES: dict[str, str] = {
     "hourly_event_stats": ORACLE_HOURLY,
     "json_props_extract": ORACLE_JSON,
 }
+
+
+# ------------------------------------------------------- LLM-pipeline ops
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.functions.hashing import (  # noqa: E402
+    band,
+    hamming64,
+    simhash64,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (  # noqa: E402
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (  # noqa: E402
+    cosine_near_dup_pairs,
+    cosine_topk,
+    ivf_topk,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (  # noqa: E402
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    text_stats,
+    token_frequencies,
+)
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics per document (tokenize, distinct, TTR, mean
+    token length) — text-analysis primitive for corpus curation."""
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_STATS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       round(CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             / CAST(len(string_split(text, ' ')) AS BIGINT), 6) AS type_token_ratio,
+       round(CAST(list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum') AS BIGINT)
+             / CAST(len(string_split(text, ' ')) AS BIGINT), 6) AS avg_token_len
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (stopword density × length factor)."""
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_QUALITY = f"""
+SELECT doc_id, n_tokens, n_stopwords,
+       round(n_stopwords / n_tokens, 6) AS stop_ratio,
+       round((1.0 - n_stopwords / n_tokens) * least(1.0, n_tokens / 50.0), 6) AS quality
+FROM (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS BIGINT) AS n_stopwords
+  FROM documents
+)
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-marker language identification heuristic."""
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_lang_id() -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        LANG_MARKERS,
+    )
+
+    hits = ",\n         ".join(
+        "CAST(len(list_filter(string_split(text, ' '), x -> x IN ({}))) AS BIGINT) AS hits_{}".format(
+            ", ".join(f"'{w}'" for w in words), lang
+        )
+        for lang, words in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest({})".format(", ".join(f"hits_{lang}" for lang in langs))
+    case = f"CASE WHEN {best} = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+SELECT doc_id, {', '.join(f'hits_{lang}' for lang in langs)},
+       {case} AS predicted_lang
+FROM (
+  SELECT doc_id,
+         {hits}
+  FROM documents
+)
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: normalized-text md5 + sorted-vocabulary md5."""
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_fp,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS vocab_fp
+FROM documents
+"""
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 token frequencies (wordcount + ordered head)."""
+    out = token_frequencies(load_table(spark, sf_dir, "documents"), k=20)
+    return out.select("token", "n_occurrences", F.col("rank").cast("long").alias("rank"))
+
+
+ORACLE_TOKEN_TOPK = """
+SELECT token, n_occurrences, rank FROM (
+  SELECT token, COUNT(*) AS n_occurrences,
+         CAST(row_number() OVER (ORDER BY COUNT(*) DESC, token ASC) AS BIGINT) AS rank
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+) WHERE rank <= 20
+"""
+
+
+def q_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup on the documents table: md5(text) hash,
+    keep min doc_id per hash (deterministic representative)."""
+    out = exact_dedup(load_table(spark, sf_dir, "documents"), ["text"], "doc_id")
+    return out.select("doc_id", "content_hash")
+
+
+ORACLE_DEDUP_EXACT_TEXT = """
+SELECT doc_id, md5(text) AS content_hash
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: Jaccard ≥ 0.2 over 3-gram shingles via the
+    inverted shingle index (see operators.dedup_near)."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, shared, s1.n_sh AS n1, s2.n_sh AS n2,
+       round(shared / (s1.n_sh + s2.n_sh - shared), 6) AS jaccard
+FROM shared JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE round(shared / (s1.n_sh + s2.n_sh - shared), 6) >= 0.2
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-dup pairs via MinHash LSH banding (seeded;
+    probabilistic recall → no exact SQL oracle, rows-only check)."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprints (Arrow pandas UDF), LSH
+    banding on 16-bit sub-keys, Hamming ≤ 4 confirm. Rows-only check
+    (bit-identical oracle SQL would re-implement the UDF)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", simhash64(F.col("text")).alias("sh")
+    )
+    banded = d.select(
+        "doc_id", "sh",
+        F.posexplode(F.array(*[band("sh", i) for i in range(4)])).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"), "band_idx", "band_val"
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", hamming64("sh1", "sh2").cast("long").alias("hamming"))
+        .dropDuplicates(["d1", "d2"])
+        .filter(F.col("hamming") <= 4)
+    )
+    return pairs
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 cosine neighbors for 5 query vectors
+    (similarity-search baseline; queries broadcast, corpus map-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = cosine_topk(emb, q, k=10)
+    return out.select("q_id", "vec_id", "similarity", F.col("rank").cast("long").alias("rank"))
+
+
+ORACLE_ANN_COSINE = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) AS similarity
+  FROM embeddings e CROSS JOIN q
+)
+SELECT q_id, vec_id, similarity, rank FROM (
+  SELECT q_id, vec_id, similarity,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style top-5 neighbors: candidates restricted to the query's
+    coarse cluster (label) — the scale path for ANN."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("label"), F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ivf_topk(emb, q, k=5)
+    return out.select("q_id", "vec_id", "similarity", F.col("rank").cast("long").alias("rank"))
+
+
+ORACLE_ANN_IVF = """
+WITH q AS (SELECT label, vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) AS similarity
+  FROM embeddings e JOIN q ON e.label = q.label
+)
+SELECT q_id, vec_id, similarity, rank FROM (
+  SELECT q_id, vec_id, similarity,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.3) blocked by the
+    coarse cluster id — |n|²/|blocks| pair space."""
+    return cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+ORACLE_EMB_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS similarity
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+"""
+
+
+QUERIES.update(
+    {
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_topk": q_token_topk,
+        "dedup_exact_text": q_dedup_exact_text,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_near_dup": q_simhash_near_dup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+    }
+)
+
+ORACLES.update(
+    {
+        "text_stats": ORACLE_TEXT_STATS,
+        "text_quality": ORACLE_TEXT_QUALITY,
+        "lang_id": _oracle_lang_id(),
+        "doc_fingerprint": ORACLE_FINGERPRINT,
+        "token_topk": ORACLE_TOKEN_TOPK,
+        "dedup_exact_text": ORACLE_DEDUP_EXACT_TEXT,
+        "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
+        "ann_cosine_topk": ORACLE_ANN_COSINE,
+        "ann_ivf_topk": ORACLE_ANN_IVF,
+        "embedding_near_dup": ORACLE_EMB_NEAR_DUP,
+    }
+)

@@ -1,0 +1,146 @@
+"""Unit tests: text-analysis, near-dedup, and similarity operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.functions.hashing import (
+    hamming64,
+    simhash64,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.functions.vector import (
+    cosine_similarity,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+    cosine_topk,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+    lang_id,
+    quality_score,
+    text_stats,
+    token_frequencies,
+)
+
+
+def test_text_stats_basic(spark):
+    df = spark.createDataFrame([(1, "a b a c")], ["doc_id", "text"])
+    r = text_stats(df).collect()[0]
+    assert r.n_tokens == 4 and r.n_distinct_tokens == 3
+    assert r.type_token_ratio == 0.75 and r.avg_token_len == 1.0
+
+
+def test_quality_score_stopword_density(spark):
+    df = spark.createDataFrame(
+        [(1, "the a of is and"), (2, "xylophone quartz vortex")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in quality_score(df).collect()}
+    assert rows[1].n_stopwords == 5 and rows[1].stop_ratio == 1.0
+    assert rows[2].n_stopwords == 0
+    assert rows[1].quality == 0.0  # all-stopword doc scores zero
+    assert 0 < rows[2].quality <= 1
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "der hund und die katze ist da"),
+            (3, "qqq www zzz"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.predicted_lang for r in lang_id(df).collect()}
+    assert rows == {1: "en", 2: "de", 3: "und"}
+
+
+def test_token_frequencies_topk_deterministic(spark):
+    df = spark.createDataFrame([(1, "b a b c a b")], ["doc_id", "text"])
+    rows = token_frequencies(df, k=2).collect()
+    assert [(r.token, r.n_occurrences, r.rank) for r in rows] == [("b", 3, 1), ("a", 2, 2)]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c d")], ["doc_id", "text"])
+    rows = {r.doc_id: r.sh for r in df.select("doc_id", shingles("text").alias("sh")).collect()}
+    assert rows[1] == []
+    assert rows[2] == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_finds_planted_near_dup(spark):
+    base = "one two three four five six seven eight nine ten"
+    near = "one two three four five six seven eight nine eleven"
+    other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    pairs = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.d1, p.d2) == (1, 2) and p.shared == 7 and p.n1 == 8
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = "one two three four five six seven eight nine ten"
+    near = "one two three four five six seven eight nine eleven"
+    other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(df, jaccard_distance_threshold=0.5).collect()
+    assert [(p.d1, p.d2) for p in pairs] == [(1, 2)]
+
+
+def test_simhash_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z w"), (3, "p q r s")], ["doc_id", "text"]
+    )
+    out = df.select("doc_id", simhash64(F.col("text")).alias("sh"))
+    a = out.alias("a").crossJoin(out.alias("b")).filter(F.expr("a.doc_id < b.doc_id"))
+    d = {
+        (r["ad"], r["bd"]): r.h
+        for r in a.select(
+            F.col("a.doc_id").alias("ad"), F.col("b.doc_id").alias("bd"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("h"),
+        ).collect()
+    }
+    assert d[(1, 2)] == 0        # identical docs → identical fingerprints
+    assert d[(1, 3)] > 10        # disjoint vocab → far fingerprints
+
+
+def test_cosine_similarity_exact_values(spark):
+    schema = T.StructType(
+        [
+            T.StructField("a", T.ArrayType(T.FloatType())),
+            T.StructField("b", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 0.0])],
+        schema,
+    )
+    vals = [r.c for r in df.select(F.round(cosine_similarity("a", "b"), 6).alias("c")).collect()]
+    assert vals[0] == 1.0 and vals[1] == 0.0 and vals[2] == pytest.approx(0.707107)
+
+
+def test_cosine_topk_orders_and_limits(spark):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])], schema
+    )
+    q = corpus.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    rows = cosine_topk(corpus, q, k=2).orderBy("rank").collect()
+    assert [r.vec_id for r in rows] == [1, 2]  # self first, then closest
+    assert rows[0].similarity == 1.0
