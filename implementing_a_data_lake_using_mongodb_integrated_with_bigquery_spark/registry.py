@@ -692,3 +692,32 @@ ORACLES.update(
         "embedding_near_dup": ORACLE_EMB_NEAR_DUP,
     }
 )
+
+
+# ------------------------------------------------------- multimodal plumbing
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.multimodal import (  # noqa: E402
+    extract_features,
+)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via mapInPandas (Arrow batch
+    plumbing; decode step stubbed — see operators.multimodal). Payload
+    synthesized by utf-8-encoding the text column; byte length and md5
+    are oracle-checkable, proving the Arrow round-trip is byte-exact."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return extract_features(d).select("doc_id", "n_bytes", "payload_md5")
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+QUERIES["multimodal_features"] = q_multimodal_features
+ORACLES["multimodal_features"] = ORACLE_MULTIMODAL

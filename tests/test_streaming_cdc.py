@@ -1,0 +1,161 @@
+"""End-to-end Structured Streaming CDC tests (SURVEY §2.7 T1-T3, §5).
+
+Drives the file-based CDC source through foreachBatch merge with the
+exact event mix FIXTURES.md A4 prescribes: fresh inserts, duplicate
+re-insert, FK-orphan insert, update-to-existing, update-to-missing
+(upsert), delete (no-op), unknown op (poison → DLQ).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark import schemas
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.cdc_merge import (
+    start_cdc_stream,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+    windowed_counts,
+)
+
+
+def _doc(_id, place_id, temp_c=20.0, last_updated="2023-11-14 15:00"):
+    return {
+        "_id": _id,
+        "place_id": place_id,
+        "location": None,
+        "current": {
+            "last_updated_epoch": 1700000000,
+            "last_updated": last_updated,
+            "temp_c": temp_c, "temp_f": temp_c * 1.8 + 32,
+            "is_day": 1,
+            "condition": {"text": "Sunny", "icon": "i", "code": 1000},
+            "wind_mph": 5.0, "wind_kph": 8.0, "wind_degree": 90,
+            "wind_dir": "E", "pressure_mb": 1010.0, "pressure_in": 29.8,
+            "precip_mm": 0.0, "precip_in": 0.0, "humidity": 60, "cloud": 10,
+            "feelslike_c": 21.0, "feelslike_f": 70.0, "vis_km": 10.0,
+            "vis_miles": 6.0, "uv": 5.0, "gust_mph": 7.0, "gust_kph": 11.0,
+        },
+    }
+
+
+def _event(op, doc=None, key=None, ts="2023-11-14T15:00:00.000Z"):
+    return {
+        "operation_type": op,
+        "ns_db": "lake",
+        "ns_coll": "weather",
+        "full_document": doc,
+        "document_key": key,
+        "ts": ts,
+    }
+
+
+@pytest.fixture()
+def places_dim(spark):
+    return spark.createDataFrame(
+        [("hanoi", None, None, "VN", "21.0N", "105.8E", "Hanoi", None, None),
+         ("hue", None, None, "VN", "16.4N", "107.5E", "Hue", None, None)],
+        schemas.PLACES_DIM,
+    )
+
+
+def _write_events(path, events, name="batch0.json"):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def _run(spark, events_dir, target, dim, dlq, ckpt):
+    q = start_cdc_stream(spark, events_dir, target, dim, dlq, ckpt)
+    q.awaitTermination(120)
+
+
+def test_cdc_merge_full_event_mix(spark, places_dim, tmp_path):
+    events_dir = str(tmp_path / "events")
+    target = str(tmp_path / "fact")
+    dlq = str(tmp_path / "dlq")
+    events = [
+        _event("insert", doc=_doc("w1", "hanoi", 20.0)),
+        _event("insert", doc=_doc("w2", "hue", 25.0)),
+        _event("insert", doc=_doc("w2", "hue", 25.0)),          # duplicate PK
+        _event("insert", doc=_doc("w3", "nowhere", 30.0)),       # FK orphan
+        _event("update", doc=_doc("w1", "hanoi", 99.0), key="w1"),
+        _event("update", doc=_doc("w9", "hue", 12.0), key="w9"), # upsert-missing
+        _event("delete", key="w2"),                               # no-op
+        _event("drop_collection"),                                # poison
+    ]
+    _write_events(events_dir, events)
+    _run(spark, events_dir, target, places_dim, dlq, str(tmp_path / "ckpt"))
+
+    fact = spark.read.parquet(target)
+    rows = {r.id: r for r in fact.collect()}
+    # w1 inserted then updated; w2 inserted once despite dup; w3 rejected;
+    # w9 upserted via update-to-missing; delete left w2 alone.
+    assert set(rows) == {"w1", "w2", "w9"}
+    assert rows["w1"].temp_c == 99.0
+    assert rows["w2"].temp_c == 25.0
+    assert rows["w9"].temp_c == 12.0
+    assert len(fact.columns) == 25  # warehouse DDL shape preserved
+
+    fk_dlq = spark.read.json(os.path.join(dlq, "fk_violations"))
+    assert [r._id for r in fk_dlq.collect()] == ["w3"]
+    poison = spark.read.json(os.path.join(dlq, "unknown_ops"))
+    assert [r.operation_type for r in poison.collect()] == ["drop_collection"]
+
+
+def test_cdc_merge_is_idempotent_across_redelivery(spark, places_dim, tmp_path):
+    """At-least-once delivery: replaying the same events (fresh
+    checkpoint) must not change the target — reference T3 semantics."""
+    events_dir = str(tmp_path / "events")
+    target = str(tmp_path / "fact")
+    dlq = str(tmp_path / "dlq")
+    events = [
+        _event("insert", doc=_doc("w1", "hanoi", 20.0)),
+        _event("update", doc=_doc("w1", "hanoi", 50.0), key="w1"),
+        _event("insert", doc=_doc("w2", "hue", 25.0)),
+    ]
+    _write_events(events_dir, events)
+    _run(spark, events_dir, target, places_dim, dlq, str(tmp_path / "ckpt1"))
+    first = sorted(map(str, spark.read.parquet(target).collect()))
+    # replay with a NEW checkpoint → source re-delivers everything
+    _run(spark, events_dir, target, places_dim, dlq, str(tmp_path / "ckpt2"))
+    second = sorted(map(str, spark.read.parquet(target).collect()))
+    assert first == second
+
+
+def test_windowed_counts_streaming(spark, tmp_path):
+    events_dir = str(tmp_path / "ev")
+    os.makedirs(events_dir)
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00.000Z", "event_type": "click"},
+        {"event_id": 2, "ts": "2024-01-01T00:50:00.000Z", "event_type": "click"},
+        {"event_id": 3, "ts": "2024-01-01T01:05:00.000Z", "event_type": "view"},
+    ]
+    with open(os.path.join(events_dir, "e.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = "event_id long, ts timestamp, event_type string"
+    stream = spark.readStream.schema(schema).json(events_dir)
+    agg = windowed_counts(stream, "ts", "1 hour", "5 minutes", ["event_type"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.isoformat(), r.event_type): r.n_events
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    # Watermark = max(ts) - lateness = 01:00 → the [00:00,01:00) window is
+    # finalized and emitted; the [01:00,02:00) window is still open, so
+    # its rows are correctly withheld in append mode.
+    assert got == {("2024-01-01T00:00:00", "click"): 2}
