@@ -19,16 +19,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 
+_SHIFTS = np.arange(64, dtype=np.uint64)
+_token_vote_cache: dict[str, np.ndarray] = {}
+
+
+def _token_votes(tok: str) -> np.ndarray:
+    """±1 bit-vote vector for one token, memoized — corpora repeat
+    tokens heavily, and the worker process (hence the cache) lives
+    across Arrow batches."""
+    v = _token_vote_cache.get(tok)
+    if v is None:
+        h = np.frombuffer(hashlib.md5(tok.encode("utf-8")).digest()[:8], dtype=">u8")[0]
+        bits = (h >> _SHIFTS) & np.uint64(1)
+        v = np.where(bits == 1, 1, -1).astype(np.int64)
+        if len(_token_vote_cache) < 1_000_000:
+            _token_vote_cache[tok] = v
+    return v
+
+
 def _simhash64_one(text: str) -> int:
     if not text:
         return 0
     counts = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
     for tok in text.split(" "):
-        h = np.frombuffer(hashlib.md5(tok.encode("utf-8")).digest()[:8], dtype=">u8")[0]
-        bits = (h >> shifts) & np.uint64(1)
-        counts += np.where(bits == 1, 1, -1)
-    fp = int(((counts > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        counts += _token_votes(tok)
+    fp = int(((counts > 0).astype(np.uint64) << _SHIFTS).sum())
     return fp - (1 << 64) if fp >= (1 << 63) else fp  # two's complement into int64
 
 

@@ -2,17 +2,19 @@
 
 Three strategies, in increasing scale-headroom order:
 
-- ``ngram_jaccard_pairs``: exact Jaccard over 3-gram shingles via an
-  inverted shingle index (explode → self-join on shingle → count
-  shared → Jaccard). Exact, SQL-expressible (DuckDB oracle), and the
-  classic MapReduce formulation: the join is on the shingle key, so
-  only documents sharing a shingle ever meet. At 100 TB, cap the
-  document frequency of shingles (``max_doc_freq``) — a stop-shingle
-  appearing in f docs contributes f² join rows while adding almost no
-  Jaccard mass.
-- ``minhash_lsh_pairs``: MinHash + LSH banding via
-  ``pyspark.ml.feature.MinHashLSH`` — candidate pairs from band-bucket
-  collisions only; probabilistic, sub-quadratic, the scale path.
+- ``ngram_jaccard_pairs``: EXACT Jaccard over word n-gram shingles via
+  prefix-filtered candidate generation (AllPairs/PPJoin): shingles are
+  canonically ordered rarest-first; only each document's prefix
+  (first ⌊(1-t)·n⌋+1 shingles) is exploded into the inverted index, so
+  popular shingles — the quadratic blowup — almost never enter the
+  join, while the prefix-filtering pigeonhole guarantees zero false
+  negatives. Candidates are verified with a full ``array_intersect``.
+- ``minhash_banded_pairs``: AND-OR banded MinHash LSH from JVM
+  built-ins (xxhash64 + array HOFs) with exact verification — the
+  probabilistic sub-quadratic scale path.
+- ``minhash_lsh_pairs``: same semantics via
+  ``pyspark.ml.feature.MinHashLSH`` (kept for parity with the ML
+  pipeline ecosystem; the banded variant is faster).
 - SimHash (see ``functions.hashing.simhash64``): 64-bit fingerprint;
   near-dup = small Hamming distance, banded by 16-bit sub-keys.
 """
@@ -21,6 +23,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.tables import (
+    parallelize,
+)
 
 
 def shingles(text_col, n: int = 3):
@@ -39,6 +45,25 @@ def shingles(text_col, n: int = 3):
     return F.array_distinct(grams)
 
 
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, shingle-array) with the expensive shingle expression
+    computed ONCE, in parallel, and cached (both near-dup algorithms
+    reference it three times: index build + two verify joins).
+
+    The non-empty filter is phrased on the raw token count — a cheap
+    predicate Catalyst pushes to the scan — NOT on ``size(sh) > 0``,
+    which would push the whole shingle expression below the
+    repartition exchange and evaluate it single-threaded per input
+    split.
+    """
+    toks_ok = F.size(F.split(F.col(text_col), " ")) >= n
+    docs = (
+        parallelize(df.filter(toks_ok))
+        .select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
+    )
+    return docs.cache()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -47,45 +72,197 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Document pairs with Jaccard(shingle sets) ≥ threshold.
+    """EXACT document pairs with Jaccard(shingle sets) ≥ threshold.
 
-    Inverted-index join: (doc, shingle) exploded once, self-joined on
-    the shingle, shared-count aggregated per pair, Jaccard =
-    |∩| / (|A|+|B|-|∩|). One shuffle on the shingle key + one on the
-    pair key. ``max_doc_freq`` drops stop-shingles before the join
-    (skew guard; changes results only for pairs glued by ubiquitous
-    shingles).
+    Two exact strategies, chosen by threshold:
+
+    - **low t (< 0.5): counting inverted index** — explode (doc,
+      shingle), self-join on the shingle, count shared shingles per
+      pair, Jaccard from (shared, n1, n2). One join shuffle + one pair
+      aggregation; the n1/n2 ride the group-by key, so no join back.
+      At low thresholds most shingle-sharing pairs qualify anyway, so
+      candidate pruning cannot pay for its own bookkeeping.
+    - **high t (≥ 0.5): AllPairs/PPJoin prefix filtering** — shingles
+      get a canonical rarest-first order (document frequency asc,
+      shingle asc); only each doc's prefix (first ⌊(1-t)·n⌋+1
+      shingles) enters the inverted-index self-join, plus a size
+      filter (t·n1 ≤ n2 ≤ n1/t); surviving candidates are verified
+      with a full ``array_intersect``. Prefix content is the RARE
+      shingles, so stop-shingle skew — the quadratic blowup — never
+      enters the join. Identical results to the naive |n|² compare.
+
+    ``max_doc_freq`` additionally drops ubiquitous shingles from
+    candidate generation entirely — an approximate mode (can miss pairs
+    glued only by stop-shingles); leave None for exact results.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle")
+    docs = _shingle_table(df, id_col, text_col, n)
+    if threshold < 0.5 and max_doc_freq is None:
+        return _jaccard_counting(docs, threshold)
+    return _jaccard_prefix_filtered(docs, threshold, max_doc_freq)
+
+
+def _jaccard_counting(docs: DataFrame, threshold: float) -> DataFrame:
+    sh = docs.select(
+        "doc", F.size("sh").cast("long").alias("n_sh"), F.explode("sh").alias("shingle")
     )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    if max_doc_freq is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle", "left_semi")
-    a = sh.select(F.col("doc").alias("d1"), "shingle")
-    b = sh.select(F.col("doc").alias("d2"), "shingle")
-    shared = (
+    a = sh.select(F.col("doc").alias("d1"), F.col("n_sh").alias("n1"), "shingle")
+    b = sh.select(F.col("doc").alias("d2"), F.col("n_sh").alias("n2"), "shingle")
+    return (
         a.join(b, "shingle")
         .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
+        .groupBy("d1", "d2", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("shared"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "shared", "n1", "n2", "jaccard")
     )
-    out = (
-        shared.join(sizes.select(F.col("doc").alias("d1"), F.col("n_sh").alias("n1")), "d1")
-        .join(sizes.select(F.col("doc").alias("d2"), F.col("n_sh").alias("n2")), "d2")
+
+
+def _jaccard_prefix_filtered(
+    docs: DataFrame, threshold: float, max_doc_freq: int | None
+) -> DataFrame:
+    expl = docs.select("doc", F.explode("sh").alias("shingle"))
+    dfreq = expl.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    if max_doc_freq is not None:
+        dfreq = dfreq.filter(F.col("dfreq") <= max_doc_freq)
+    # canonical rarest-first total order per doc; explode only the
+    # PREFIX (first ⌊(1-t)·n⌋+1 shingles). Jaccard ≥ t forces overlap
+    # ≥ ⌈t·max(n1,n2)⌉, so two qualifying docs must share a prefix
+    # shingle (pigeonhole) — no false negatives — while the prefix
+    # content is the RARE shingles, so per-key join fan-out stays tiny.
+    threshold = float(threshold)
+    per_doc = (
+        expl.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dfreq", "shingle"))).alias("ranked"),
+            F.count(F.lit(1)).cast("long").alias("n_sh"),
+        )
+    )
+    prefix_len = (
+        F.floor((1.0 - threshold) * F.col("n_sh")).cast("int") + F.lit(1)
+    )
+    pre = per_doc.select(
+        "doc",
+        "n_sh",
+        F.explode(
+            F.slice(
+                F.transform(F.col("ranked"), lambda x: x["shingle"]),
+                F.lit(1),
+                prefix_len,
+            )
+        ).alias("shingle"),
+    )
+    a = pre.select(F.col("doc").alias("d1"), F.col("n_sh").alias("n1"), "shingle")
+    b = pre.select(F.col("doc").alias("d2"), F.col("n_sh").alias("n2"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("d1") < F.col("d2"))
+            # size filter: jac ≥ t ⇒ t·n1 ≤ n2 ∧ t·n2 ≤ n1
+            & (F.col("n2") >= threshold * F.col("n1"))
+            & (F.col("n1") >= threshold * F.col("n2"))
+        )
+        .select("d1", "d2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    # exact verification on the full shingle sets; the doc→array map is
+    # broadcast so the fat (pair × arrays) intermediate never shuffles
+    # (beyond ~10M docs, switch to a shuffle join on d1 then d2)
+    verified = (
+        cand.join(
+            F.broadcast(docs.select(F.col("doc").alias("d1"), F.col("sh").alias("_sh1"))), "d1"
+        )
+        .join(
+            F.broadcast(docs.select(F.col("doc").alias("d2"), F.col("sh").alias("_sh2"))), "d2"
+        )
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("_sh1", "_sh2")).cast("long").alias("shared"),
+            F.size("_sh1").cast("long").alias("n1"),
+            F.size("_sh2").cast("long").alias("n2"),
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out.select("d1", "d2", "shared", "n1", "n2", "jaccard")
+    return verified.select("d1", "d2", "shared", "n1", "n2", "jaccard")
+
+
+def minhash_banded_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """AND-OR banded MinHash LSH built entirely from JVM built-ins
+    (``xxhash64`` + array higher-order functions) — no Python, no ML
+    pipeline, no model fit.
+
+    Signature: ``num_hashes`` minhashes (min of seeded xxhash64 over
+    the shingle set); grouped into ``bands`` bands of r =
+    num_hashes/bands rows; band key = hash of its r minhashes. Two
+    documents become a candidate pair iff they collide on ≥1 band —
+    P(candidate) = 1-(1-s^r)^b, sharply S-shaped around the similarity
+    threshold, so dissimilar pairs (the |n|² mass) almost never meet.
+    Candidates are then verified with EXACT Jaccard via
+    ``array_intersect`` — no false positives, sub-quadratic cost.
+
+    With r=8, b=4: s=0.1 → ~4e-8 candidate rate; s=0.9 → 90% recall,
+    s=0.98 → 99.96%. Deeper bands (r=8) matter on low-entropy corpora:
+    the global-minimum-hash shingle lands in many documents, so shallow
+    bands collide far above the s^r ideal. At 100 TB this is the dedup
+    workhorse: one shuffle on band keys, one pair-dedup shuffle, then a
+    verify join that only touches the (tiny) candidate set.
+    """
+    r = num_hashes // bands
+    assert r * bands == num_hashes, "bands must divide num_hashes"
+    docs = _shingle_table(df, id_col, text_col, n)
+    sig = docs.select(
+        "doc",
+        *[
+            F.array_min(
+                F.transform(F.col("sh"), lambda s, j=j: F.xxhash64(F.lit(j), s))
+            ).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    band_keys = [
+        F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]) for b in range(bands)
+    ]
+    # candidates travel as bare (band, id) rows — the shingle arrays
+    # only join in for the verified (deduped) candidate pairs
+    banded = sig.select(
+        "doc", F.explode(F.array(*band_keys)).alias("band_val")
+    )
+    cand = (
+        banded.select(F.col("doc").alias("d1"), "band_val")
+        .join(banded.select(F.col("doc").alias("d2"), "band_val"), "band_val")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    inter = F.size(F.array_intersect("_sh1", "_sh2")).cast("long")
+    union = F.size("_sh1").cast("long") + F.size("_sh2").cast("long") - inter
+    return (
+        cand.join(
+            F.broadcast(docs.select(F.col("doc").alias("d1"), F.col("sh").alias("_sh1"))), "d1"
+        )
+        .join(
+            F.broadcast(docs.select(F.col("doc").alias("d2"), F.col("sh").alias("_sh2"))), "d2"
+        )
+        .select("d1", "d2", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_lsh_pairs(
@@ -105,7 +282,7 @@ def minhash_lsh_pairs(
     size. Seeded → deterministic."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = df.select(
+    docs = parallelize(df).select(
         F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh")
     ).filter(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)

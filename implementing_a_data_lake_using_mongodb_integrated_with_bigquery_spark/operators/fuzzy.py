@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.tables import (
+    parallelize,
+)
+
 
 def similarity_score(a: Column, b: Column) -> Column:
     """Levenshtein ratio in [0,1] over lowercased inputs."""
@@ -46,7 +50,7 @@ def fuzzy_best_match(
     order of appearance — mirrors the reference keeping the *first*
     max-scoring candidate (``src/ingest_places_data.py:63-66``).
     """
-    scored = F.broadcast(queries).crossJoin(candidates)
+    scored = parallelize(candidates).crossJoin(F.broadcast(queries))
     if blocking_expr is not None:
         scored = scored.filter(blocking_expr)
     scored = scored.withColumn(

@@ -28,6 +28,9 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.funct
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
     top_k_per_group,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.tables import (
+    parallelize,
+)
 
 
 def cosine_topk(
@@ -44,7 +47,7 @@ def cosine_topk(
     Similarity is rounded to 6 dp *before* ranking so the ordering is
     stable across engines/ulp differences; ties break on neighbor id.
     """
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
+    scored = parallelize(corpus).crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6).alias(
@@ -73,7 +76,7 @@ def ivf_topk(
     cluster (``partition_col``) are scored — an equi-join on the
     cluster id replaces the cross join, so Spark prunes + hashes
     instead of scanning."""
-    scored = corpus.join(F.broadcast(queries), on=partition_col).select(
+    scored = parallelize(corpus).join(F.broadcast(queries), on=partition_col).select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6).alias(
@@ -98,6 +101,7 @@ def cosine_near_dup_pairs(
     """Embedding near-duplicate pairs: cosine ≥ threshold among pairs
     sharing a blocking key (coarse cluster) — the blocked self-join
     keeps the pair space |n|²/|blocks| instead of |n|²."""
+    corpus = parallelize(corpus)
     a = corpus.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("id_a"),

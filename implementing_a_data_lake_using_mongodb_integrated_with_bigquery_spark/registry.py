@@ -51,7 +51,7 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.plans.pipeline import (
     star_revenue,
 )
-from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources import load_table
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources import load_table, parallelize
 
 
 def _scaled_sum(col: F.Column, scale: int, alias: str) -> F.Column:
@@ -406,7 +406,7 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     exact_dedup,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (  # noqa: E402
-    minhash_lsh_pairs,
+    minhash_banded_pairs,
     ngram_jaccard_pairs,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (  # noqa: E402
@@ -563,16 +563,18 @@ WHERE round(shared / (s1.n_sh + s2.n_sh - shared), 6) >= 0.2
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate near-dup pairs via MinHash LSH banding (seeded;
-    probabilistic recall → no exact SQL oracle, rows-only check)."""
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    """Approximate near-dup pairs via AND-OR banded MinHash LSH, built
+    from JVM built-ins (xxhash64 + array HOFs) with exact-Jaccard
+    verification of candidates (probabilistic recall → rows-only
+    check). See operators.dedup_near.minhash_banded_pairs."""
+    return minhash_banded_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprints (Arrow pandas UDF), LSH
     banding on 16-bit sub-keys, Hamming ≤ 4 confirm. Rows-only check
     (bit-identical oracle SQL would re-implement the UDF)."""
-    d = load_table(spark, sf_dir, "documents").select(
+    d = parallelize(load_table(spark, sf_dir, "documents")).select(
         "doc_id", simhash64(F.col("text")).alias("sh")
     )
     banded = d.select(
@@ -706,7 +708,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing; decode step stubbed — see operators.multimodal). Payload
     synthesized by utf-8-encoding the text column; byte length and md5
     are oracle-checkable, proving the Arrow round-trip is byte-exact."""
-    d = load_table(spark, sf_dir, "documents").select(
+    d = parallelize(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return extract_features(d).select("doc_id", "n_bytes", "payload_md5")

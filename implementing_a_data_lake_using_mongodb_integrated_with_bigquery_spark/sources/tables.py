@@ -51,6 +51,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's parallelism.
+
+    The test fixtures are single-file/single-row-group parquet, which
+    Spark cannot split — downstream stages would run as ONE task. A
+    real 100 TB table is thousands of splittable files, so the
+    compute-heavy operators (per-row expression-dense or UDF paths)
+    call this to emulate that. Cheap scan+agg queries skip it: the
+    exchange would cost more than the single-pass aggregation. All
+    engine outputs are partitioning-independent by construction, so
+    this never changes results.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     use = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in use}

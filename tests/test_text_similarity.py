@@ -144,3 +144,27 @@ def test_cosine_topk_orders_and_limits(spark):
     rows = cosine_topk(corpus, q, k=2).orderBy("rank").collect()
     assert [r.vec_id for r in rows] == [1, 2]  # self first, then closest
     assert rows[0].similarity == 1.0
+
+
+def test_jaccard_counting_and_prefix_paths_agree(spark):
+    """The two exact strategies must return identical pairs at the
+    same threshold (prefix path forced via threshold ≥ 0.5)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        _jaccard_counting,
+        _jaccard_prefix_filtered,
+        _shingle_table,
+    )
+
+    rows = [
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "one two three four five six seven eight nine eleven"),
+        (3, "one two three four nine ten eleven twelve thirteen fourteen"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    docs = _shingle_table(df, "doc_id", "text", 3)
+    for t in (0.5, 0.8):
+        a = sorted(map(str, _jaccard_counting(docs, t).collect()))
+        b = sorted(map(str, _jaccard_prefix_filtered(docs, t, None).collect()))
+        assert a == b and len(a) > 0
