@@ -1,0 +1,80 @@
+"""As-of (point-in-time) join — most recent right-side row at or
+before each left-side row's timestamp, per key.
+
+Spark has no built-in as-of join; the naive formulation (range
+join / correlated subquery) is O(n·m) per key. This implementation is
+the scale-correct union-tag construction: one shuffle on (key), one
+sort within partitions, carried state via ``last(..., ignorenulls)``
+over an unbounded-preceding window — O((n+m) log(n+m)) and no
+cross-product, the same plan Flink/kdb-style engines use.
+
+Generalizes the reference's lookup join J3 (exact-key broadcast probe,
+``src/ingest_weather_data.py:60-62``) to temporal keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    ``right_ts <= left_ts`` and equal join key(s); right columns come
+    back prefixed ``asof_`` (null when no prior right row exists).
+
+    ``tiebreak``: a unique right-side column ordering simultaneous
+    right rows (latest wins deterministically).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rcols = right_cols or [c for c in right.columns if c not in keys + [right_ts]]
+
+    lhs = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rcols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+    )
+    rhs = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(lhs.schema["_l"].dataType).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+        F.col(right_ts).alias("_r_ts"),
+    )
+    # at equal timestamps, right rows sort first (visible to the left
+    # row: <= semantics); among simultaneous right rows, tiebreak asc
+    # so the carried last() is the max-tiebreak row
+    order = [F.col("_ts").asc(), F.col("_is_left").asc()]
+    if tiebreak is not None:
+        order.append(F.col(f"_r_{tiebreak}").asc_nulls_first())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = lhs.unionByName(rhs).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in rcols
+        ],
+        F.last("_r_ts", ignorenulls=True).over(w).alias(f"asof_{right_ts}"),
+    )
+    out = carried.filter(F.col("_is_left") == 1).select(
+        F.col("_l.*"),
+        *[F.col(f"asof_{c}") for c in rcols],
+        F.col(f"asof_{right_ts}"),
+    )
+    return out

@@ -723,3 +723,321 @@ FROM documents
 
 QUERIES["multimodal_features"] = q_multimodal_features
 ORACLES["multimodal_features"] = ORACLE_MULTIMODAL
+
+
+# ------------------------------------------ batch 3: temporal/relational ops
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.asof import (  # noqa: E402
+    asof_join,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.integrity import (  # noqa: E402
+    fk_violations,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sessions import (  # noqa: E402
+    sessionize,
+)
+
+
+def q_dlq_split_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.2 K6/K8: dead-letter split — the rows REJECTED by a
+    referential-integrity check, tagged with a reason (the reference
+    logs + drops them, ``src/process_insert_update_weather_data.py:75-79``;
+    we persist them)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    bad = fk_violations(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"), urgent, "o_orderkey"
+    )
+    return bad.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "l_linenumber",
+        F.lit("fk_missing:orders_urgent").alias("reject_reason"),
+    )
+
+
+ORACLE_DLQ_SPLIT = """
+SELECT l_orderkey, l_linenumber, 'fk_missing:orders_urgent' AS reject_reason
+FROM lineitem l
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+def q_reconcile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §5.2: lake/warehouse count-reconciliation audit
+    (``README.md:140`` — row counts, key counts, key-set diffs)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.integrity import (
+        reconcile_counts,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    return reconcile_counts(l, o, "k")
+
+
+ORACLE_RECONCILE = """
+SELECT
+  (SELECT COUNT(*) FROM lineitem) AS source_rows,
+  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS source_keys,
+  (SELECT COUNT(*) FROM orders) AS target_rows,
+  (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS target_keys,
+  (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))) AS missing_in_target,
+  (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey))) AS extra_in_target,
+  (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))) = 0
+  AND
+  (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey))) = 0
+  AS consistent
+"""
+
+
+def q_gmt7_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 P8: the reference's GMT+7 wall-clock hour bucket
+    (``src/ingest_weather_data.py:142``) as a timezone-shifted
+    tumbling aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc(
+        "hour", F.from_utc_timestamp(F.col("ts"), "Asia/Ho_Chi_Minh")
+    )
+    return (
+        e.groupBy(bucket.alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .select(epoch_us("h").alias("hour7_us"), "n_events", "n_users")
+    )
+
+
+ORACLE_GMT7 = """
+SELECT epoch_us(date_trunc('hour', ts + INTERVAL 7 HOUR)) AS hour7_us,
+       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.6 O1/O2: set difference / intersection / union over
+    key sets, as a 3-row summary."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") % 3 == 0).select("c_custkey")
+    b = c.filter(F.col("c_custkey") % 5 == 0).select("c_custkey")
+    spark_rows = [
+        ("a_minus_b", a.exceptAll(b).count()),
+        ("a_intersect_b", a.intersect(b).count()),
+        ("a_union_b", a.union(b).distinct().count()),
+    ]
+    return spark.createDataFrame(spark_rows, "set_op string, n long")
+
+
+ORACLE_SET_OPS = """
+SELECT 'a_minus_b' AS set_op, COUNT(*) AS n FROM (
+  SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+  EXCEPT ALL SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)
+UNION ALL
+SELECT 'a_intersect_b', COUNT(*) FROM (
+  SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+  INTERSECT SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)
+UNION ALL
+SELECT 'a_union_b', COUNT(*) FROM (
+  SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+  UNION SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)
+"""
+
+
+def q_top_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.6 O3: ordered top-k with a total-order tiebreak."""
+    c = load_table(spark, sf_dir, "customer")
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        top_k_per_group,
+    )
+
+    out = top_k_per_group(
+        c, [], [F.col("c_acctbal").desc(), F.col("c_custkey").asc()], 100
+    )
+    return out.select(
+        "c_custkey", "c_name", "c_acctbal", F.col("rank").cast("long").alias("rank")
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, c_acctbal, rank FROM (
+  SELECT c_custkey, c_name, c_acctbal,
+         CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rank
+  FROM customer
+) WHERE rank <= 100
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (region → nation → grand total) —
+    free in Spark; the engine ships it even though the reference never
+    aggregates (SURVEY §2.5 note)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        l.join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_window_running_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame analytics per user over event time: row index,
+    previous-event pointer, inter-event gap (all integer-exact)."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ts_us = epoch_us("ts")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+    )
+
+
+ORACLE_RUNNING = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       lag(event_id) OVER w AS prev_event_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event paired with the same user's most
+    recent click at-or-before it (union-tag + carried-state window —
+    see operators.asof)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event_id"), "ts"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["click_event_id"], tiebreak="click_event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("ts_us"),
+        F.col("asof_click_event_id").alias("click_event_id"),
+        epoch_us("asof_ts").alias("click_ts_us"),
+    )
+
+
+ORACLE_ASOF = """
+WITH tagged AS (
+  SELECT user_id, ts, 1 AS is_left, event_id,
+         NULL::BIGINT AS r_click_id, NULL::TIMESTAMP AS r_ts
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 0 AS is_left, NULL::BIGINT AS event_id,
+         event_id AS r_click_id, ts AS r_ts
+  FROM events WHERE event_type = 'click'
+),
+carried AS (
+  SELECT user_id, ts, is_left, event_id,
+         last_value(r_click_id IGNORE NULLS) OVER w AS click_event_id,
+         last_value(r_ts IGNORE NULLS) OVER w AS click_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, is_left ASC, r_click_id ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       click_event_id, epoch_us(click_ts) AS click_ts_us
+FROM carried WHERE is_left = 1
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap) per user."""
+    e = load_table(spark, sf_dir, "events")
+    out = sessionize(e, "user_id", "ts", gap="30 minutes", tiebreak="event_id")
+    return out.select("user_id", "event_id", epoch_us("ts").alias("ts_us"), "session_idx")
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+FROM g
+"""
+
+
+QUERIES.update(
+    {
+        "dlq_split_fk": q_dlq_split_fk,
+        "reconcile_counts": q_reconcile_counts,
+        "gmt7_hourly": q_gmt7_hourly,
+        "set_ops": q_set_ops,
+        "top_customers_by_balance": q_top_customers_by_balance,
+        "rollup_revenue": q_rollup_revenue,
+        "window_running_metrics": q_window_running_metrics,
+        "asof_purchase_click": q_asof_purchase_click,
+        "sessionize": q_sessionize,
+    }
+)
+
+ORACLES.update(
+    {
+        "dlq_split_fk": ORACLE_DLQ_SPLIT,
+        "reconcile_counts": ORACLE_RECONCILE,
+        "gmt7_hourly": ORACLE_GMT7,
+        "set_ops": ORACLE_SET_OPS,
+        "top_customers_by_balance": ORACLE_TOP_CUSTOMERS,
+        "rollup_revenue": ORACLE_ROLLUP,
+        "window_running_metrics": ORACLE_RUNNING,
+        "asof_purchase_click": ORACLE_ASOF,
+        "sessionize": ORACLE_SESSIONIZE,
+    }
+)
