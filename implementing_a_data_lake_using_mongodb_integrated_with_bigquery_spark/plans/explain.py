@@ -1,0 +1,72 @@
+"""Physical-plan inspection helpers.
+
+Performance properties (broadcast vs shuffle, pushdown, codegen) are
+CONTRACTS here, not accidents — these helpers let tests pin them so a
+refactor that silently degrades the plan (e.g. a filter no longer
+reaching the parquet scan, a dim join falling back to sort-merge)
+fails CI instead of surfacing as a 10× regression at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def count_shuffles(df: DataFrame) -> int:
+    return physical_plan(df).count("Exchange ")
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True if the parquet scan's PushedFilters mentions ``fragment``."""
+    plan = physical_plan(df)
+    for line in plan.split("\n"):
+        if "PushedFilters" in line and fragment in line:
+            return True
+    return False
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names the parquet scan actually reads (ReadSchema) —
+    asserts column pruning."""
+    import re
+
+    plan = physical_plan(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols.extend(p.split(":")[0].strip() for p in m.group(1).split(",") if p.strip())
+    return cols
+
+
+def whole_stage_codegen_ids(df: DataFrame, execute: bool = True) -> int:
+    """Number of ``*(n)`` whole-stage-codegen spans in the FINAL plan.
+
+    Under AQE the final plan (with codegen annotations) only exists
+    after THIS dataframe's own plan has executed — ``df.count()`` would
+    run a different (count-aggregated) plan, so we ``collect()``.
+    """
+    if execute:
+        df.collect()
+    plan = physical_plan(df)
+    return plan.count("*(")
+
+
+def formatted_plan(df: DataFrame) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
