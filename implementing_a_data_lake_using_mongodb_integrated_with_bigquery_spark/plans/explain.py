@@ -25,7 +25,14 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    return physical_plan(df).count("Exchange ")
+    """Number of SHUFFLE exchanges (broadcast exchanges move the small
+    side, not the data — they don't count)."""
+    plan = physical_plan(df)
+    return sum(
+        1
+        for line in plan.split("\n")
+        if "Exchange " in line and "BroadcastExchange" not in line
+    )
 
 
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:

@@ -1041,3 +1041,165 @@ ORACLES.update(
         "sessionize": ORACLE_SESSIONIZE,
     }
 )
+
+
+# ---------------------------------------- batch 4: relational breadth
+
+def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-style semi-join with a range predicate
+    (orders having any lineitem shipped >60 days after order date),
+    counted per priority."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    late = l.join(
+        o, (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "inner",
+    ).select("o_orderkey").distinct()
+    return (
+        o.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation —
+    distribution of customers by how many orders they have (including
+    zero-order customers, which only an outer join preserves)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+ORACLE_Q13 = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax joined to dims: richest customer per nation
+    (window row_number with total-order tiebreak, broadcast dim)."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    top = c.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    return top.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")).select(
+        "n_name", "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+ORACLE_TOP_PER_NATION = """
+SELECT n_name, c_custkey, c_name, c_acctbal FROM (
+  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+) c JOIN nation ON c.c_nationkey = n_nationkey
+WHERE rn = 1
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped sum, joined back to the
+    order+customer context."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg((F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice", "total_qty")
+    )
+
+
+ORACLE_LARGE_ORDERS = """
+SELECT o_orderkey, c_custkey, c_name, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 > 200
+) b
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column statistics per cluster: count, mean L2 norm, mean
+    of first component — all via JVM array HOF expressions."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.functions.vector import (
+        l2_norm,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    norm_4dp = F.round(l2_norm("embedding") * 10000).cast("long")
+    first_6dp = F.round(F.element_at(F.col("embedding").cast("array<double>"), 1) * 1000000).cast("long")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum(norm_4dp) / F.count(F.lit(1)) / 10000.0).alias("mean_norm"),
+            (F.sum(first_6dp) / F.count(F.lit(1)) / 1000000.0).alias("mean_first"),
+        )
+    )
+
+
+ORACLE_EMB_STATS = """
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) * 10000) AS BIGINT)) AS BIGINT)
+         / CAST(COUNT(*) AS BIGINT) / 10000.0 AS mean_norm,
+       CAST(SUM(CAST(round(embedding[1]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT)
+         / CAST(COUNT(*) AS BIGINT) / 1000000.0 AS mean_first
+FROM embeddings GROUP BY label
+"""
+
+
+QUERIES.update(
+    {
+        "priority_late_orders": q_priority_late_orders,
+        "customer_order_distribution": q_customer_order_distribution,
+        "top_customer_per_nation": q_top_customer_per_nation,
+        "large_orders": q_large_orders,
+        "embedding_stats": q_embedding_stats,
+    }
+)
+
+ORACLES.update(
+    {
+        "priority_late_orders": ORACLE_Q4,
+        "customer_order_distribution": ORACLE_Q13,
+        "top_customer_per_nation": ORACLE_TOP_PER_NATION,
+        "large_orders": ORACLE_LARGE_ORDERS,
+        "embedding_stats": ORACLE_EMB_STATS,
+    }
+)

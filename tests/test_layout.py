@@ -1,0 +1,66 @@
+"""Physical-layout contracts: bucketed joins are shuffle-free,
+partitioned scans prune directories."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.plans.explain import (
+    count_shuffles,
+    physical_plan,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources import (
+    load_table,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+    read_table,
+    write_bucketed_table,
+    write_partitioned,
+)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(o, "orders_b", "o_orderkey", 8)
+    write_bucketed_table(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", "o_orderkey", 8
+    )
+    # force the shuffle-join path (auto-broadcast would hide the point)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, "lineitem_b").join(
+            read_table(spark, "orders_b").select("o_orderkey", "o_orderpriority"),
+            "o_orderkey",
+        )
+        # co-bucketed layout: the equi-join needs no shuffle Exchange
+        n_shuffles = count_shuffles(joined)
+        assert n_shuffles == 0, physical_plan(joined)[:2000]
+        assert joined.count() > 0
+        # grouping on the bucket key is also shuffle-free (partial agg only)
+        agg = read_table(spark, "lineitem_b").groupBy("o_orderkey").count()
+        assert count_shuffles(agg) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    e = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_part")
+    write_partitioned(e, path, ["event_type"])
+    # hive-style layout on disk
+    assert any(d.startswith("event_type=") for d in os.listdir(path))
+    scan = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = physical_plan(scan)
+    assert "PartitionFilters" in plan and "event_type" in plan
+    n_click = e.filter(F.col("event_type") == "click").count()
+    assert scan.count() == n_click

@@ -159,3 +159,31 @@ def test_windowed_counts_streaming(spark, tmp_path):
     # finalized and emitted; the [01:00,02:00) window is still open, so
     # its rows are correctly withheld in append mode.
     assert got == {("2024-01-01T00:00:00", "click"): 2}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """T3 streaming-native form: dropDuplicatesWithinWatermark drops
+    re-delivered ids without unbounded state."""
+    import json as _json
+
+    ev_dir = str(tmp_path / "dups")
+    os.makedirs(ev_dir)
+    rows = [
+        {"id": "a", "ts": "2024-01-01T00:00:00.000Z", "v": 1},
+        {"id": "a", "ts": "2024-01-01T00:00:30.000Z", "v": 2},  # duplicate id
+        {"id": "b", "ts": "2024-01-01T00:01:00.000Z", "v": 3},
+    ]
+    with open(os.path.join(ev_dir, "e.json"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    stream = spark.readStream.schema("id string, ts timestamp, v long").json(ev_dir)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["id"])
+    out: list = []
+    q = (
+        deduped.writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.id for r in out) == ["a", "b"]
