@@ -71,10 +71,11 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """EXACT document pairs with Jaccard(shingle sets) ≥ threshold.
 
-    Two exact strategies, chosen by threshold:
+    Two exact strategies (``strategy``: auto|counting|prefix):
 
     - **low t (< 0.5): counting inverted index** — explode (doc,
       shingle), self-join on the shingle, count shared shingles per
@@ -91,12 +92,21 @@ def ngram_jaccard_pairs(
       shingles, so stop-shingle skew — the quadratic blowup — never
       enters the join. Identical results to the naive |n|² compare.
 
+    ``auto`` picks counting below t=0.7: prefix filtering only pays
+    when prefixes are short AND the corpus has a long-tailed (Zipfian)
+    shingle distribution — on low-entropy corpora the prefix machinery
+    (doc-frequency ranking + per-doc sort) costs more than it prunes.
+    Pass ``strategy='prefix'`` explicitly for stop-shingle-skewed data.
+
     ``max_doc_freq`` additionally drops ubiquitous shingles from
     candidate generation entirely — an approximate mode (can miss pairs
     glued only by stop-shingles); leave None for exact results.
     """
     docs = _shingle_table(df, id_col, text_col, n)
-    if threshold < 0.5 and max_doc_freq is None:
+    use_prefix = strategy == "prefix" or (
+        strategy == "auto" and (threshold >= 0.7 or max_doc_freq is not None)
+    )
+    if not use_prefix:
         return _jaccard_counting(docs, threshold)
     return _jaccard_prefix_filtered(docs, threshold, max_doc_freq)
 

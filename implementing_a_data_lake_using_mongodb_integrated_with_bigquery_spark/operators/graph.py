@@ -1,0 +1,84 @@
+"""Connected components over a pair list — dedup-cluster resolution.
+
+A dedup pipeline doesn't end at pairs: (a,b), (b,c) must collapse to
+ONE cluster {a,b,c} with one kept representative. That's connected
+components on the similarity graph. Implementation is iterative
+label propagation (each node adopts the min label among itself and
+its neighbors) — the standard MapReduce CC algorithm; rounds ≈ graph
+diameter (near-dup clusters are shallow, typically 2-4 rounds).
+
+Each round is one join + one min-aggregation, all set-oriented; the
+driver only checks the convergence counter. At 100 TB-scale graphs,
+swap in large-star/small-star (fewer rounds on high-diameter graphs) —
+same primitive ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) where cluster_id = min node id reachable in
+    the undirected graph. Isolated nodes are their own cluster."""
+    # cache the undirected edge list: it joins into EVERY round, and its
+    # lineage may be an expensive pipeline (e.g. the similarity join)
+    both = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).cache()
+    for _ in range(max_iterations):
+        neighbor_labels = (
+            both.join(labels, both["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("d1", "d2"),
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: every document labeled
+    with its cluster representative (min doc id in the component);
+    ``is_representative`` marks the one row to KEEP per cluster."""
+    cc = connected_components(
+        docs.select(id_col), pairs, node_col=id_col,
+        src_col=pair_cols[0], dst_col=pair_cols[1],
+    )
+    return cc.select(
+        F.col("node").alias(id_col),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_representative"),
+    )

@@ -56,29 +56,29 @@ def fk_violations(fact: DataFrame, dim: DataFrame, fk: str | list[str]) -> DataF
 
 def reconcile_counts(source: DataFrame, target: DataFrame, key: str) -> DataFrame:
     """Lake/warehouse parity audit (``README.md:140``): row counts,
-    distinct-key counts, and key-set differences in both directions.
-    Returns a 1-row DataFrame of metrics."""
-    s_keys = source.select(F.col(key).alias("k"))
-    t_keys = target.select(F.col(key).alias("k"))
-    missing_in_target = s_keys.join(t_keys, "k", "left_anti").count()
-    extra_in_target = t_keys.join(s_keys, "k", "left_anti").count()
-    spark = source.sparkSession
-    stats = (
-        source.agg(
-            F.count(F.lit(1)).alias("source_rows"),
-            F.countDistinct(key).alias("source_keys"),
-        )
-        .crossJoin(
-            target.agg(
-                F.count(F.lit(1)).alias("target_rows"),
-                F.countDistinct(key).alias("target_keys"),
-            )
-        )
-        .withColumn("missing_in_target", F.lit(missing_in_target).cast("long"))
-        .withColumn("extra_in_target", F.lit(extra_in_target).cast("long"))
-        .withColumn(
-            "consistent",
-            (F.col("missing_in_target") == 0) & (F.col("extra_in_target") == 0),
-        )
+    distinct-key counts, and key-set differences in both directions —
+    ONE plan (per-side key aggregation + full outer join + final agg),
+    no driver-side sub-jobs. Returns a 1-row DataFrame."""
+    s = (
+        source.select(F.col(key).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("s_cnt"))
     )
-    return spark.createDataFrame(stats.collect(), stats.schema)
+    t = (
+        target.select(F.col(key).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    fo = s.join(t, "k", "full_outer")
+    agg = fo.agg(
+        F.coalesce(F.sum("s_cnt"), F.lit(0)).cast("long").alias("source_rows"),
+        F.count("s_cnt").cast("long").alias("source_keys"),
+        F.coalesce(F.sum("t_cnt"), F.lit(0)).cast("long").alias("target_rows"),
+        F.count("t_cnt").cast("long").alias("target_keys"),
+        F.count(F.when(F.col("t_cnt").isNull(), 1)).cast("long").alias("missing_in_target"),
+        F.count(F.when(F.col("s_cnt").isNull(), 1)).cast("long").alias("extra_in_target"),
+    )
+    return agg.withColumn(
+        "consistent",
+        (F.col("missing_in_target") == 0) & (F.col("extra_in_target") == 0),
+    )

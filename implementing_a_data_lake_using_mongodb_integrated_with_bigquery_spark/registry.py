@@ -828,12 +828,17 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     a = c.filter(F.col("c_custkey") % 3 == 0).select("c_custkey")
     b = c.filter(F.col("c_custkey") % 5 == 0).select("c_custkey")
-    spark_rows = [
-        ("a_minus_b", a.exceptAll(b).count()),
-        ("a_intersect_b", a.intersect(b).count()),
-        ("a_union_b", a.union(b).distinct().count()),
-    ]
-    return spark.createDataFrame(spark_rows, "set_op string, n long")
+    # one unioned plan, one job — not three driver-side counts
+    def _count(df, tag):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(tag).alias("set_op"), "n"
+        )
+
+    return (
+        _count(a.exceptAll(b), "a_minus_b")
+        .unionByName(_count(a.intersect(b), "a_intersect_b"))
+        .unionByName(_count(a.union(b).distinct(), "a_union_b"))
+    )
 
 
 ORACLE_SET_OPS = """
@@ -1051,16 +1056,14 @@ def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted per priority."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    late = l.join(
-        o, (F.col("l_orderkey") == F.col("o_orderkey"))
+    # one LEFT SEMI join on the compound condition — no distinct stage
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
         & (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")),
-        "inner",
-    ).select("o_orderkey").distinct()
-    return (
-        o.join(late, "o_orderkey", "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
+        "left_semi",
     )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
 
 
 ORACLE_Q4 = """
@@ -1201,5 +1204,80 @@ ORACLES.update(
         "top_customer_per_nation": ORACLE_TOP_PER_NATION,
         "large_orders": ORACLE_LARGE_ORDERS,
         "embedding_stats": ORACLE_EMB_STATS,
+    }
+)
+
+
+# --------------------------------- batch 5: clustering + grouped pandas
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (  # noqa: E402
+    dedup_clusters,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.grouped_pandas import (  # noqa: E402
+    grouped_percent_rank,
+)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (jaccard ≥ 0.5) resolved into clusters via
+    iterative connected components; each doc labeled with its cluster
+    representative (min doc_id in the component)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("d1", "d2")
+    return dedup_clusters(docs, pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM shared
+  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE round(shared / (s1.n_sh + s2.n_sh - shared), 6) >= 0.5
+),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id, node = MIN(lbl) AS is_representative
+FROM reach GROUP BY node
+"""
+
+
+def q_grouped_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise pandas transform (applyInPandas): per-source
+    percent_rank of document length — SQL-exact semantics, Arrow
+    group batches."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return grouped_percent_rank(docs, "source", "n_chars", "doc_id")
+
+
+ORACLE_GROUPED_PCT = """
+SELECT doc_id, source, n_chars,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6) AS pct_rank
+FROM documents
+"""
+
+QUERIES.update(
+    {
+        "dedup_clusters": q_dedup_clusters,
+        "grouped_pct_rank": q_grouped_pct_rank,
+    }
+)
+ORACLES.update(
+    {
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+        "grouped_pct_rank": ORACLE_GROUPED_PCT,
     }
 )

@@ -1,0 +1,46 @@
+"""Connected-components clustering and grouped-pandas operators."""
+
+from __future__ import annotations
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.grouped_pandas import (
+    grouped_percent_rank,
+)
+
+
+def test_connected_components_chain_and_islands(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["id"])
+    # chain 1-2-3-4 (diameter 3, forces multiple rounds), pair 5-6, island 7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], ["src", "dst"]
+    )
+    out = {r.node: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_dedup_clusters_representatives(spark):
+    docs = spark.createDataFrame([(i,) for i in [10, 20, 30, 40]], ["doc_id"])
+    pairs = spark.createDataFrame([(20, 30), (30, 40)], ["d1", "d2"])
+    rows = {r.doc_id: r for r in dedup_clusters(docs, pairs).collect()}
+    assert rows[10].cluster_id == 10 and rows[10].is_representative
+    assert rows[20].cluster_id == 20 and rows[20].is_representative
+    assert rows[30].cluster_id == 20 and not rows[30].is_representative
+    assert rows[40].cluster_id == 20 and not rows[40].is_representative
+    keep = [d for d, r in rows.items() if r.is_representative]
+    assert sorted(keep) == [10, 20]  # one survivor per cluster
+
+
+def test_grouped_percent_rank_sql_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 20), (4, "a", 30), (5, "b", 7)],
+        ["doc_id", "source", "n_chars"],
+    )
+    out = {r.doc_id: r.pct_rank for r in grouped_percent_rank(df, "source", "n_chars", "doc_id").collect()}
+    # ties share min-rank; single-row group → 0
+    assert out[1] == 0.0
+    assert out[2] == out[3] == round(1 / 3, 6)
+    assert out[4] == 1.0
+    assert out[5] == 0.0
