@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame
 
 
 def physical_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Executed-plan string, truncated at AQE's '== Initial Plan =='
+    section (the pre-adaptive plan would double-count every node)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
 
 
 def optimized_plan(df: DataFrame) -> str:
@@ -25,14 +28,23 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    """Number of SHUFFLE exchanges (broadcast exchanges move the small
-    side, not the data — they don't count)."""
+    """Number of DISTINCT shuffle exchanges (broadcast exchanges move
+    the small side, not the data — they don't count). AQE final plans
+    print each exchange under both its query stage and its reuse
+    sites, so nodes are deduplicated by plan_id."""
+    import re
+
     plan = physical_plan(df)
-    return sum(
-        1
-        for line in plan.split("\n")
-        if "Exchange " in line and "BroadcastExchange" not in line
-    )
+    ids = set()
+    unnumbered = 0
+    for line in plan.split("\n"):
+        if "Exchange " in line and "BroadcastExchange" not in line:
+            m = re.search(r"\[plan_id=(\d+)\]", line)
+            if m:
+                ids.add(m.group(1))
+            else:
+                unnumbered += 1
+    return len(ids) + unnumbered
 
 
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
