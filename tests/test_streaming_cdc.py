@@ -187,3 +187,75 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(r.id for r in out) == ["a", "b"]
+
+
+def test_session_window_streaming_agg(spark, tmp_path):
+    """Spark's built-in session windows (gap-close semantics) over a
+    stream — the streaming twin of operators.sessions."""
+    import json as _json
+
+    ev_dir = str(tmp_path / "sw")
+    os.makedirs(ev_dir)
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00.000Z"},
+        {"user_id": 1, "ts": "2024-01-01T00:03:00.000Z"},   # same session
+        {"user_id": 1, "ts": "2024-01-01T01:00:00.000Z"},   # new session
+        {"user_id": 9, "ts": "2024-01-01T02:00:00.000Z"},   # watermark pusher
+    ]
+    with open(os.path.join(ev_dir, "e.json"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    stream = spark.readStream.schema("user_id long, ts timestamp").json(ev_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out: list = []
+    q = (
+        agg.writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    closed = {(r.user_id, r.w.start.isoformat()): r.n for r in out}
+    # user 1's first session (2 events, closes at 00:08) and second
+    # session (closes 01:05) are both behind the 01:50 watermark
+    assert closed[(1, "2024-01-01T00:00:00")] == 2
+    assert closed[(1, "2024-01-01T01:00:00")] == 1
+
+
+def test_pipeline_monitor_listener(spark, tmp_path):
+    """StreamingQueryListener surface (reference monitor.sh / T8)."""
+    import json as _json
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.listeners import (
+        PipelineMonitor,
+    )
+
+    mon = PipelineMonitor()
+    spark.streams.addListener(mon)
+    try:
+        ev_dir = str(tmp_path / "mon")
+        os.makedirs(ev_dir)
+        with open(os.path.join(ev_dir, "e.json"), "w") as f:
+            f.write(_json.dumps({"v": 1}) + "\n")
+        stream = spark.readStream.schema("v long").json(ev_dir)
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        import time
+
+        for _ in range(20):  # listener callbacks are async
+            if mon.progress:
+                break
+            time.sleep(0.5)
+        assert any(p["num_input_rows"] == 1 for p in mon.progress)
+    finally:
+        spark.streams.removeListener(mon)
