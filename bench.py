@@ -40,9 +40,14 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
     ]
-    # warm the JVM + file listing once so per-query numbers measure the
-    # query, not session startup
+    # warm the JVM + file listing + Python worker pool once so
+    # per-query numbers measure the query, not process startup (the
+    # steady-state condition on a long-lived cluster)
     qs[names[0]](spark, sf_dir).count()
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(100).select(_warm("id")).count()
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()

@@ -1,10 +1,22 @@
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.asof import (
+    asof_join,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup import (
     dedup_against_target,
     duplicate_audit,
     exact_dedup,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+    minhash_banded_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.flatten import (
     flatten_weather,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.integrity import (
     fk_filter,
@@ -16,16 +28,38 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     last_write_wins,
     upsert,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sessions import (
+    sessionize,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    ivf_topk,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.skew import (
+    salted_join,
+)
 
 __all__ = [
+    "asof_join",
+    "connected_components",
+    "cosine_near_dup_pairs",
+    "cosine_topk",
     "dedup_against_target",
+    "dedup_clusters",
     "duplicate_audit",
     "exact_dedup",
     "fk_filter",
     "fk_violations",
     "flatten_weather",
+    "ivf_topk",
     "last_write_wins",
+    "minhash_banded_pairs",
+    "minhash_lsh_pairs",
     "new_rows_only",
+    "ngram_jaccard_pairs",
     "reconcile_counts",
+    "salted_join",
+    "sessionize",
     "upsert",
 ]

@@ -1,0 +1,59 @@
+"""Property-based invariant tests (hypothesis) for the core merge and
+dedup algebra — the invariants the reference enforced operationally
+(SURVEY §5), checked over generated inputs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup import (
+    dedup_against_target,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.merge import (
+    upsert,
+)
+
+KEYS = st.sampled_from(["a", "b", "c", "d", "e"])
+ROWS = st.lists(
+    st.tuples(KEYS, st.integers(0, 50), st.integers(-100, 100)),
+    min_size=0,
+    max_size=12,
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(target=ROWS, updates=ROWS)
+@SLOW
+def test_upsert_is_idempotent_and_key_complete(spark, target, updates):
+    cols = ["id", "ver", "v"]
+    t = spark.createDataFrame(target, cols) if target else spark.createDataFrame([], "id string, ver long, v long")
+    u = spark.createDataFrame(updates, cols) if updates else spark.createDataFrame([], "id string, ver long, v long")
+    m1 = upsert(t, u, "id", version_col="ver")
+    r1 = sorted(map(tuple, m1.collect()))
+    # idempotence: applying the same batch again changes nothing
+    m2 = upsert(m1, u, "id", version_col="ver")
+    assert sorted(map(tuple, m2.collect())) == r1
+    # key completeness: result keys == target keys ∪ update keys
+    assert {r[0] for r in r1} == {r[0] for r in target} | {r[0] for r in updates}
+    # uniqueness: one row per key after merge of a unique-keyed target
+    if len({r[0] for r in target}) == len(target):
+        assert len({r[0] for r in r1}) == len(r1)
+
+
+@given(batch=ROWS, target=ROWS)
+@SLOW
+def test_dedup_against_target_never_emits_known_or_dup_keys(spark, batch, target):
+    cols = ["id", "ver", "v"]
+    b = spark.createDataFrame(batch, cols) if batch else spark.createDataFrame([], "id string, ver long, v long")
+    t = spark.createDataFrame(target, cols) if target else spark.createDataFrame([], "id string, ver long, v long")
+    out = [r[0] for r in dedup_against_target(b, t, "id").collect()]
+    assert len(out) == len(set(out))                      # no dup keys emitted
+    assert not (set(out) & {r[0] for r in target})        # no known keys
+    assert set(out) == {r[0] for r in batch} - {r[0] for r in target}
