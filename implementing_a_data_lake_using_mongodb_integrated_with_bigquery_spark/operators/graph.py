@@ -37,9 +37,13 @@ def connected_components(
         .distinct()
         .cache()
     )
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("label")
-    ).cache()
+    all_nodes = nodes.select(F.col(node_col).alias("node"))
+    # nodes touching no edge are trivially their own cluster — iterate
+    # only the edge-incident subgraph (usually a small fraction of the
+    # corpus in dedup workloads) and union the identity rows back in
+    touched = both.select(F.col("a").alias("node")).distinct().cache()
+    isolated = all_nodes.join(touched, "node", "left_anti")
+    labels = touched.select("node", F.col("node").alias("label")).cache()
     for _ in range(max_iterations):
         neighbor_labels = (
             both.join(labels, both["b"] == labels["node"])
@@ -61,7 +65,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+    return labels.unionByName(
+        isolated.select("node", F.col("node").alias("label"))
+    ).select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
 def dedup_clusters(

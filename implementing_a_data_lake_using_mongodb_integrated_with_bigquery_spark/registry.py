@@ -1281,3 +1281,75 @@ ORACLES.update(
         "grouped_pct_rank": ORACLE_GROUPED_PCT,
     }
 )
+
+
+# --------------------------------- batch 6: statistical aggregates
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) of event value per
+    type — `F.percentile` (exact, sort-based) mirrored by DuckDB
+    `quantile_cont`."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance/stddev derived from scaled-integer power sums —
+    bit-deterministic under any partitioning (built-in stddev is a
+    streaming estimator whose low bits depend on visit order)."""
+    e = load_table(spark, sf_dir, "events")
+    v4 = F.round(F.col("value") * 10000).cast("long")  # value in 1e-4 units
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v4).alias("_s1"),
+        F.sum(v4 * v4).alias("_s2"),
+    )
+    mean = F.col("_s1") / F.col("n") / 10000.0
+    var = (F.col("_s2") / F.col("n") - (F.col("_s1") / F.col("n")) * (F.col("_s1") / F.col("n"))) / 100000000.0
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(var, 6).alias("var_value"),
+        F.round(F.sqrt(var), 6).alias("std_value"),
+    )
+
+
+ORACLE_MOMENTS = """
+SELECT event_type, n,
+       round(s1 / n / 10000.0, 6) AS mean_value,
+       round((s2 / n - (s1 / n) * (s1 / n)) / 100000000.0, 6) AS var_value,
+       round(sqrt((s2 / n - (s1 / n) * (s1 / n)) / 100000000.0), 6) AS std_value
+FROM (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(round(value * 10000) AS BIGINT) * CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+)
+"""
+
+QUERIES.update(
+    {
+        "value_percentiles": q_value_percentiles,
+        "value_moments": q_value_moments,
+    }
+)
+ORACLES.update(
+    {
+        "value_percentiles": ORACLE_PERCENTILES,
+        "value_moments": ORACLE_MOMENTS,
+    }
+)
