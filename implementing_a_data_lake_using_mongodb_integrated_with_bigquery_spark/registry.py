@@ -1353,3 +1353,96 @@ ORACLES.update(
         "value_moments": ORACLE_MOMENTS,
     }
 )
+
+
+# --------------------------------- batch 7: binning, strings, pivot
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (bin = floor(v/10)) per
+    event type — the binning primitive behind data-quality dashboards."""
+    e = load_table(spark, sf_dir, "events")
+    bin_idx = F.floor(F.col("value") / 10).cast("long")
+    return (
+        e.groupBy("event_type", bin_idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_HISTOGRAM = """
+SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bin, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface (SURVEY §2.8 breadth): case
+    mapping, padding, reversal, character translation, splitting,
+    length — one projection, fully codegen'd."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        F.lpad(F.col("p_brand"), 12, "*").alias("brand_padded"),
+        F.translate(F.col("p_type"), "AEIOU", "aeiou").alias("type_translated"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.length(F.col("p_name")).cast("long").alias("name_len"),
+    )
+
+
+ORACLE_STRINGS = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       reverse(p_name) AS name_rev,
+       lpad(p_brand, 12, '*') AS brand_padded,
+       translate(p_type, 'AEIOU', 'aeiou') AS type_translated,
+       string_split(p_name, ' ')[1] AS first_word,
+       CAST(length(p_name) AS BIGINT) AS name_len
+FROM part
+"""
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per status × priority (wide layout) — the
+    crosstab shape; fixed pivot values so the schema is static."""
+    o = load_table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {p: f"n_{p.split('-')[0]}" for p in _PRIORITIES}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"n_{i}"), F.lit(0)).cast("long").alias(f"n_{i}") for i in "12345"],
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS n_1,
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS n_2,
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_3,
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_4,
+       COUNT(*) FILTER (o_orderpriority = '5-LOW') AS n_5
+FROM orders GROUP BY o_orderstatus
+"""
+
+QUERIES.update(
+    {
+        "value_histogram": q_value_histogram,
+        "string_functions": q_string_functions,
+        "orders_pivot": q_orders_pivot,
+    }
+)
+ORACLES.update(
+    {
+        "value_histogram": ORACLE_HISTOGRAM,
+        "string_functions": ORACLE_STRINGS,
+        "orders_pivot": ORACLE_PIVOT,
+    }
+)
