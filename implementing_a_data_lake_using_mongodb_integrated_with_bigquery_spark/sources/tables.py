@@ -69,3 +69,19 @@ def parallelize(df: DataFrame) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     use = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def load_json_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    multi_line: bool = False,
+) -> DataFrame:
+    """JSON scan for the raw zone (the reference's documents are nested
+    JSON: seed files S3/S4 via multiLine, landing/event logs as
+    JSON-lines). Pass an explicit schema in production — inference
+    costs a full extra pass and weakens pushdown typing."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.option("multiLine", str(multi_line).lower()).json(path)

@@ -148,3 +148,53 @@ def test_parse_minute_timestamp(spark):
     df = _df(spark, [("2023-11-14 15:30",)], ["s"])
     v = df.select(parse_minute_timestamp("s").alias("t")).collect()[0].t
     assert v == dt.datetime(2023, 11, 14, 15, 30, 0)
+
+
+def test_null_key_semantics_match_sql(spark):
+    """NULL keys never equal anything: anti-join keeps them (SQL NOT
+    EXISTS semantics), semi-join drops them — pinned so the oracle
+    comparison can't diverge on null-keyed rows."""
+    batch = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", 3)], "id string, v int"
+    )
+    target = spark.createDataFrame([("a", 9), (None, 8)], "id string, v int")
+    kept = new_rows_only(batch, target, "id")
+    got = sorted(((r.id, r.v) for r in kept.collect()), key=str)
+    assert got == sorted([(None, 2), ("b", 3)], key=str)
+    ok = fk_filter(batch, target.select("id"), "id")
+    assert [r.v for r in ok.collect()] == [1]
+
+
+def test_json_lake_roundtrip(spark, tmp_path):
+    """Raw-zone JSON round-trip with the nested weather schema (the
+    reference's document shape survives write→schema-read intact)."""
+    import os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark import schemas
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.tables import (
+        load_json_table,
+    )
+
+    row = {
+        "_id": "x1", "place_id": "hanoi", "location": None,
+        "current": {
+            "last_updated_epoch": 1, "last_updated": "2023-11-14 15:00",
+            "temp_c": 25.0, "temp_f": 77.0, "is_day": 1,
+            "condition": {"text": "Sunny", "icon": "i", "code": 1000},
+            "wind_mph": 5.0, "wind_kph": 8.0, "wind_degree": 90,
+            "wind_dir": "E", "pressure_mb": 1010.0, "pressure_in": 29.8,
+            "precip_mm": 0.0, "precip_in": 0.0, "humidity": 60, "cloud": 10,
+            "feelslike_c": 26.0, "feelslike_f": 79.0, "vis_km": 10.0,
+            "vis_miles": 6.0, "uv": 5.0, "gust_mph": 7.0, "gust_kph": 11.0,
+        },
+    }
+    df = spark.createDataFrame([row], schemas.WEATHER_RAW)
+    out = str(tmp_path / "raw_json")
+    df.write.mode("overwrite").json(out)
+    back = load_json_table(spark, out, schemas.WEATHER_RAW)
+    # names/types round-trip exactly; nullability is relaxed by the
+    # JSON reader (every JSON field may be absent), so compare typed
+    # structure, not nullable flags
+    assert back.schema.simpleString() == schemas.WEATHER_RAW.simpleString()
+    r = back.collect()[0]
+    assert r._id == "x1" and r.current.condition.text == "Sunny"
