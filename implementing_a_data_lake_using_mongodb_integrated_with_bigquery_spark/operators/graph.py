@@ -45,24 +45,27 @@ def connected_components(
     isolated = all_nodes.join(touched, "node", "left_anti")
     labels = touched.select("node", F.col("node").alias("label")).cache()
     for _ in range(max_iterations):
-        neighbor_labels = (
+        # one round = neighbor-min aggregation + left join back to the
+        # old labels, with the convergence flag embedded — a single
+        # cached plan serves both the changed-count action and the next
+        # round (no separate comparison join)
+        neighbor_min = (
             both.join(labels, both["b"] == labels["node"])
-            .select(F.col("a").alias("node"), "label")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+        stepped = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias("_changed"),
+            )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = stepped.filter(F.col("_changed")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = stepped.drop("_changed")
         if changed == 0:
             break
     return labels.unionByName(
