@@ -123,3 +123,55 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("similarity") >= threshold)
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Learn the IVF coarse quantizer: seeded KMeans over the corpus,
+    assigning every vector a cluster id. Returns (assigned_df with
+    ``ivf_cluster`` column, centroids list). At scale, fit on a sample
+    and transform the full corpus; store the corpus partitioned by
+    ``ivf_cluster`` so probes prune partitions (see sources.layout)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = parallelize(corpus).withColumn(
+        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    # a coarse quantizer needs rough centroids, not convergence — few
+    # iterations keep index-build cost ~linear in corpus size
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=8,
+        featuresCol="_features", predictionCol="ivf_cluster",
+    ).fit(feats)
+    assigned = model.transform(feats).drop("_features")
+    return assigned, model.clusterCenters()
+
+
+def ivf_topk_learned(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end learned-quantizer ANN: build the IVF index, take the
+    query vectors' own clusters as the probe set, search only there.
+    Probabilistic recall (quantizer-dependent) → rows-only check."""
+    assigned, _ = build_ivf_index(corpus, n_clusters, id_col, vec_col)
+    assigned = assigned.cache()
+    q = assigned.filter(F.col(id_col).isin(query_ids)).select(
+        F.col("ivf_cluster"),
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_emb"),
+    )
+    return ivf_topk(
+        assigned, q, k, partition_col="ivf_cluster",
+        id_col=id_col, vec_col=vec_col,
+    )

@@ -1446,3 +1446,18 @@ ORACLES.update(
         "orders_pivot": ORACLE_PIVOT,
     }
 )
+
+
+def q_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with a LEARNED coarse quantizer: seeded KMeans builds the
+    IVF clusters, probes search only the query's cluster. Recall
+    depends on the quantizer → rows-only check (deterministic: seeded)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        ivf_topk_learned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_learned(emb, query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+QUERIES["ann_ivf_learned"] = q_ann_ivf_learned

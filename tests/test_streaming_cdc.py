@@ -259,3 +259,38 @@ def test_pipeline_monitor_listener(spark, tmp_path):
         assert any(p["num_input_rows"] == 1 for p in mon.progress)
     finally:
         spark.streams.removeListener(mon)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join with watermarks: purchases joined to clicks
+    by the same user within the preceding hour — both sides unbounded,
+    state bounded by the watermark + interval condition."""
+    import json as _json
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    os.makedirs(cdir); os.makedirs(pdir)
+    with open(os.path.join(cdir, "c.json"), "w") as f:
+        for eid, ts in [(1, "00:10"), (2, "01:30"), (3, "05:00")]:
+            f.write(_json.dumps({"user_id": 1, "click_id": eid,
+                                 "cts": f"2024-01-01T{ts}:00.000Z"}) + "\n")
+    with open(os.path.join(pdir, "p.json"), "w") as f:
+        f.write(_json.dumps({"user_id": 1, "purchase_id": 100,
+                             "pts": "2024-01-01T01:45:00.000Z"}) + "\n")
+    clicks = spark.readStream.schema("user_id long, click_id long, cts timestamp").json(cdir).withWatermark("cts", "10 minutes")
+    purch = spark.readStream.schema("user_id long, purchase_id long, pts timestamp").json(pdir).withWatermark("pts", "10 minutes")
+    joined = purch.join(
+        clicks,
+        (purch["user_id"] == clicks["user_id"])
+        & (clicks["cts"] >= purch["pts"] - F.expr("INTERVAL 1 HOUR"))
+        & (clicks["cts"] <= purch["pts"]),
+    )
+    out: list = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # only click 2 (01:30) falls within [00:45, 01:45] of the purchase
+    assert [(r.purchase_id, r.click_id) for r in out] == [(100, 2)]
