@@ -1461,3 +1461,53 @@ def q_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_ivf_learned"] = q_ann_ivf_learned
+
+
+def q_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate surface: filtered counts, ANY/ALL
+    predicates, exact min/max per group."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.when(F.col("value") > 50, 1)).alias("n_gt50"),
+        F.max(F.col("value") > 99).alias("any_gt99"),
+        F.min(F.col("value") >= 0).alias("all_nonneg"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+ORACLE_CONDITIONAL = """
+SELECT event_type,
+       COUNT(*) FILTER (value > 50) AS n_gt50,
+       bool_or(value > 99) AS any_gt99,
+       bool_and(value >= 0) AS all_nonneg,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_pattern_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pattern-matching surface: LIKE, anchored regex, substring
+    containment — all pushed/codegen'd predicates."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%bolt%")
+        | F.col("p_name").rlike("^red ")
+        | F.col("p_type").contains("ECONOMY")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+ORACLE_PATTERNS = """
+SELECT p_partkey, p_name, p_type FROM part
+WHERE p_name LIKE '%bolt%'
+   OR regexp_matches(p_name, '^red ')
+   OR contains(p_type, 'ECONOMY')
+"""
+
+QUERIES.update(
+    {"conditional_aggregates": q_conditional_aggregates, "pattern_filters": q_pattern_filters}
+)
+ORACLES.update(
+    {"conditional_aggregates": ORACLE_CONDITIONAL, "pattern_filters": ORACLE_PATTERNS}
+)
