@@ -68,6 +68,15 @@ def connected_components(
         labels = stepped.drop("_changed")
         if changed == 0:
             break
+    else:
+        # exhausting the iteration budget with labels still moving means
+        # the returned clustering is WRONG (partially propagated) — fail
+        # loudly instead of letting it masquerade as a valid result
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations or switch to large-star/small-star"
+        )
     return labels.unionByName(
         isolated.select("node", F.col("node").alias("label"))
     ).select(F.col("node"), F.col("label").alias("cluster_id"))

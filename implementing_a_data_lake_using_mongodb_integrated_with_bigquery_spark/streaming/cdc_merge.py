@@ -10,9 +10,10 @@ change-stream loop) as ``readStream → foreachBatch(merge)``:
   anti-join vs target → FK semi-join vs dim (violations → DLQ) →
   flatten → append. 2-3 RPCs/record become one joined batch.
 - update path (``update_row``, ``:131-162``): last-write-wins collapse
-  → upsert merge (anti-join old out, union new) → atomic
-  rewrite-and-swap of the target directory. Updates whose key is
-  absent are inserts (the reference's upsert fallback, ``:133-136``).
+  → upsert merge (anti-join old out, union new) scoped to the hive
+  partitions that contain updated keys, committed with dynamic
+  partition overwrite. Updates whose key is absent are inserts (the
+  reference's upsert fallback, ``:133-136``).
 - delete path: deliberately ignored (``README.md:15`` — lake cleanup
   must not delete warehouse rows).
 - T3 effectively-once: the PK anti-join makes re-delivered inserts
@@ -23,13 +24,23 @@ change-stream loop) as ``readStream → foreachBatch(merge)``:
 State lives in the target table itself (as in the reference, where
 BigQuery was the state store) — no driver-side state, so a 1000-way
 parallel ``foreachBatch`` works unchanged.
+
+**Physical layout (100 TB design).** The target is hive-partitioned by
+``part_bucket = pmod(xxhash64(id), N_BUCKETS)`` — a deterministic
+function of the merge key. A micro-batch with k updated keys therefore
+touches at most min(k, N_BUCKETS) partitions; the merge reads ONLY
+those partitions (partition-pruned scan) and rewrites ONLY those
+partitions (dynamic partition overwrite). A 100-row update batch
+rewrites ~100 partition-files, never the whole fact table. A lakehouse
+table format would turn the per-partition file swap into a
+metadata-only MERGE commit; the partition scoping logic is identical.
+The bucket column is physical layout, not schema: ``read_target``
+drops it, and the write paths recompute it from ``id``.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,30 +55,69 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     fk_filter,
     fk_violations,
 )
-from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.merge import (
-    upsert,
-)
-
 KNOWN_OPS = ("insert", "update", "delete", "replace")
+
+# physical layout: key-hash partition count of the fact target. Sized so
+# one partition holds ~1/N of the table (at 100 TB with N=64 that's
+# ~1.5 TB per bucket — a real deployment composes this with a date
+# partition, part_date/part_bucket, to bound rewrite units further).
+N_BUCKETS = 64
+PART_COL = "part_bucket"
+
+
+def with_bucket(df: DataFrame, key_col: str = "id") -> DataFrame:
+    """Attach the deterministic partition bucket for ``key_col``.
+    xxhash64 is stable across runs/sessions, so re-delivered events land
+    in the same partition — required for idempotent merges."""
+    return df.withColumn(
+        PART_COL, F.pmod(F.xxhash64(F.col(key_col)), F.lit(N_BUCKETS)).cast("int")
+    )
+
+
+def _has_parquet(path: str) -> bool:
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def read_target(spark: SparkSession, path: str) -> DataFrame | None:
-    if not os.path.exists(path) or not any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
+    """Logical view of the fact target: partition discovery over the
+    hive layout, with the physical bucket column dropped."""
+    if not os.path.exists(path) or not _has_parquet(path):
         return None
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    return df.drop(PART_COL) if PART_COL in df.columns else df
 
 
-def _atomic_overwrite(df: DataFrame, path: str) -> None:
-    """Write to a sibling temp dir, then swap — the pure-parquet stand-in
-    for a transactional MERGE (a lakehouse table format would make this
-    a metadata-only commit)."""
-    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+def _merge_touched_partitions(
+    spark: SparkSession, target_path: str, newest: DataFrame, key_col: str = "id"
+) -> None:
+    """Partition-scoped MERGE: upsert ``newest`` into only the target
+    partitions whose bucket contains an updated key, then commit with
+    dynamic partition overwrite (untouched partitions' files are never
+    read or rewritten)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.merge import (
+        upsert,
+    )
+
+    newest_b = with_bucket(newest, key_col)
+    # ≤ N_BUCKETS small ints — a bounded metadata collect, not a data
+    # collect (the driver holds partition IDs, never rows)
+    touched = [r[0] for r in newest_b.select(PART_COL).distinct().collect()]
+    target_raw = spark.read.parquet(target_path)
+    target_touched = target_raw.filter(F.col(PART_COL).isin(touched)).drop(PART_COL)
+    merged = with_bucket(upsert(target_touched, newest, key_col), key_col)
+    # localCheckpoint truncates lineage so the write no longer reads the
+    # path it overwrites; it materializes only the touched partitions
+    # (a lakehouse MERGE makes this a metadata-only commit instead)
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PART_COL)
+        .parquet(target_path)
+    )
 
 
 def split_by_operation(batch: DataFrame) -> dict[str, DataFrame]:
@@ -77,7 +127,12 @@ def split_by_operation(batch: DataFrame) -> dict[str, DataFrame]:
         "insert": batch.filter(F.col("operation_type").isin("insert", "replace")),
         "update": batch.filter(F.col("operation_type") == "update"),
         "delete": batch.filter(F.col("operation_type") == "delete"),
-        "unknown": batch.filter(~F.col("operation_type").isin(*KNOWN_OPS)),
+        # null-safe: a NULL op matches neither branch of isin, so it must
+        # be routed to the DLQ explicitly, not silently dropped
+        "unknown": batch.filter(
+            F.col("operation_type").isNull()
+            | ~F.col("operation_type").isin(*KNOWN_OPS)
+        ),
     }
 
 
@@ -119,28 +174,35 @@ def apply_cdc_batch(
                 os.path.join(dlq_path, "fk_violations")
             )
         valid = fk_filter(ins_docs, places_dim, "place_id")
-        flat = flatten_weather(valid)
-        flat.write.mode("append").parquet(target_path)
+        flat = with_bucket(flatten_weather(valid))
+        flat.write.mode("append").partitionBy(PART_COL).parquet(target_path)
         target = read_target(spark, target_path)
 
     # ---- update path: LWW collapse → FK check → upsert merge → swap
     upd_docs = parts["update"].select("ts", "full_document.*")
     if not upd_docs.isEmpty():
+        from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.merge import (
+            last_write_wins,
+        )
+
+        # FK rejects dead-letter here exactly as on the insert path —
+        # the same integrity failure must not vanish silently on update
+        upd_rejected = fk_violations(upd_docs, places_dim, "place_id")
+        if not upd_rejected.isEmpty():
+            upd_rejected.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).json(os.path.join(dlq_path, "fk_violations"))
         upd_docs = fk_filter(upd_docs, places_dim, "place_id")
         flat_upd = flatten_weather(upd_docs.drop("ts")).join(
             upd_docs.select(F.col("_id").cast("string").alias("id"), "ts"), "id"
         )
+        newest = last_write_wins(flat_upd, "id", "ts").drop("ts")
         if target is None:
-            merged = flat_upd.drop("ts")
-            _atomic_overwrite(merged.dropDuplicates(["id"]), target_path)
+            with_bucket(newest).write.mode("overwrite").partitionBy(
+                PART_COL
+            ).parquet(target_path)
         else:
-            from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.merge import (
-                last_write_wins,
-            )
-
-            newest = last_write_wins(flat_upd, "id", "ts").drop("ts")
-            merged = upsert(target, newest, "id")
-            _atomic_overwrite(merged, target_path)
+            _merge_touched_partitions(spark, target_path, newest, "id")
 
     # ---- delete path: intentionally a no-op (README.md:15)
 

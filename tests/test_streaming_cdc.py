@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark import schemas
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.cdc_merge import (
+    N_BUCKETS,
+    PART_COL,
+    read_target,
     start_cdc_stream,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
@@ -92,7 +95,7 @@ def test_cdc_merge_full_event_mix(spark, places_dim, tmp_path):
     _write_events(events_dir, events)
     _run(spark, events_dir, target, places_dim, dlq, str(tmp_path / "ckpt"))
 
-    fact = spark.read.parquet(target)
+    fact = read_target(spark, target)
     rows = {r.id: r for r in fact.collect()}
     # w1 inserted then updated; w2 inserted once despite dup; w3 rejected;
     # w9 upserted via update-to-missing; delete left w2 alone.
@@ -126,6 +129,60 @@ def test_cdc_merge_is_idempotent_across_redelivery(spark, places_dim, tmp_path):
     _run(spark, events_dir, target, places_dim, dlq, str(tmp_path / "ckpt2"))
     second = sorted(map(str, spark.read.parquet(target).collect()))
     assert first == second
+
+
+def test_partition_scoped_merge_leaves_untouched_partitions_alone(
+    spark, places_dim, tmp_path
+):
+    """The 100 TB guarantee of the partitioned CDC target: an update
+    batch rewrites ONLY the key-hash partitions containing updated
+    keys — every other partition's files stay byte-identical."""
+    events_dir = str(tmp_path / "events")
+    target = str(tmp_path / "fact")
+    dlq = str(tmp_path / "dlq")
+    inserts = [
+        _event("insert", doc=_doc(f"w{i}", "hanoi", 20.0 + i)) for i in range(8)
+    ]
+    _write_events(events_dir, inserts)
+    _run(spark, events_dir, target, places_dim, dlq, str(tmp_path / "ck1"))
+
+    def snapshot():
+        out = {}
+        for root, _dirs, files in os.walk(target):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, target)] = fh.read()
+        return out
+
+    before = snapshot()
+    bucket = (
+        spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit("w3")), F.lit(N_BUCKETS)).cast("int").alias("b")
+        )
+        .collect()[0]
+        .b
+    )
+    ev2 = str(tmp_path / "events2")
+    _write_events(ev2, [_event("update", doc=_doc("w3", "hanoi", 77.0), key="w3")])
+    _run(spark, ev2, target, places_dim, dlq, str(tmp_path / "ck2"))
+    after = snapshot()
+
+    touched_prefix = f"{PART_COL}={bucket}"
+    untouched_before = {
+        p: b for p, b in before.items() if not p.startswith(touched_prefix)
+    }
+    untouched_after = {
+        p: b for p, b in after.items() if not p.startswith(touched_prefix)
+    }
+    assert untouched_before, "fixture must span more than one partition"
+    assert untouched_before == untouched_after  # byte-identical files
+    # and the touched partition did absorb the update
+    fact = read_target(spark, target)
+    assert [r.temp_c for r in fact.filter(F.col("id") == "w3").collect()] == [77.0]
+    assert fact.count() == 8
 
 
 def test_windowed_counts_streaming(spark, tmp_path):
