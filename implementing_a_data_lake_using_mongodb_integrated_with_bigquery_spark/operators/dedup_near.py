@@ -64,6 +64,36 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     return docs.cache()
 
 
+def _verify_pairs(cand: DataFrame, docs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the full
+    shingle sets: candidate-keyed joins on d1 then d2.
+
+    Deliberately NO broadcast hint on the doc→shingle map: at corpus
+    scale that broadcast OOMs the executors long before 100 TB. Left
+    as plain equi-joins, Catalyst/AQE broadcasts whichever side is
+    actually under the threshold at runtime — typically the candidate
+    set (LSH/prefix filtering keeps it orders of magnitude smaller than
+    the corpus) — and degrades to a keyed shuffle join when neither
+    fits. The fat (pair × arrays) rows exist only for the candidate
+    set, never for the corpus."""
+    return (
+        cand.join(docs.select(F.col("doc").alias("d1"), F.col("sh").alias("_sh1")), "d1")
+        .join(docs.select(F.col("doc").alias("d2"), F.col("sh").alias("_sh2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("_sh1", "_sh2")).cast("long").alias("shared"),
+            F.size("_sh1").cast("long").alias("n1"),
+            F.size("_sh2").cast("long").alias("n2"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -179,30 +209,25 @@ def _jaccard_prefix_filtered(
         .select("d1", "d2")
         .dropDuplicates(["d1", "d2"])
     )
-    # exact verification on the full shingle sets; the doc→array map is
-    # broadcast so the fat (pair × arrays) intermediate never shuffles
-    # (beyond ~10M docs, switch to a shuffle join on d1 then d2)
-    verified = (
-        cand.join(
-            F.broadcast(docs.select(F.col("doc").alias("d1"), F.col("sh").alias("_sh1"))), "d1"
-        )
-        .join(
-            F.broadcast(docs.select(F.col("doc").alias("d2"), F.col("sh").alias("_sh2"))), "d2"
-        )
-        .select(
-            "d1",
-            "d2",
-            F.size(F.array_intersect("_sh1", "_sh2")).cast("long").alias("shared"),
-            F.size("_sh1").cast("long").alias("n1"),
-            F.size("_sh2").cast("long").alias("n2"),
-        )
-        .withColumn(
-            "jaccard",
-            F.round(F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    # exact verification on the full shingle sets — candidate-keyed
+    # joins, corpus never broadcast (see _verify_pairs)
+    return _verify_pairs(cand, docs, threshold).select(
+        "d1", "d2", "shared", "n1", "n2", "jaccard"
     )
-    return verified.select("d1", "d2", "shared", "n1", "n2", "jaccard")
+
+
+def _minhash_expr(j: int, sh_col: str = "sh"):
+    # closure factory, NOT `lambda s, j=j: ...` inline: PySpark treats a
+    # 2-arg callable passed to F.transform as an (element, index)
+    # lambda, which would silently rebind j to the array index and
+    # collapse all "seeded" hashes into one hash function
+    return F.array_min(F.transform(F.col(sh_col), lambda s: F.xxhash64(F.lit(j), s)))
+
+
+def minhash_exprs(num_hashes: int, sh_col: str = "sh") -> list:
+    """The ``num_hashes`` independent seeded minhash expressions over a
+    shingle-array column (seed j = xxhash64 literal prefix)."""
+    return [_minhash_expr(j, sh_col) for j in range(num_hashes)]
 
 
 def minhash_banded_pairs(
@@ -238,13 +263,7 @@ def minhash_banded_pairs(
     assert r * bands == num_hashes, "bands must divide num_hashes"
     docs = _shingle_table(df, id_col, text_col, n)
     sig = docs.select(
-        "doc",
-        *[
-            F.array_min(
-                F.transform(F.col("sh"), lambda s, j=j: F.xxhash64(F.lit(j), s))
-            ).alias(f"mh{j}")
-            for j in range(num_hashes)
-        ],
+        "doc", *[e.alias(f"mh{j}") for j, e in enumerate(minhash_exprs(num_hashes))]
     )
     band_keys = [
         F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]) for b in range(bands)
@@ -261,18 +280,7 @@ def minhash_banded_pairs(
         .select("d1", "d2")
         .dropDuplicates(["d1", "d2"])
     )
-    inter = F.size(F.array_intersect("_sh1", "_sh2")).cast("long")
-    union = F.size("_sh1").cast("long") + F.size("_sh2").cast("long") - inter
-    return (
-        cand.join(
-            F.broadcast(docs.select(F.col("doc").alias("d1"), F.col("sh").alias("_sh1"))), "d1"
-        )
-        .join(
-            F.broadcast(docs.select(F.col("doc").alias("d2"), F.col("sh").alias("_sh2"))), "d2"
-        )
-        .select("d1", "d2", F.round(inter / union, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_pairs(cand, docs, threshold).select("d1", "d2", "jaccard")
 
 
 def minhash_lsh_pairs(

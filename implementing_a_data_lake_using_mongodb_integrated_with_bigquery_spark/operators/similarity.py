@@ -125,32 +125,90 @@ def cosine_near_dup_pairs(
     )
 
 
+def _lloyd(X, k: int, iters: int = 8):
+    """Deterministic Lloyd KMeans on a (small) numpy sample: evenly
+    spaced init over the id-sorted sample, fixed iteration count,
+    float64 — bit-identical output on any machine/parallelism."""
+    import numpy as np
+
+    idx = np.linspace(0, len(X) - 1, num=min(k, len(X))).astype(int)
+    C = X[idx].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def _nearest_centroid_expr(vec_col: str, centroids):
+    """Map-only cluster assignment: argmin over per-centroid squared
+    distances, built as a codegen'd array expression from centroid
+    LITERALS (k × dim constants). No shuffle, no ML pipeline, no
+    Python — the corpus is assigned in the same scan that reads it."""
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(
+        *[
+            _sq_euclidean(v, F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def build_ivf_index(
     corpus: DataFrame,
     n_clusters: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_fraction: float | None = None,
+    max_sample: int = 4096,
+    iters: int = 8,
 ):
-    """Learn the IVF coarse quantizer: seeded KMeans over the corpus,
-    assigning every vector a cluster id. Returns (assigned_df with
-    ``ivf_cluster`` column, centroids list). At scale, fit on a sample
-    and transform the full corpus; store the corpus partitioned by
-    ``ivf_cluster`` so probes prune partitions (see sources.layout)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    """Learn the IVF coarse quantizer and assign every corpus vector a
+    cluster id. Returns (assigned_df with ``ivf_cluster`` column,
+    centroid ndarray).
 
-    feats = parallelize(corpus).withColumn(
-        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    The quantizer trains on a BOUNDED, content-defined sample: rows
+    whose ``xxhash64(id)`` falls under ``sample_fraction``, id-sorted,
+    capped at ``max_sample``. That's the standard IVF recipe at scale
+    (a coarse quantizer needs the density shape, not every row — FAISS
+    trains on ~10⁵ vectors regardless of corpus size), and it makes the
+    index DETERMINISTIC: the training set is defined by content hashes,
+    not partitioning, and the driver-side Lloyd fit is bit-stable
+    across cluster sizes — unlike distributed KMeans, whose float
+    reductions vary with partition count. The driver collect is capped
+    at max_sample rows (quantizer training data, not a data path).
+    Cluster assignment is a map-only literal-argmin expression; store
+    the corpus partitioned by ``ivf_cluster`` so probes prune
+    partitions (see sources.layout)."""
+    import numpy as np
+
+    df = corpus.select(id_col, vec_col)
+    if sample_fraction is not None:
+        bound = int(sample_fraction * 1_000_000)
+        df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < bound)
+    rows = df.orderBy(id_col).limit(max_sample).collect()
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    C = _lloyd(X, n_clusters, iters)
+    assigned = corpus.withColumn(
+        "ivf_cluster", _nearest_centroid_expr(vec_col, C)
     )
-    # a coarse quantizer needs rough centroids, not convergence — few
-    # iterations keep index-build cost ~linear in corpus size
-    model = KMeans(
-        k=n_clusters, seed=seed, maxIter=8,
-        featuresCol="_features", predictionCol="ivf_cluster",
-    ).fit(feats)
-    assigned = model.transform(feats).drop("_features")
-    return assigned, model.clusterCenters()
+    return assigned, C
+
+
+def _sq_euclidean(a, b):
+    """Squared euclidean distance between two array columns (JVM
+    higher-order fold — the quantizer's assignment metric, reused for
+    probe ranking so probe order matches cluster geometry)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def ivf_topk_learned(
@@ -158,20 +216,52 @@ def ivf_topk_learned(
     query_ids: list[int],
     k: int = 5,
     n_clusters: int = 16,
+    nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_fraction: float | None = None,
 ) -> DataFrame:
-    """End-to-end learned-quantizer ANN: build the IVF index, take the
-    query vectors' own clusters as the probe set, search only there.
-    Probabilistic recall (quantizer-dependent) → rows-only check."""
-    assigned, _ = build_ivf_index(corpus, n_clusters, id_col, vec_col)
-    assigned = assigned.cache()
-    q = assigned.filter(F.col(id_col).isin(query_ids)).select(
-        F.col("ivf_cluster"),
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_emb"),
+    """End-to-end learned-quantizer ANN with multi-probe search: build
+    the IVF index, rank clusters per query by centroid distance, scan
+    the ``nprobe`` nearest inverted lists, exact-rerank candidates.
+
+    Cost is nprobe/n_clusters of a full scan; recall rises steeply with
+    nprobe (a query's true neighbors concentrate in its few nearest
+    cells). The returned similarities are EXACT cosine values of the
+    returned neighbors — verification is built into the rerank."""
+    spark = corpus.sparkSession
+    assigned, centers = build_ivf_index(
+        corpus, n_clusters, id_col, vec_col, sample_fraction=sample_fraction
     )
-    return ivf_topk(
-        assigned, q, k, partition_col="ivf_cluster",
-        id_col=id_col, vec_col=vec_col,
+    assigned = assigned.cache()
+    # centroid table: n_clusters × dim doubles — inherently tiny
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "centroid_id int, centroid array<double>",
+    )
+    q = assigned.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
+    )
+    # rank all centroids per query (|queries| × n_clusters rows), keep
+    # the nprobe nearest — the probe map (q_id, cluster, q_emb)
+    ranked = q.crossJoin(F.broadcast(cent)).select(
+        "q_id",
+        "q_emb",
+        F.col("centroid_id"),
+        _sq_euclidean(F.col("q_emb").cast("array<double>"), F.col("centroid")).alias(
+            "_dist"
+        ),
+    )
+    probes = top_k_per_group(
+        ranked, ["q_id"], [F.col("_dist").asc(), F.col("centroid_id").asc()], nprobe
+    ).select("q_id", "q_emb", F.col("centroid_id").alias("ivf_cluster"))
+    scored = assigned.join(F.broadcast(probes), on="ivf_cluster").select(
+        "q_id",
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("q_emb")), 6).alias(
+            "similarity"
+        ),
+    )
+    return top_k_per_group(
+        scored, ["q_id"], [F.col("similarity").desc(), F.col(id_col).asc()], k
     )

@@ -52,18 +52,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def parallelize(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the cluster's parallelism.
+    """Round-robin repartition to the cluster's parallelism — but ONLY
+    when the input is under-split.
 
     The test fixtures are single-file/single-row-group parquet, which
     Spark cannot split — downstream stages would run as ONE task. A
     real 100 TB table is thousands of splittable files, so the
     compute-heavy operators (per-row expression-dense or UDF paths)
-    call this to emulate that. Cheap scan+agg queries skip it: the
-    exchange would cost more than the single-pass aggregation. All
-    engine outputs are partitioning-independent by construction, so
-    this never changes results.
+    call this to emulate that. On an already-well-split input this is a
+    NO-OP: injecting a round-robin shuffle of a multi-split production
+    table would be pure waste, so the repartition is gated on the
+    actual split count. All engine outputs are partitioning-independent
+    by construction, so this never changes results.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

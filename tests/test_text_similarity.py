@@ -146,6 +146,92 @@ def test_cosine_topk_orders_and_limits(spark):
     assert rows[0].similarity == 1.0
 
 
+def test_minhash_seeds_produce_distinct_hash_functions(spark):
+    """Regression: the seeded minhash family must actually vary with
+    the seed. A 2-arg lambda inside F.transform is interpreted by
+    PySpark as (element, index) — which once silently collapsed all
+    num_hashes 'seeded' hashes into one function (and LSH banding with
+    identical rows per band finds only trivial candidates)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        minhash_exprs,
+    )
+
+    df = spark.createDataFrame([(["a b c", "b c d", "c d e"],)], "sh array<string>")
+    row = df.select(
+        *[e.alias(f"m{j}") for j, e in enumerate(minhash_exprs(8))]
+    ).collect()[0]
+    assert len({row[f"m{j}"] for j in range(8)}) == 8
+
+
+def test_minhash_banded_equals_exact_at_high_bands(spark):
+    """r=2/b=16 banding + exact verification reproduces the exact
+    Jaccard pair set on a corpus whose near-dups are high-similarity."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        minhash_banded_pairs,
+    )
+
+    rows = [
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "one two three four five six seven eight nine eleven"),
+        (3, "one two three four nine ten eleven twelve thirteen fourteen"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa twelve"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {
+        (r.d1, r.d2, r.jaccard)
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    banded = {
+        (r.d1, r.d2, r.jaccard)
+        for r in minhash_banded_pairs(
+            df, num_hashes=32, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert banded == exact and len(exact) >= 2
+
+
+def test_ivf_learned_equals_brute_on_clustered_data(spark):
+    """On data with real cluster structure, multi-probe learned IVF
+    with a small nprobe reproduces brute-force top-k exactly — and is
+    deterministic across invocations (hash-defined sample + driver
+    Lloyd fit, no distributed float reductions)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        ivf_topk_learned,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0], [5.0, 5.0, 0.0]]
+    rows = []
+    for i in range(40):
+        c = centers[i % 4]
+        jitter = [((i * 37 + d * 11) % 7 - 3) * 0.05 for d in range(3)]
+        rows.append((i, [c[d] + jitter[d] for d in range(3)]))
+    corpus = spark.createDataFrame(rows, schema)
+    q = corpus.filter(F.col("vec_id").isin([0, 1])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    brute = {
+        (r.q_id, r.vec_id, r.similarity) for r in cosine_topk(corpus, q, 5).collect()
+    }
+    got = [
+        {
+            (r.q_id, r.vec_id, r.similarity)
+            for r in ivf_topk_learned(
+                corpus, query_ids=[0, 1], k=5, n_clusters=4, nprobe=2
+            ).collect()
+        }
+        for _ in range(2)
+    ]
+    assert got[0] == brute
+    assert got[0] == got[1]
+
+
 def test_jaccard_counting_and_prefix_paths_agree(spark):
     """The two exact strategies must return identical pairs at the
     same threshold (prefix path forced via threshold ≥ 0.5)."""
