@@ -3,14 +3,29 @@
 A dedup pipeline doesn't end at pairs: (a,b), (b,c) must collapse to
 ONE cluster {a,b,c} with one kept representative. That's connected
 components on the similarity graph. Implementation is iterative
-label propagation (each node adopts the min label among itself and
-its neighbors) — the standard MapReduce CC algorithm; rounds ≈ graph
-diameter (near-dup clusters are shallow, typically 2-4 rounds).
+min-label propagation (each node adopts the min label among itself
+and its neighbors — the standard MapReduce CC round), with POINTER
+JUMPING (adopt my label's label, halving chain depth per round)
+enabled adaptively when the graph turns out to be deep.
 
-Each round is one join + one min-aggregation, all set-oriented; the
-driver only checks the convergence counter. At 100 TB-scale graphs,
-swap in large-star/small-star (fewer rounds on high-diameter graphs) —
-same primitive ops.
+Near-dup clusters are shallow (diameter 2-4): plain rounds converge
+immediately and the jump join would only add cost — measured 3× per
+round at bench scale for zero saved rounds. A pathological chain
+graph, however, needs O(diameter) plain rounds; so after
+``jump_after`` unconverged rounds the jump switches on and the
+remaining convergence is O(log diameter). Worst case round count is
+jump_after + O(log d) — 25 iterations covers diameters beyond 2²⁰.
+
+Scale discipline: the iteration runs only over the edge-incident
+subgraph (isolated nodes union back at the end); the per-round state
+is (node, label) pairs only; and each round's labels are eagerly
+local-checkpointed, which BOTH materializes them for the convergence
+count AND truncates lineage. The truncation is load-bearing, not
+hygiene: a round's plan references the previous labels twice (the
+self-join with its own neighbor-min) so an uncut logical plan grows
+~2^rounds (4^rounds with the jump) and OOMs the DRIVER during
+analysis long before any data-size limit — caching alone does not
+help because Catalyst re-analyzes the full tree every round.
 """
 
 from __future__ import annotations
@@ -26,46 +41,77 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iterations: int = 25,
+    jump_after: int = 4,
 ) -> DataFrame:
     """(node, cluster_id) where cluster_id = min node id reachable in
-    the undirected graph. Isolated nodes are their own cluster."""
-    # cache the undirected edge list: it joins into EVERY round, and its
-    # lineage may be an expensive pipeline (e.g. the similarity join)
+    the undirected graph. Isolated nodes are their own cluster.
+
+    Raises if label propagation has not converged within
+    ``max_iterations`` rounds — a partially-propagated labeling must
+    never masquerade as a valid clustering.
+    """
+    # cache the directed edge input FIRST: the undirected view below
+    # references it twice (self-union), and without the cache an
+    # expensive edge pipeline (e.g. the similarity join) would execute
+    # once per union branch
+    edges_c = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).cache()
     both = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        edges_c.union(edges_c.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .cache()
     )
     all_nodes = nodes.select(F.col(node_col).alias("node"))
     # nodes touching no edge are trivially their own cluster — iterate
-    # only the edge-incident subgraph (usually a small fraction of the
-    # corpus in dedup workloads) and union the identity rows back in
+    # only the edge-incident subgraph and union the identity rows in
     touched = both.select(F.col("a").alias("node")).distinct().cache()
     isolated = all_nodes.join(touched, "node", "left_anti")
-    labels = touched.select("node", F.col("node").alias("label")).cache()
-    for _ in range(max_iterations):
-        # one round = neighbor-min aggregation + left join back to the
-        # old labels, with the convergence flag embedded — a single
-        # cached plan serves both the changed-count action and the next
-        # round (no separate comparison join)
+    labels = touched.select("node", F.col("node").alias("label"))
+    changed = 0
+    for i in range(max_iterations):
+        # one round = neighbor-min aggregation + left join back onto the
+        # old labels; the convergence flag rides the same materialized
+        # output as the next round's input (no separate comparison join)
         neighbor_min = (
             both.join(labels, both["b"] == labels["node"])
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
-        stepped = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias("_changed"),
-            )
-            .cache()
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.col("label").alias("label0"),
+            F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label1"),
         )
-        changed = stepped.filter(F.col("_changed")).count()
-        labels.unpersist()
-        labels = stepped.drop("_changed")
+        if i >= jump_after:
+            # deep graph: add the pointer jump so remaining label chains
+            # halve every round (labels only decrease, so the jump is
+            # always an improvement or a no-op). stepped feeds both join
+            # sides — checkpoint it so it's computed once and the plan
+            # tree doesn't double
+            stepped = stepped.localCheckpoint(eager=True)
+            lookup = stepped.select(
+                F.col("node").alias("tnode"), F.col("label1").alias("tlabel")
+            )
+            new_label = F.least(F.col("label1"), F.coalesce("tlabel", "label1"))
+            out = stepped.join(
+                lookup, stepped["label1"] == lookup["tnode"], "left"
+            ).select(
+                "node",
+                new_label.alias("label"),
+                (new_label < F.col("label0")).alias("_changed"),
+            )
+        else:
+            out = stepped.select(
+                "node",
+                F.col("label1").alias("label"),
+                (F.col("label1") < F.col("label0")).alias("_changed"),
+            )
+        # eager checkpoint = materialize + CUT LINEAGE (see module doc);
+        # the convergence count below then reads the materialized blocks
+        out = out.localCheckpoint(eager=True)
+        changed = out.filter(F.col("_changed")).count()
+        labels = out.drop("_changed")
         if changed == 0:
             break
     else:
@@ -75,11 +121,19 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
             f"iterations ({changed} labels still changing); raise "
-            "max_iterations or switch to large-star/small-star"
+            "max_iterations"
         )
-    return labels.unionByName(
+    result = labels.unionByName(
         isolated.select("node", F.col("node").alias("label"))
     ).select(F.col("node"), F.col("label").alias("cluster_id"))
+    # labels is already checkpointed; only the edge-side caches need
+    # releasing (isolated's anti-join re-reads touched lazily, so
+    # materialize the result first)
+    result = result.localCheckpoint(eager=True)
+    touched.unpersist()
+    both.unpersist()
+    edges_c.unpersist()
+    return result
 
 
 def dedup_clusters(

@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
     connected_components,
     dedup_clusters,
@@ -19,6 +22,28 @@ def test_connected_components_chain_and_islands(spark):
     )
     out = {r.node: r.cluster_id for r in connected_components(nodes, edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_deep_chain(spark):
+    # diameter 120 >> any plain-round budget: exercises the adaptive
+    # pointer jump AND the per-round lineage truncation (without the
+    # localCheckpoint cut, the ~4^rounds logical plan OOMs the driver
+    # long before data size matters)
+    n = 120
+    nodes = spark.range(n).select(F.col("id"))
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    out = {r.node: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert len(out) == n
+    assert set(out.values()) == {0}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    # jump disabled + tiny round budget on a deep chain: must raise,
+    # never return a partially-propagated labeling
+    nodes = spark.range(40)
+    edges = spark.createDataFrame([(i, i + 1) for i in range(39)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iterations=3, jump_after=99).collect()
 
 
 def test_dedup_clusters_representatives(spark):
