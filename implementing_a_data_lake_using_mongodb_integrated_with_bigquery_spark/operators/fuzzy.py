@@ -3,10 +3,24 @@
 Re-expresses the reference's place-name resolution
 (``src/ingest_places_data.py:50-67``): for each query name, score every
 candidate (after an equality pre-filter on country), track the best
-match, early-exit on exact match. The reference uses
-``fuzz.ratio`` (SequenceMatcher); the Spark-native stand-in is the
-Levenshtein ratio ``1 - lev(a,b)/greatest(len(a),len(b))`` over
-lowercased names — a documented semantic delta (SURVEY.md §2.9).
+match, early-exit on exact match.
+
+Two scorers ship (SURVEY.md §2.9):
+
+- ``similarity_score`` (default, JVM fast path): Levenshtein ratio
+  ``1 - lev(a,b)/greatest(len(a),len(b))`` over lowercased names —
+  codegen'd, zero Python in the hot loop. Documented semantic delta
+  vs the reference.
+- ``fuzz_ratio`` (parity path): EXACT ``fuzz.ratio`` semantics as the
+  reference executes them. ``src/ingest_places_data.py:8`` imports
+  ``fuzzywuzzy==0.18.0`` with no python-Levenshtein speedup installed,
+  so its ``fuzz.ratio`` is literally
+  ``int(round(100 * difflib.SequenceMatcher(None, a, b).ratio()))``
+  (Ratcliff–Obershelp matching blocks, default autojunk) — stdlib
+  difflib reproduces it bit-for-bit inside an Arrow-batched pandas
+  UDF. The two scorers disagree on transposition-heavy pairs:
+  SequenceMatcher credits out-of-order matching blocks that
+  Levenshtein charges as edits (see ``tests/test_fuzzy_parity.py``).
 
 Shape: broadcast the (small) query side against the (large) candidate
 side — a broadcast nested-loop join the optimizer picks automatically
@@ -18,8 +32,13 @@ cheap blocking predicate (first-letter, length band) before scoring;
 
 from __future__ import annotations
 
+import difflib
+from typing import Callable
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.tables import (
     parallelize,
@@ -36,6 +55,33 @@ def similarity_score(a: Column, b: Column) -> Column:
     )
 
 
+def _fuzz_ratio_one(a: str, b: str) -> int:
+    # fuzzywuzzy 0.18.0 fuzz.ratio without python-Levenshtein =
+    # utils.intr(100 * SequenceMatcher(None, s1, s2).ratio()); intr is
+    # int(round(x)) — Python banker's rounding, reproduced verbatim
+    return int(round(100 * difflib.SequenceMatcher(None, a, b).ratio()))
+
+
+@F.pandas_udf(LongType())
+def _fuzz_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if (x is None or y is None) else _fuzz_ratio_one(x, y)
+            for x, y in zip(a, b)
+        ],
+        dtype="Int64",
+    )
+
+
+def fuzz_ratio(a: Column, b: Column) -> Column:
+    """``fuzz.ratio`` parity scorer: integer 0–100, matching the
+    reference's fuzzywuzzy-over-difflib execution exactly (lowercasing
+    applied here, as ``src/ingest_places_data.py:58-59`` does at the
+    call site). Integer-valued by construction, so it is hash-stable
+    with no rounding convention needed."""
+    return _fuzz_ratio_udf(F.lower(a), F.lower(b))
+
+
 def fuzzy_best_match(
     queries: DataFrame,
     candidates: DataFrame,
@@ -43,18 +89,24 @@ def fuzzy_best_match(
     candidate_col: str,
     blocking_expr: Column | None = None,
     min_similarity: float = 0.0,
+    score_fn: Callable[[Column, Column], Column] = similarity_score,
 ) -> DataFrame:
     """For each query row, the argmax-similarity candidate row.
 
     Deterministic tie-break on the candidate string, then its columns'
     order of appearance — mirrors the reference keeping the *first*
     max-scoring candidate (``src/ingest_places_data.py:63-66``).
+
+    ``score_fn`` picks the scorer — ``similarity_score`` (default,
+    [0,1] JVM Levenshtein ratio) or ``fuzz_ratio`` (0–100 reference
+    parity); ``min_similarity`` is interpreted on the chosen scorer's
+    scale.
     """
     scored = parallelize(candidates).crossJoin(F.broadcast(queries))
     if blocking_expr is not None:
         scored = scored.filter(blocking_expr)
     scored = scored.withColumn(
-        "similarity", similarity_score(F.col(query_col), F.col(candidate_col))
+        "similarity", score_fn(F.col(query_col), F.col(candidate_col))
     ).filter(F.col("similarity") >= min_similarity)
     w = Window.partitionBy(query_col).orderBy(
         F.col("similarity").desc(), F.col(candidate_col).asc()
