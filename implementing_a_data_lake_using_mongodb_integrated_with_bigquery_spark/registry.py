@@ -1615,3 +1615,51 @@ QUERIES.update(
 ORACLES.update(
     {"conditional_aggregates": ORACLE_CONDITIONAL, "pattern_filters": ORACLE_PATTERNS}
 )
+
+
+# ----------------------------------------------- streaming/batch equivalence
+
+def q_stream_batch_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch equivalence (SURVEY §2.7 T4/T5): the hourly
+    tumbling aggregation executed as an ACTUAL Structured Streaming job
+    (availableNow file stream over the events table, watermarked,
+    complete output so the bounded replay finalizes every window),
+    returned batch-side. The oracle is the plain batch SQL — the driver
+    thereby pins stream-executed results == batch results, not just a
+    pytest claim. countDistinct is excluded (unsupported in streaming
+    aggregation); min/max are order-independent exact doubles.
+    """
+    import os as _os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        windowed_counts_once,
+    )
+
+    out = windowed_counts_once(
+        spark,
+        _os.path.join(sf_dir, "events.parquet"),
+        group_cols=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            _scaled_sum(F.col("value"), 10000, "sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        ],
+    )
+    return out.select(
+        epoch_us("window_start").alias("hour_us"),
+        "event_type", "n_events", "sum_value", "min_value", "max_value",
+    )
+
+
+ORACLE_STREAM_BATCH_HOURLY = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["stream_batch_hourly"] = q_stream_batch_hourly
+ORACLES["stream_batch_hourly"] = ORACLE_STREAM_BATCH_HOURLY

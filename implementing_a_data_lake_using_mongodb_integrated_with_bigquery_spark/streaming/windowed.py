@@ -9,8 +9,14 @@ than the watermark are dropped, exactly like the reference's
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import itertools
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SINK_SEQ = itertools.count()
 
 
 def windowed_counts(
@@ -34,3 +40,62 @@ def windowed_counts(
         .withColumn("window_end", F.col("w.end"))
         .drop("w")
     )
+
+
+def windowed_counts_once(
+    spark: SparkSession,
+    events_path: str,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    lateness: str = "5 minutes",
+    group_cols: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Run ``windowed_counts`` over the lake's events parquet as an
+    actual Structured Streaming job (file stream, ``availableNow``
+    trigger) and return the finalized aggregation as a batch DataFrame.
+
+    Exists to make streaming semantics DRIVER-verifiable: the caller
+    oracles this result against the equivalent batch SQL, pinning
+    stream-executed == batch-executed for the same window spec.
+    Output mode is ``complete`` into a named memory sink — append mode
+    would withhold the trailing windows the final watermark hasn't
+    passed, which is correct for an unbounded stream but would break
+    equivalence on a bounded replay. The memory sink holds only the
+    aggregated windows (not the input), so its driver footprint is the
+    result size; an unbounded production pipeline would instead run
+    append mode into a partitioned parquet sink and tolerate the
+    open-window lag.
+
+    Same nanos-parquet handling as ``sources/tables.py:load_table``:
+    TIMESTAMP(NANOS) columns stream in as raw longs and are rebuilt as
+    microsecond timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(events_path).schema
+    # the lake table may be a single parquet FILE. The file-stream
+    # source force-sets basePath to the source path UNLESS the path is
+    # a glob, and a file-valued basePath is rejected — so feed it a
+    # glob for the same file plus an explicit directory basePath
+    base = os.path.dirname(events_path.rstrip("/")) or "."
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("basePath", base)
+        .parquet(events_path + "*" if not any(c in events_path for c in "*?[{") else events_path)
+    )
+    if isinstance(raw_schema[ts_col].dataType, T.LongType):
+        stream = stream.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    out = windowed_counts(stream, ts_col, duration, lateness, group_cols, aggs)
+    sink = f"windowed_counts_once_{next(_SINK_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -351,3 +351,32 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     # only click 2 (01:30) falls within [00:45, 01:45] of the purchase
     assert [(r.purchase_id, r.click_id) for r in out] == [(100, 2)]
+
+
+def test_windowed_counts_once_equals_batch(spark):
+    """stream-executed tumbling agg == batch tumbling agg on the same
+    lake table (the driver-oracled stream_batch_hourly equivalence,
+    asserted engine-side here)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        tumbling_agg,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.tables import (
+        load_table,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        windowed_counts_once,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    streamed = windowed_counts_once(
+        spark, os.path.join(sf, "events.parquet"),
+        group_cols=["event_type"], aggs=aggs,
+    )
+    batch = tumbling_agg(
+        load_table(spark, sf, "events"), "ts", "1 hour", ["event_type"], aggs
+    )
+    key = lambda r: (r.window_start, r.event_type)  # noqa: E731
+    s = {key(r): r.n_events for r in streamed.collect()}
+    b = {key(r): r.n_events for r in batch.collect()}
+    assert s == b and len(s) > 0
