@@ -1663,3 +1663,51 @@ FROM events GROUP BY 1, 2
 
 QUERIES["stream_batch_hourly"] = q_stream_batch_hourly
 ORACLES["stream_batch_hourly"] = ORACLE_STREAM_BATCH_HOURLY
+
+
+# ------------------------------------------------ K5 JSON projection sink
+
+def q_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 sink (reference ``src/extract_coordinates.py:21-25``): project
+    the coordinate columns, export as a single JSON file under a
+    timestamp-mangled key (``compact_timestamp``, the reference's S3
+    object naming — ``src/ingest_weather_data.py:37`` — made
+    deterministic by deriving it from the DATA's max order date instead
+    of the wall clock), then read the artifact back with an explicit
+    schema. The oracle is the projection SQL: a hash match proves the
+    JSON write/read roundtrip is lossless, not just that the plan is
+    right. The single-scalar key aggregate is driver-side by nature
+    (file NAMING, not data); the export itself funnels through one task
+    on purpose — it's a small lookup artifact, not bulk egress.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.functions.cleaning import (
+        compact_timestamp,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        write_json_projection,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    key = o.agg(
+        compact_timestamp(F.max(F.col("o_orderdate").cast("timestamp"))).alias("k")
+    ).first().k
+    proj = q_coord_projection_cast(spark, sf_dir).select("n_name", "lat", "lon")
+    path = _os.path.join(_tempfile.mkdtemp(prefix="json_sink_"), f"coords_{key}")
+    write_json_projection(proj, path)
+    return spark.read.schema("n_name string, lat double, lon double").json(path)
+
+
+ORACLE_JSON_SINK = """
+SELECT n_name,
+       CAST(substr(concat(CAST(n_nationkey AS VARCHAR), '.', CAST(n_regionkey AS VARCHAR), 'N'), 1,
+                   length(concat(CAST(n_nationkey AS VARCHAR), '.', CAST(n_regionkey AS VARCHAR), 'N')) - 1) AS DOUBLE) AS lat,
+       CAST(substr(concat(CAST(n_regionkey AS VARCHAR), '.', CAST(n_nationkey AS VARCHAR), 'E'), 1,
+                   length(concat(CAST(n_regionkey AS VARCHAR), '.', CAST(n_nationkey AS VARCHAR), 'E')) - 1) AS DOUBLE) AS lon
+FROM nation
+"""
+
+QUERIES["json_sink_roundtrip"] = q_json_sink_roundtrip
+ORACLES["json_sink_roundtrip"] = ORACLE_JSON_SINK

@@ -48,3 +48,14 @@ def write_bucketed_table(
 
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def write_json_projection(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """K5: JSON projection export (reference
+    ``src/extract_coordinates.py:21-25`` dumps one coordinates JSON
+    file for downstream lookup). ``coalesce(1)`` funnels the write
+    through ONE task — correct for a small projected lookup artifact,
+    deliberately NOT for bulk egress (use ``write_partitioned``);
+    pass ``single_file=False`` to keep the input parallelism."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)

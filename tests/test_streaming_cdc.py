@@ -380,3 +380,44 @@ def test_windowed_counts_once_equals_batch(spark):
     s = {key(r): r.n_events for r in streamed.collect()}
     b = {key(r): r.n_events for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_listener_alert_hook_fires_on_stream_failure(spark, tmp_path):
+    """K7/T8 e2e: a crashing stream must invoke the alert hook
+    (reference monitor.sh:15 publishes to SNS when the daemon dies
+    unexpectedly) — not just record progress."""
+    import json as _json
+    import time
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.listeners import (
+        PipelineMonitor,
+    )
+
+    alerts: list = []
+    mon = PipelineMonitor(on_failure=alerts.append)
+    spark.streams.addListener(mon)
+    try:
+        ev_dir = str(tmp_path / "boom")
+        os.makedirs(ev_dir)
+        with open(os.path.join(ev_dir, "e.json"), "w") as f:
+            f.write(_json.dumps({"v": 1}) + "\n")
+
+        def poison(df, _bid):
+            raise ValueError("poison batch: simulated daemon crash")
+
+        q = (
+            spark.readStream.schema("v long").json(ev_dir)
+            .writeStream.foreachBatch(poison)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception, match="poison batch"):
+            q.awaitTermination(120)
+        for _ in range(40):  # listener callbacks are async
+            if alerts:
+                break
+            time.sleep(0.5)
+        assert alerts and "poison batch" in alerts[0]
+    finally:
+        spark.streams.removeListener(mon)
