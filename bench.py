@@ -48,6 +48,12 @@ def main() -> None:
 
     _warm = F.pandas_udf(lambda s: s, "long")
     spark.range(100).select(_warm("id")).count()
+    # the scalar-pandas-UDF warmup above does NOT warm the mapInPandas
+    # path (separate worker/exec machinery): without this, the first
+    # mapInPandas query is charged ~2-6s of one-time spawn cost
+    spark.range(100, numPartitions=32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
