@@ -1711,3 +1711,85 @@ FROM nation
 
 QUERIES["json_sink_roundtrip"] = q_json_sink_roundtrip
 ORACLES["json_sink_roundtrip"] = ORACLE_JSON_SINK
+
+
+# ---------------------------------------------- S1/S2 raw-zone landing job
+
+def q_raw_zone_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 lifecycle closure (SURVEY §3.1): landed API responses →
+    freshness gate → broadcast place tag → hive-partitioned raw zone.
+    The REST fetch is out-of-engine; this exercises everything after
+    responses land. Landing files are synthesized deterministically
+    from the events table (observation id, a seconds-precision
+    ``last_updated`` string exactly as the reference's API returns it —
+    ``src/ingest_weather_data.py:64`` — a place key with ~1/6 unknown
+    places, and the metric value); the job parses, keeps the last 24
+    data-hours, tags places off the broadcast nation dim (unknown →
+    DLQ, reference ``src/ingest_weather_data.py:70-74``), writes the
+    raw zone partitioned by observation hour, and the query returns
+    the READ-BACK of that raw zone — so the oracle hash match proves
+    the landing JSON roundtrip, the freshness gate, the tag join and
+    the partitioned write are all lossless, and downstream hourly jobs
+    can prune to one ``obs_hour`` directory.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.landing import (
+        land_batch,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    landed_src = e.select(
+        F.col("event_id").alias("obs_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_updated"),
+        (F.col("user_id") % 30).alias("place_key"),
+        "value",
+    )
+    root = _tempfile.mkdtemp(prefix="landing_")
+    landing_dir = _os.path.join(root, "landing")
+    landed_src.write.mode("overwrite").json(landing_dir)
+
+    landed = spark.read.schema(
+        "obs_id long, last_updated string, place_key long, value double"
+    ).json(landing_dir)
+    landed = landed.withColumn("obs_ts", F.to_timestamp("last_updated"))
+    expected = F.lit(
+        landed.agg(F.date_trunc("hour", F.max("obs_ts")).alias("h")).first()["h"]
+    )
+    fresh_pred = F.col("obs_ts") >= expected - F.expr("INTERVAL 23 HOURS")
+    places = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("place_key"), F.col("n_name").alias("place_name")
+    )
+    raw_zone = _os.path.join(root, "raw_zone")
+    land_batch(
+        landed, places, "place_key", "obs_ts", fresh_pred,
+        raw_zone, dlq_path=_os.path.join(root, "dlq"),
+    )
+    back = spark.read.schema(
+        "obs_id long, last_updated string, place_key long, value double, "
+        "obs_ts timestamp, place_name string, obs_hour string"
+    ).parquet(raw_zone)
+    return back.select(
+        "obs_id", "place_name", epoch_us("obs_ts").alias("obs_us"), "value", "obs_hour"
+    )
+
+
+ORACLE_RAW_ZONE_LANDING = """
+WITH parsed AS (
+  SELECT event_id AS obs_id,
+         CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS obs_ts,
+         user_id % 30 AS place_key,
+         value
+  FROM events
+), exp AS (SELECT date_trunc('hour', max(obs_ts)) AS h FROM parsed)
+SELECT obs_id, n_name AS place_name, epoch_us(obs_ts) AS obs_us, value,
+       strftime(date_trunc('hour', obs_ts), '%Y%m%d%H') AS obs_hour
+FROM parsed
+CROSS JOIN exp
+JOIN nation ON parsed.place_key = nation.n_nationkey
+WHERE obs_ts >= exp.h - INTERVAL 23 HOUR
+"""
+
+QUERIES["raw_zone_landing"] = q_raw_zone_landing
+ORACLES["raw_zone_landing"] = ORACLE_RAW_ZONE_LANDING
