@@ -1793,3 +1793,129 @@ WHERE obs_ts >= exp.h - INTERVAL 23 HOUR
 
 QUERIES["raw_zone_landing"] = q_raw_zone_landing
 ORACLES["raw_zone_landing"] = ORACLE_RAW_ZONE_LANDING
+
+
+# ------------------------------------------- corpus curation (composite)
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation, composed from the operator
+    library with ZERO self-joins: quality gate → exact-dedup
+    representative keep → language ID → per-language corpus stats.
+    Every step is a column expression or a single keyed window/agg over
+    ONE scan of the documents table — the 100 TB plan is scan →
+    window shuffle on content hash → final (tiny) group-by, with the
+    quality filter applied BEFORE the dedup shuffle so rejected
+    documents never move.
+    """
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup import (
+        exact_dedup,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        lang_id,
+        quality_score,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = quality_score(d, id_cols=["doc_id", "text"]).filter(
+        F.col("quality") >= 0.5
+    )
+    rep = exact_dedup(scored, ["text"], "doc_id")
+    tagged = lang_id(rep, id_cols=["doc_id", "n_tokens", "quality"])
+    return tagged.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.round(F.col("quality") * 1000000).cast("long"))
+            / F.count(F.lit(1)) / 1000000.0,
+            6,
+        ).alias("avg_quality"),
+    )
+
+
+def _oracle_corpus_curation() -> str:
+    # same marker/stopword constants as the Spark operators — the
+    # oracle is GENERATED from them so the two can't drift
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        LANG_MARKERS,
+    )
+
+    hits = ",\n         ".join(
+        "CAST(len(list_filter(string_split(text, ' '), x -> x IN ({}))) AS BIGINT) AS hits_{}".format(
+            ", ".join(f"'{w}'" for w in words), lang
+        )
+        for lang, words in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest({})".format(", ".join(f"hits_{lang}" for lang in langs))
+    case = f"CASE WHEN {best} = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text, n_tokens,
+         round((1.0 - n_stopwords / n_tokens) * least(1.0, n_tokens / 50.0), 6) AS quality
+  FROM (
+    SELECT doc_id, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS BIGINT) AS n_stopwords
+    FROM documents
+  )
+), rep AS (
+  SELECT doc_id, text, n_tokens, quality FROM scored
+  WHERE quality >= 0.5
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+), tagged AS (
+  SELECT doc_id, n_tokens, quality,
+         {hits},
+         {case} AS predicted_lang
+  FROM rep
+)
+SELECT predicted_lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       round(CAST(SUM(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_quality
+FROM tagged GROUP BY predicted_lang
+"""
+
+
+QUERIES["corpus_curation"] = q_corpus_curation
+ORACLES["corpus_curation"] = _oracle_corpus_curation()
+
+
+# ---------------------------------------------------- skew-resistant join
+
+def q_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact⋈dim join via key salting
+    (operators.skew.salted_join): lineitem joined to orders with the
+    fact side scattered across salt sub-keys, then revenue per order
+    priority. The oracle is the PLAIN join SQL — the hash match proves
+    salting is result-invariant, which is the whole point: the same
+    answer with hot keys split ``salt_buckets`` ways. AQE skew-join
+    covers most cases at runtime; salting is the deterministic-plan
+    fallback when a handful of keys dominate."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.skew import (
+        salted_join,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"), o, "o_orderkey",
+        salt_buckets=8,
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _scaled_sum(revenue, 10000, "sum_revenue"),
+    )
+
+
+ORACLE_SALTED_REVENUE = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+QUERIES["salted_revenue"] = q_salted_revenue
+ORACLES["salted_revenue"] = ORACLE_SALTED_REVENUE
