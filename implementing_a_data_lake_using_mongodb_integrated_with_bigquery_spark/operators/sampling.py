@@ -1,0 +1,72 @@
+"""Deterministic content-addressed sampling / dataset splitting.
+
+Training pipelines need train/val/test assignment that is (a) stable
+across reruns and cluster layouts, (b) portable across engines, and
+(c) a pure function of the ROW, not of partition order — ``df.sample``
+/ ``sampleBy`` are seeded per-partition and reshuffle-sensitive, so
+they fail (a) and (c). The standard fix is hash bucketing: a row's
+split is decided by a cryptographic hash of its key, compared against
+fraction boundaries.
+
+Implementation detail that makes it engine-portable: the comparison is
+done LEXICOGRAPHICALLY on the first 8 hex chars of ``md5(salt||key)``
+against precomputed hex boundaries — md5 produces identical lowercase
+hex everywhere, so the exact same rows land in the exact same split on
+Spark, DuckDB, or a shell pipeline. No integer parsing of hex needed
+(Spark's ``conv`` and DuckDB's hex parsing disagree on overflow).
+
+Map-only: no shuffle, no driver state; scales linearly with input
+splits. Changing ``salt`` re-rolls every assignment (new experiment);
+keeping it fixed makes splits append-stable as the corpus grows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPACE = 16 ** 8  # first 8 hex chars of the digest
+
+
+def split_boundaries(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """(split_name, upper-bound-hex) pairs, cumulative; the last split
+    absorbs rounding remainder."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out, acc = [], 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        out.append((name, format(min(int(acc * _SPACE), _SPACE - 1), "08x")))
+    return out
+
+
+def split_column(key: Column, fractions: dict[str, float], salt: str = "v1") -> Column:
+    """The split label as a pure column expression."""
+    h = F.substring(F.md5(F.concat(F.lit(salt), F.lit("\x1f"), key.cast("string"))), 1, 8)
+    bounds = split_boundaries(fractions)
+    expr = F.when(h <= F.lit(bounds[0][1]), F.lit(bounds[0][0]))
+    for name, ub in bounds[1:]:
+        expr = expr.when(h <= F.lit(ub), F.lit(name))
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Tag every row with its deterministic split assignment."""
+    return df.withColumn(split_col, split_column(F.col(key_col), fractions, salt))
+
+
+def split_sql_case(key_sql: str, fractions: dict[str, float], salt: str = "v1") -> str:
+    """The DuckDB-compatible CASE expression for the SAME assignment —
+    generated from the same boundaries so engine and oracle can't
+    drift."""
+    h = f"substr(md5('{salt}' || chr(31) || CAST({key_sql} AS VARCHAR)), 1, 8)"
+    bounds = split_boundaries(fractions)
+    branches = " ".join(f"WHEN {h} <= '{ub}' THEN '{name}'" for name, ub in bounds)
+    return f"CASE {branches} END"

@@ -1919,3 +1919,124 @@ GROUP BY o_orderpriority
 
 QUERIES["salted_revenue"] = q_salted_revenue
 ORACLES["salted_revenue"] = ORACLE_SALTED_REVENUE
+
+
+# ------------------------------------- deterministic split / SCD2 / decontam
+
+def q_train_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test split
+    (operators.sampling): assignment is a pure function of
+    md5(salt, doc_id) compared lexicographically against hex
+    boundaries, so it is stable across reruns, partitionings, and
+    ENGINES — which is exactly what the oracle checks, since the
+    DuckDB CASE is generated from the same boundaries. Map-only +
+    one tiny rollup."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
+        hash_split,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s = hash_split(d, "doc_id", frac, salt="v1")
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text")).cast("long")).alias("total_tokens"),
+    )
+
+
+def _oracle_train_split() -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
+        split_sql_case,
+    )
+
+    case = split_sql_case("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1")
+    return f"""
+SELECT {case} AS split, COUNT(*) AS n_docs,
+       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens
+FROM documents GROUP BY 1
+"""
+
+
+QUERIES["train_split_stats"] = q_train_split_stats
+ORACLES["train_split_stats"] = _oracle_train_split()
+
+
+def q_scd2_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history from the event stream (operators.scd): per
+    user, every run of consecutive identical event_type observations
+    collapses to one validity interval; the open interval is the
+    current version. Generalizes the reference's SCD1 latest-wins
+    UPDATE (``src/process_insert_update_weather_data.py:146-162``)
+    into replayable history. One shuffle (entity key), windows share
+    the sort."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.scd import (
+        scd2_history,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    h = scd2_history(e, "user_id", "ts", ["event_type"], tiebreak_col="event_id")
+    return h.select(
+        "user_id", "event_type",
+        epoch_us("valid_from").alias("valid_from_us"),
+        epoch_us("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+ORACLE_SCD2 = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(ts) OVER w IS NULL
+           OR event_type IS DISTINCT FROM lag(event_type) OVER w AS _open
+  FROM events
+  WHERE user_id < 200
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), versions AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered WHERE _open
+)
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w2) AS valid_to_us,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM versions
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+QUERIES["scd2_user_type"] = q_scd2_user_type
+ORACLES["scd2_user_type"] = ORACLE_SCD2
+
+
+def q_decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.decontaminate): corpus
+    documents sharing any 3-gram with a (deterministically chosen)
+    held-out benchmark subset, with the shared-gram count as
+    contamination severity. Join key is the gram; the benchmark side
+    is small → AQE broadcasts it and the corpus never shuffles."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.decontaminate import (
+        ngram_overlap,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return ngram_overlap(corpus, bench, n=3)
+
+
+ORACLE_DECONTAM = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+),
+bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 97 = 0)
+SELECT s.doc_id, COUNT(*) AS n_shared_grams
+FROM sh s JOIN bench b ON s.gram = b.gram
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+"""
+
+QUERIES["decontamination_flags"] = q_decontamination_flags
+ORACLES["decontamination_flags"] = ORACLE_DECONTAM

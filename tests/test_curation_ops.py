@@ -1,0 +1,93 @@
+"""Deterministic split, SCD2 history, and decontamination operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.decontaminate import (
+    ngram_overlap,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
+    hash_split,
+    split_boundaries,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.scd import (
+    scd2_history,
+)
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.k: r.split for r in hash_split(df, "k", frac).collect()}
+    b = {
+        r.k: r.split
+        for r in hash_split(df.repartition(7), "k", frac).collect()
+    }
+    assert a == b  # pure function of the key, not of layout
+    counts = {s: sum(1 for v in a.values() if v == s) for s in frac}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert counts["val"] > 0 and counts["test"] > 0
+
+
+def test_hash_split_salt_rerolls(spark):
+    df = spark.range(500).withColumnRenamed("id", "k")
+    frac = {"a": 0.5, "b": 0.5}
+    s1 = {r.k: r.split for r in hash_split(df, "k", frac, salt="x").collect()}
+    s2 = {r.k: r.split for r in hash_split(df, "k", frac, salt="y").collect()}
+    assert s1 != s2
+
+
+def test_split_boundaries_validate():
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_boundaries({"a": 0.5, "b": 0.6})
+
+
+def test_scd2_history_suppresses_runs_and_builds_intervals(spark):
+    ts = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, ts(0), 0, "free"),
+        (1, ts(1), 1, "free"),   # same value -> suppressed
+        (1, ts(2), 2, "paid"),   # change -> new version
+        (1, ts(3), 3, "paid"),   # suppressed
+        (2, ts(5), 4, None),     # null attr opens first version
+        (2, ts(6), 5, None),     # null == null (null-safe) -> suppressed
+        (2, ts(7), 6, "free"),   # null -> value is a change
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, plan string"
+    )
+    h = scd2_history(df, "user_id", "ts", ["plan"], tiebreak_col="event_id")
+    got = sorted(
+        (
+            (r.user_id, r.plan, r.valid_from, r.valid_to, r.is_current)
+            for r in h.collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == [
+        (1, "free", ts(0), ts(2), False),
+        (1, "paid", ts(2), None, True),
+        (2, None, ts(5), ts(7), False),
+        (2, "free", ts(7), None, True),
+    ]
+
+
+def test_ngram_overlap_counts_shared_grams(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # shares 2 benchmark 3-grams
+            (2, "totally unrelated content here"),
+            (3, "quick brown fox"),            # shares exactly 1
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_shared_grams for r in ngram_overlap(docs, bench).collect()}
+    # bench grams: {the quick brown, quick brown fox, brown fox sleeps}
+    assert got == {1: 2, 3: 1}
