@@ -2040,3 +2040,85 @@ GROUP BY s.doc_id
 
 QUERIES["decontamination_flags"] = q_decontamination_flags
 ORACLES["decontamination_flags"] = ORACLE_DECONTAM
+
+
+# --------------------------------------- maintenance / incremental rollup
+
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (sources.maintenance): the events table is
+    deliberately fragmented into 64 tiny files, then compacted back to
+    a file count sized from actual on-disk bytes. The query returns an
+    aggregate over the COMPACTED copy and the oracle aggregates the
+    original table — a hash match proves compaction is exactly
+    row-preserving; the unit test additionally pins the file-count
+    reduction."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as T
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.maintenance import (
+        compact,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    root = _tempfile.mkdtemp(prefix="compact_")
+    frag = _os.path.join(root, "fragmented")
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    back = compact(spark, frag, _os.path.join(root, "compacted"))
+    if isinstance(back.schema["ts"].dataType, T.LongType):
+        back = back.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _scaled_sum(F.col("value"), 10000, "sum_value"),
+        F.min(epoch_us("ts")).alias("first_us"),
+        F.max(epoch_us("ts")).alias("last_us"),
+    )
+
+
+ORACLE_COMPACTION = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value,
+       MIN(epoch_us(ts)) AS first_us,
+       MAX(epoch_us(ts)) AS last_us
+FROM events GROUP BY event_type
+"""
+
+QUERIES["compaction_roundtrip"] = q_compaction_roundtrip
+ORACLES["compaction_roundtrip"] = ORACLE_COMPACTION
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators.incremental): the
+    events table is split into three disjoint 'ingest batches' (by
+    event_id mod), a mergeable partial-agg state is built per batch,
+    the states are folded, and the presentation columns derived at
+    read time. The oracle computes the DIRECT full aggregation — the
+    hash match IS the monoid identity (state ⊕ delta == recompute)
+    that makes 100 TB rollups maintainable from deltas alone."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.incremental import (
+        agg_state,
+        finalize,
+        merge_states,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    batches = [
+        agg_state(e.filter(F.col("event_id") % 3 == i), ["event_type"], "value")
+        for i in range(3)
+    ]
+    return finalize(merge_states(batches, ["event_type"])).select(
+        "event_type", "n", "vmin", "vmax", "vsum", "vavg"
+    )
+
+
+ORACLE_INCREMENTAL = """
+SELECT event_type, COUNT(*) AS n,
+       MIN(value) AS vmin, MAX(value) AS vmax,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS vsum,
+       round(CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 10000.0, 6) AS vavg
+FROM events GROUP BY event_type
+"""
+
+QUERIES["incremental_rollup"] = q_incremental_rollup
+ORACLES["incremental_rollup"] = ORACLE_INCREMENTAL
