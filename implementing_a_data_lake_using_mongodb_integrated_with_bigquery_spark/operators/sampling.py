@@ -70,3 +70,30 @@ def split_sql_case(key_sql: str, fractions: dict[str, float], salt: str = "v1") 
     bounds = split_boundaries(fractions)
     branches = " ".join(f"WHEN {h} <= '{ub}' THEN '{name}'" for name, ub in bounds)
     return f"CASE {branches} END"
+
+
+def stratified_cap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """At most ``cap`` rows per group, chosen DETERMINISTICALLY: rows
+    rank within their group by ``md5(salt, key)`` (hash order = an
+    unbiased but reproducible shuffle), ties broken by the key itself.
+    The balanced-corpus primitive (cap documents per source/language
+    so one crawl domain can't dominate training data) — one shuffle on
+    the group key, same engine-portability argument as
+    ``split_column``."""
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(F.lit(salt), F.lit("\x1f"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= cap)
+        .drop("_rank")
+    )

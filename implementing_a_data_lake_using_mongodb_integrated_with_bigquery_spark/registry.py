@@ -2122,3 +2122,73 @@ FROM events GROUP BY event_type
 
 QUERIES["incremental_rollup"] = q_incremental_rollup
 ORACLES["incremental_rollup"] = ORACLE_INCREMENTAL
+
+
+# ------------------------------------ rolling range window / stratified cap
+
+def q_rolling_hour_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (value-based, not row-based): per user,
+    count and exact sum of events in the TRAILING HOUR of each event.
+    RANGE frames are tie-safe by construction (peers share the frame),
+    so no tiebreak column is needed even with simultaneous events —
+    the frame is defined by the epoch-micros value, identical on both
+    engines. One shuffle on the entity key."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    ts_us = epoch_us("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        (F.sum(F.round(F.col("value") * 10000).cast("long")).over(w) / 10000.0).alias(
+            "sum_trailing_hour"
+        ),
+    )
+
+
+ORACLE_ROLLING_HOUR = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       COUNT(*) OVER w AS n_trailing_hour,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) OVER w AS BIGINT) / 10000.0 AS sum_trailing_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["rolling_hour_metrics"] = q_rolling_hour_metrics
+ORACLES["rolling_hour_metrics"] = ORACLE_ROLLING_HOUR
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source document cap (operators.sampling
+    .stratified_cap): at most 10 documents per source, chosen by
+    md5-hash order so the sample is unbiased yet identical on every
+    engine and rerun — the balanced-corpus primitive. The oracle is
+    the same window in SQL."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
+        stratified_cap,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_cap(d, "source", "doc_id", cap=10, salt="v1").select(
+        "doc_id", "source", "lang"
+    )
+
+
+ORACLE_STRATIFIED = """
+SELECT doc_id, source, lang FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY md5('v1' || chr(31) || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+) <= 10
+"""
+
+QUERIES["stratified_sample"] = q_stratified_sample
+ORACLES["stratified_sample"] = ORACLE_STRATIFIED

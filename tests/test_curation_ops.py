@@ -91,3 +91,21 @@ def test_ngram_overlap_counts_shared_grams(spark):
     got = {r.doc_id: r.n_shared_grams for r in ngram_overlap(docs, bench).collect()}
     # bench grams: {the quick brown, quick brown fox, brown fox sleeps}
     assert got == {1: 2, 3: 1}
+
+
+def test_stratified_cap_deterministic_and_capped(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
+        stratified_cap,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3)) for i in range(300)], "k long, g string"
+    )
+    a = sorted(r.k for r in stratified_cap(df, "g", "k", cap=7).collect())
+    b = sorted(
+        r.k for r in stratified_cap(df.repartition(5), "g", "k", cap=7).collect()
+    )
+    assert a == b and len(a) == 21  # 7 per group, layout-invariant
+    # small group below the cap is kept whole
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "k long, g string")
+    assert stratified_cap(small, "g", "k", cap=7).count() == 2
