@@ -1,6 +1,10 @@
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.asof import (
     asof_join,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.decontaminate import (
+    benchmark_ngrams,
+    ngram_overlap,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup import (
     dedup_against_target,
     duplicate_audit,
@@ -24,9 +28,22 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     new_rows_only,
     reconcile_counts,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.incremental import (
+    agg_state,
+    finalize,
+    merge_states,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.merge import (
     last_write_wins,
     upsert,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
+    hash_split,
+    split_column,
+    stratified_cap,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.scd import (
+    scd2_history,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sessions import (
     sessionize,
@@ -41,7 +58,9 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
 )
 
 __all__ = [
+    "agg_state",
     "asof_join",
+    "benchmark_ngrams",
     "connected_components",
     "cosine_near_dup_pairs",
     "cosine_topk",
@@ -49,17 +68,24 @@ __all__ = [
     "dedup_clusters",
     "duplicate_audit",
     "exact_dedup",
+    "finalize",
     "fk_filter",
     "fk_violations",
     "flatten_weather",
+    "hash_split",
     "ivf_topk",
     "last_write_wins",
+    "merge_states",
     "minhash_banded_pairs",
     "minhash_lsh_pairs",
     "new_rows_only",
     "ngram_jaccard_pairs",
+    "ngram_overlap",
     "reconcile_counts",
     "salted_join",
+    "scd2_history",
     "sessionize",
+    "split_column",
+    "stratified_cap",
     "upsert",
 ]
