@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
     shingles,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.tables import (
+    parallelize,
+)
 
 
 def benchmark_ngrams(
@@ -50,7 +53,7 @@ def ngram_overlap(
     DISTINCT grams per document, so the count is the size of the
     per-document gram intersection — a direct contamination severity
     measure."""
-    d_grams = docs.select(
+    d_grams = parallelize(docs).select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("gram")
     )
     b_grams = benchmark_ngrams(benchmark, text_col, n)
