@@ -37,6 +37,9 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     last_write_wins,
     upsert,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.rangejoin import (
+    bin_range_join,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
     hash_split,
     split_column,
@@ -61,6 +64,7 @@ __all__ = [
     "agg_state",
     "asof_join",
     "benchmark_ngrams",
+    "bin_range_join",
     "connected_components",
     "cosine_near_dup_pairs",
     "cosine_topk",

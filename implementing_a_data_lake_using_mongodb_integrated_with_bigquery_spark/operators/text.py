@@ -109,6 +109,91 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_cols: list[str] | None
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    top_word_max: float = 0.2,
+    top_bigram_max: float = 0.18,
+    max_run_max: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition/boilerplate metrics per document
+    (Rae et al. 2021 §A1.1 "repetition removal"): share of the text
+    occupied by the single most frequent token, share of token
+    transitions occupied by the most frequent bigram, and the longest
+    consecutive run of one token. ``repetitive`` flags documents
+    exceeding any threshold — the standard pre-training drop rule for
+    template/spam pages.
+
+    All three metrics are ARRAY-LOCAL column expressions (higher-order
+    functions over the token array) — the operator is map-only: no
+    explode, no shuffle, scales linearly with input splits. The most
+    frequent element of an array is the longest run of its SORTED
+    copy, so every metric is one O(n log n) sort + O(n) fold per
+    document; higher-order lambdas are interpreted per element, so the
+    naive O(distinct × n) top-count scan is ~100× slower and was
+    deliberately avoided.
+    """
+    ids = id_cols or ["doc_id"]
+    t = tokens(text_col)
+    n_tok = F.size(t).cast("long")
+
+    def _max_run(arr):
+        # Longest run of equal adjacent elements: single left fold,
+        # accumulator carries (previous element, current run, best).
+        return F.aggregate(
+            arr,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+
+    bigrams = F.when(F.size(t) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, (i + 1).cast("int")),
+                F.element_at(t, (i + 2).cast("int")),
+            ),
+        )
+    )
+    top_word_n = _max_run(F.array_sort(t))
+    top_bigram_n = _max_run(F.array_sort(bigrams))
+    max_run = _max_run(t)
+    top_word_share = F.round(top_word_n / n_tok, 6)
+    top_bigram_share = F.when(n_tok >= 2, F.round(top_bigram_n / (n_tok - 1), 6)).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        *ids,
+        n_tok.alias("n_tokens"),
+        top_word_n.alias("top_word_n"),
+        top_word_share.alias("top_word_share"),
+        top_bigram_n.alias("top_bigram_n"),
+        top_bigram_share.alias("top_bigram_share"),
+        max_run.alias("max_run_len"),
+        (
+            (top_word_share > top_word_max)
+            | (top_bigram_share > top_bigram_max)
+            | (max_run > max_run_max)
+        ).alias("repetitive"),
+    )
+
+
 def token_frequencies(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     """Corpus-level top-k token frequencies (count desc, token asc).
     Explode → two-phase hash aggregate (map-side combine) → tiny

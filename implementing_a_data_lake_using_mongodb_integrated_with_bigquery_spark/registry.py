@@ -2192,3 +2192,123 @@ QUALIFY row_number() OVER (
 
 QUERIES["stratified_sample"] = q_stratified_sample
 ORACLES["stratified_sample"] = ORACLE_STRATIFIED
+
+
+# ------------------------------- repetition filter / binned range join
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (operators.text
+    .repetition_stats): top-word share, top-bigram share, longest
+    same-token run, and the drop flag. Map-only — all three metrics
+    are array-local higher-order expressions, zero shuffles. The
+    interpreted fold is expression-dense per row, so the single-file
+    fixture scan goes through the gated ``parallelize`` (no-op on a
+    well-split production table)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        repetition_stats,
+    )
+
+    return repetition_stats(parallelize(load_table(spark, sf_dir, "documents")))
+
+
+ORACLE_REPETITION = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+words AS (
+  SELECT doc_id, t[i] AS w, i
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s
+),
+wc AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_n
+  FROM (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w)
+  GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i) s
+),
+bc AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n
+  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+runs AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_run_len
+  FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, w, i - row_number() OVER (PARTITION BY doc_id, w ORDER BY i) AS grp
+          FROM words)
+    GROUP BY doc_id, w, grp
+  )
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       wc.top_word_n,
+       round(wc.top_word_n / b.n_tokens, 6) AS top_word_share,
+       COALESCE(bc.top_bigram_n, 0) AS top_bigram_n,
+       CASE WHEN b.n_tokens >= 2
+            THEN round(COALESCE(bc.top_bigram_n, 0) / (b.n_tokens - 1), 6)
+            ELSE 0.0 END AS top_bigram_share,
+       runs.max_run_len,
+       (round(wc.top_word_n / b.n_tokens, 6) > 0.2
+        OR (CASE WHEN b.n_tokens >= 2
+                 THEN round(COALESCE(bc.top_bigram_n, 0) / (b.n_tokens - 1), 6)
+                 ELSE 0.0 END) > 0.18
+        OR runs.max_run_len > 2) AS repetitive
+FROM base b
+JOIN wc USING (doc_id)
+LEFT JOIN bc USING (doc_id)
+JOIN runs USING (doc_id)
+"""
+
+QUERIES["repetition_stats"] = q_repetition_stats
+ORACLES["repetition_stats"] = ORACLE_REPETITION
+
+
+# Overlapping value bands for the range-join demo: deliberately
+# non-uniform widths and a full-range band so points match multiple
+# intervals — the case plain floor(v/w) bucketing cannot express.
+VALUE_BANDS: list[tuple[int, float, float]] = [
+    (1, 0.0, 25.0),
+    (2, 10.0, 60.0),
+    (3, 50.0, 120.0),
+    (4, 100.0, 260.0),
+    (5, 250.0, 500.0),
+    (6, 0.0, 500.0),
+    (7, 480.0, 1000.0),
+]
+
+
+def q_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (operators.rangejoin.bin_range_join):
+    every event joined to every OVERLAPPING value band via the
+    binned-equi-join lowering, then per-band count + exact sum. A
+    naive formulation is a BroadcastNestedLoopJoin (fatal big x big);
+    the lowering is a plain equi-join on floor(value/50) that AQE can
+    shuffle or broadcast like any other."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.rangejoin import (
+        bin_range_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(VALUE_BANDS, "band_id long, lo double, hi double")
+    joined = bin_range_join(e, bands, "value", bin_width=50.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _scaled_sum(F.col("value"), 10000, "sum_value"),
+    )
+
+
+def _oracle_value_band_join() -> str:
+    rows = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in VALUE_BANDS)
+    return f"""
+WITH bands(band_id, lo, hi) AS (VALUES {rows})
+SELECT CAST(band_id AS BIGINT) AS band_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band_id
+"""
+
+
+QUERIES["value_band_join"] = q_value_band_join
+ORACLES["value_band_join"] = _oracle_value_band_join()

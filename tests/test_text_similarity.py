@@ -254,3 +254,45 @@ def test_jaccard_counting_and_prefix_paths_agree(spark):
         a = sorted(map(str, _jaccard_counting(docs, t).collect()))
         b = sorted(map(str, _jaccard_prefix_filtered(docs, t, None).collect()))
         assert a == b and len(a) > 0
+
+
+# ------------------------------------------------ repetition metrics
+
+def test_repetition_stats_known_document(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame([(1, "a a a b a c")], ["doc_id", "text"])
+    r = repetition_stats(df).collect()[0]
+    assert r.n_tokens == 6
+    assert r.top_word_n == 4  # 'a' appears 4 times
+    assert r.top_word_share == round(4 / 6, 6)
+    assert r.top_bigram_n == 2  # 'a a' twice
+    assert r.top_bigram_share == 0.4
+    assert r.max_run_len == 3  # a a a
+    assert bool(r.repetitive) is True
+
+
+def test_repetition_stats_clean_document(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame([(1, "q w e r t y u i o p")], ["doc_id", "text"])
+    r = repetition_stats(df).collect()[0]
+    assert r.top_word_n == 1 and r.top_bigram_n == 1 and r.max_run_len == 1
+    assert bool(r.repetitive) is False
+
+
+def test_repetition_stats_single_token_edge(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+    r = repetition_stats(df).collect()[0]
+    assert r.n_tokens == 1 and r.top_bigram_n == 0
+    assert r.top_bigram_share == 0.0 and r.max_run_len == 1
+    # single-token docs trip the top-word-share rule by definition
+    assert r.top_word_share == 1.0 and bool(r.repetitive) is True
