@@ -37,11 +37,20 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     last_write_wins,
     upsert,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.cohort import (
+    cohort_retention,
+    funnel,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.pii import (
+    pii_scan,
+    redact,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.rangejoin import (
     bin_range_join,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
     hash_split,
+    mixture_weights,
     split_column,
     stratified_cap,
 )
@@ -65,6 +74,7 @@ __all__ = [
     "asof_join",
     "benchmark_ngrams",
     "bin_range_join",
+    "cohort_retention",
     "connected_components",
     "cosine_near_dup_pairs",
     "cosine_topk",
@@ -76,16 +86,20 @@ __all__ = [
     "fk_filter",
     "fk_violations",
     "flatten_weather",
+    "funnel",
     "hash_split",
     "ivf_topk",
     "last_write_wins",
     "merge_states",
     "minhash_banded_pairs",
     "minhash_lsh_pairs",
+    "mixture_weights",
     "new_rows_only",
     "ngram_jaccard_pairs",
     "ngram_overlap",
+    "pii_scan",
     "reconcile_counts",
+    "redact",
     "salted_join",
     "scd2_history",
     "sessionize",

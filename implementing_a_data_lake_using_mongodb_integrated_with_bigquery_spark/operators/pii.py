@@ -1,0 +1,74 @@
+"""PII detection and redaction over text columns.
+
+A training-data pipeline must strip personally identifiable
+information before a corpus ships (the reference handles its
+equivalent hygiene concern — credential isolation — operationally via
+config; see SURVEY.md §3.4). Here detection is a first-class engine
+operator: per-document match counts for audit/reporting plus an
+in-place masked rewrite.
+
+Engine-portable by construction: every pattern uses the regex subset
+with identical semantics in Java's engine (Spark `regexp_count` /
+`regexp_replace`) and RE2 (DuckDB) — character classes, bounded
+repetition, ``\\b``, ``\\d``; no backreferences or lookaround. The
+DuckDB mirror needs the ``'g'`` flag on ``regexp_replace`` (Spark
+replaces all occurrences by default, DuckDB only the first).
+
+Both operators are MAP-ONLY column expressions: zero shuffles, fully
+pushdown/pruning-transparent, linear in input splits at any scale —
+regex evaluation happens JVM-side inside whole-stage codegen, no
+Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# name -> (pattern, replacement). REDACTION ORDER IS the dict order:
+# email first (longest, contains digit runs), card before phone so a
+# 16-digit card is not half-eaten by the shorter phone pattern, ipv4
+# before phone (dotted vs dashed, disjoint but cheap to keep ordered).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "card": (r"\b\d{4}-\d{4}-\d{4}-\d{4}\b", "[CARD]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-category match-count columns (``n_email``, ``n_card``, ...),
+    each a bigint."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        f"n_{name}": F.regexp_count(c, F.lit(pat)).cast("long")
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def redact(text: Column | str) -> Column:
+    """Masked copy of ``text`` with every PII match replaced by its
+    category token, applied in ``PII_PATTERNS`` order."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, rep in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def pii_scan(
+    df: DataFrame, text_col: str = "text", id_cols: list[str] | None = None
+) -> DataFrame:
+    """Audit + redaction in one map-only pass: id columns, per-category
+    counts, total ``n_pii``, and the ``redacted`` text."""
+    ids = id_cols or ["doc_id"]
+    counts = pii_counts(text_col)
+    total = None
+    for col in counts.values():
+        total = col if total is None else total + col
+    return df.select(
+        *ids,
+        *[c.alias(n) for n, c in counts.items()],
+        total.alias("n_pii"),
+        redact(text_col).alias("redacted"),
+    )

@@ -97,3 +97,40 @@ def stratified_cap(
         .filter(F.col("_rank") <= cap)
         .drop("_rank")
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_cols: list[str],
+    size_col: Column | str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group sampling weights for a training-data mixture,
+    proportional to ``sqrt(total size)`` — the standard sub-linear
+    reweighting that keeps head domains/languages from drowning the
+    tail (temperature sampling with T=2 over corpus sizes).
+
+    Determinism: the sqrt weight is scaled+rounded to a BIGINT before
+    the total, so both the numerator and the normalizing sum are exact
+    integer arithmetic — identical under any partitioning and on any
+    engine (IEEE 754 requires correctly-rounded sqrt). ``weight`` is
+    the 6dp-rounded share.
+
+    Scale shape: one full aggregation (map-side combined) down to the
+    group cardinality, then an unpartitioned window over the GROUP
+    table for the total. A mixture table is small by definition
+    (domains × languages, thousands at most), so the single-task
+    window is on reduced data, never on the corpus.
+    """
+    from pyspark.sql import Window
+
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size.cast("long")).alias("n_tokens"),
+    )
+    g = g.withColumn(
+        "w_scaled", F.round(F.sqrt(F.col("n_tokens")) * scale).cast("long")
+    )
+    total = F.sum("w_scaled").over(Window.partitionBy())
+    return g.withColumn("weight", F.round(F.col("w_scaled") / total, 6))

@@ -2312,3 +2312,188 @@ GROUP BY band_id
 
 QUERIES["value_band_join"] = q_value_band_join
 ORACLES["value_band_join"] = _oracle_value_band_join()
+
+
+# ----------------------- PII, cohort/funnel analytics, mixture weights
+
+# The synthetic lake carries no real PII, so the PII queries construct
+# a deterministic "contact card" per customer from integer/string
+# columns only (float formatting differs across engines) — the SAME
+# expression in the Spark plan and the oracle — then run the engine's
+# scan/redaction over it. Patterns live in operators/pii.py and are
+# valid in both Java regex and RE2.
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + masking (operators.pii.pii_scan): per-row counts by
+    category and the redacted text, map-only, zero shuffles."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.pii import (
+        pii_scan,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <user"), key, F.lit("@example.com> from 10."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".0."), F.col("c_nationkey").cast("string"),
+        F.lit(" card 4242-4242-4242-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" tel 555-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    return pii_scan(c.select("c_custkey", contact.alias("text")), id_cols=["c_custkey"])
+
+
+def _oracle_pii_redaction() -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.pii import (
+        PII_PATTERNS,
+    )
+
+    text = (
+        "c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com> from 10.'"
+        " || CAST(c_custkey % 256 AS VARCHAR) || '.0.' || CAST(c_nationkey AS VARCHAR)"
+        " || ' card 4242-4242-4242-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+        " || ' tel 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')"
+        " || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+    )
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, (pat, _) in PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat, _ in PII_PATTERNS.values()
+    )
+    red = "text"
+    for pat, rep in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH t AS (SELECT c_custkey, {text} AS text FROM customer)
+SELECT c_custkey,
+       {counts},
+       CAST({total} AS BIGINT) AS n_pii,
+       {red} AS redacted
+FROM t
+"""
+
+
+QUERIES["pii_redaction"] = q_pii_redaction
+ORACLES["pii_redaction"] = _oracle_pii_redaction()
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle (operators.cohort.cohort_retention):
+    distinct (user, week) reduce -> per-user MIN window -> triangle
+    aggregate. No joins; every shuffle input is pre-reduced."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.cohort import (
+        cohort_retention,
+    )
+
+    return cohort_retention(load_table(spark, sf_dir, "events"), period="week")
+
+
+ORACLE_COHORT = """
+WITH act AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p FROM events),
+c AS (SELECT u, p, min(p) OVER (PARTITION BY u) AS cohort FROM act)
+SELECT epoch_us(CAST(cohort AS TIMESTAMP)) AS cohort_us,
+       CAST(date_diff('day', cohort, p) / 7 AS BIGINT) AS period_offset,
+       COUNT(*) AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+QUERIES["cohort_retention"] = q_cohort_retention
+ORACLES["cohort_retention"] = ORACLE_COHORT
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase
+    (operators.cohort.funnel): one per-user conditional aggregation,
+    strict timestamp ordering between stages."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.cohort import (
+        funnel,
+    )
+
+    return funnel(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_FUNNEL = """
+WITH pu AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events GROUP BY user_id
+),
+f AS (
+  SELECT
+    CAST(count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS BIGINT) AS n0,
+    CAST(count(CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN 1 END) AS BIGINT) AS n1,
+    CAST(count(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1 THEN 1 END) AS BIGINT) AS n2
+  FROM pu
+)
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, n0 AS n_users FROM f
+UNION ALL SELECT 1, 'click', n1 FROM f
+UNION ALL SELECT 2, 'purchase', n2 FROM f
+"""
+
+QUERIES["event_funnel"] = q_event_funnel
+ORACLES["event_funnel"] = ORACLE_FUNNEL
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weights per (source, lang)
+    (operators.sampling.mixture_weights): sqrt-of-tokens temperature
+    reweighting with an exact integer-scaled normalizer."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
+        mixture_weights,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_weights(d, ["source", "lang"], F.size(tokens("text")))
+
+
+ORACLE_MIXTURE = """
+WITH g AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+),
+w AS (SELECT *, CAST(round(sqrt(n_tokens) * 1000000) AS BIGINT) AS w_scaled FROM g)
+SELECT source, lang, n_docs, n_tokens, w_scaled,
+       round(w_scaled / (SELECT SUM(w_scaled) FROM w), 6) AS weight
+FROM w
+"""
+
+QUERIES["mixture_weights"] = q_mixture_weights
+ORACLES["mixture_weights"] = ORACLE_MIXTURE
+
+
+def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch vs exact distinct per event type: emits the
+    exact count plus a boolean asserting the rsd=0.01 sketch landed
+    within 5%. The sketch is the 100 TB path (mergeable, fixed-size,
+    no distinct shuffle of raw keys); the exact count is the audit.
+    Sketch estimates are order-independent (hash-based) so the flag is
+    deterministic; the oracle pins the exact counts and expects TRUE."""
+    e = load_table(spark, sf_dir, "events")
+    ex = F.count_distinct(F.col("user_id")).alias("exact_users")
+    ap = F.approx_count_distinct("user_id", rsd=0.01)
+    return e.groupBy("event_type").agg(
+        ex,
+        (F.abs(ap - F.count_distinct(F.col("user_id")))
+         <= 0.05 * F.count_distinct(F.col("user_id"))).alias("sketch_ok"),
+    )
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS sketch_ok
+FROM events GROUP BY event_type
+"""
+
+QUERIES["approx_distinct_check"] = q_approx_distinct_check
+ORACLES["approx_distinct_check"] = ORACLE_APPROX_DISTINCT
