@@ -57,6 +57,12 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.scd import (
     scd2_history,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+    inactivity_gaps,
+    max_concurrency,
+    top_k_per_group,
+    tumbling_agg,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sessions import (
     sessionize,
 )
@@ -88,8 +94,10 @@ __all__ = [
     "flatten_weather",
     "funnel",
     "hash_split",
+    "inactivity_gaps",
     "ivf_topk",
     "last_write_wins",
+    "max_concurrency",
     "merge_states",
     "minhash_banded_pairs",
     "minhash_lsh_pairs",
@@ -105,5 +113,7 @@ __all__ = [
     "sessionize",
     "split_column",
     "stratified_cap",
+    "top_k_per_group",
+    "tumbling_agg",
     "upsert",
 ]

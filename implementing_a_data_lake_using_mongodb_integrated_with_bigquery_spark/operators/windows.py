@@ -43,3 +43,84 @@ def top_k_per_group(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def inactivity_gaps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak: str,
+    min_gap_seconds: int,
+) -> DataFrame:
+    """Gaps-and-islands: per-key spans of inactivity longer than
+    ``min_gap_seconds`` — (key, gap_start_us, gap_end_us, gap_us) for
+    every consecutive-event pair further apart than the threshold.
+
+    One shuffle on the key + one in-partition sort (lag window); the
+    gap is computed in exact epoch-micros integers (no engine-variant
+    second truncation), and the sort carries a unique tiebreak column
+    so lag() is deterministic under equal timestamps.
+    """
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(t.asc(), F.col(order_tiebreak).asc())
+    prev = F.lag(t).over(w)
+    return (
+        df.select(F.col(key_col), t.alias("_t"), prev.alias("_prev"))
+        .where(F.col("_prev").isNotNull())
+        .where(F.col("_t") - F.col("_prev") > min_gap_seconds * 1_000_000)
+        .select(
+            key_col,
+            F.col("_prev").alias("gap_start_us"),
+            F.col("_t").alias("gap_end_us"),
+            (F.col("_t") - F.col("_prev")).alias("gap_us"),
+        )
+    )
+
+
+def max_concurrency(
+    df: DataFrame,
+    start_us_col: str,
+    end_us_col: str,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Peak number of simultaneously-open half-open intervals
+    ``[start, end)`` per time bucket, via the classic +1/-1 sweep —
+    WITHOUT a global single-task window.
+
+    Distributed formulation: change events are bucketed by time; the
+    running sum is split into (a) a per-bucket prefix sum (window
+    partitioned BY BUCKET — parallel across buckets) plus (b) an
+    exclusive running offset of per-bucket nets (a window over the
+    BUCKET TABLE, thousands of rows, not the data). At 100 TB the only
+    unpartitioned step runs on ~rows/bucket-count reduced input.
+
+    Tie semantics: ends sort before starts at the same instant
+    (half-open intervals never overlap at a shared endpoint), and the
+    RANGE window frame makes ties contribute together, so the peak is
+    evaluated after ALL changes at an instant — deterministic with no
+    tiebreak column needed.
+    """
+    s = df.select(F.col(start_us_col).alias("t"), F.lit(1).alias("delta"))
+    e = df.select(F.col(end_us_col).alias("t"), F.lit(-1).alias("delta"))
+    d = s.unionAll(e).withColumn("bucket", F.expr(f"t div {bucket_us}"))
+
+    nets = d.groupBy("bucket").agg(F.sum("delta").alias("net"))
+    w_off = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = nets.select(
+        "bucket", F.coalesce(F.sum("net").over(w_off), F.lit(0)).alias("offset")
+    )
+
+    w_run = Window.partitionBy("bucket").orderBy(F.col("t").asc(), F.col("delta").asc())
+    running = d.withColumn("run_local", F.sum("delta").over(w_run)).join(
+        offsets, "bucket"
+    )
+    return (
+        running.groupBy("bucket")
+        .agg(F.max(F.col("run_local") + F.col("offset")).alias("peak"))
+        .select(
+            (F.col("bucket") * bucket_us).alias("bucket_us"),
+            F.col("peak").cast("long").alias("peak"),
+        )
+    )

@@ -2497,3 +2497,69 @@ FROM events GROUP BY event_type
 
 QUERIES["approx_distinct_check"] = q_approx_distinct_check
 ORACLES["approx_distinct_check"] = ORACLE_APPROX_DISTINCT
+
+
+# --------------------------- gaps-and-islands / interval concurrency
+
+def q_user_inactivity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (operators.windows.inactivity_gaps): per-user
+    inactivity spans longer than 6 hours, exact epoch-micros bounds.
+    One shuffle on user_id; lag ordering carries the unique event_id
+    tiebreak so equal timestamps can't flake the hash."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        inactivity_gaps,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return inactivity_gaps(e, "user_id", "ts", "event_id", min_gap_seconds=6 * 3600)
+
+
+ORACLE_INACTIVITY = """
+WITH x AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+)
+SELECT user_id, prev AS gap_start_us, t AS gap_end_us, t - prev AS gap_us
+FROM x WHERE prev IS NOT NULL AND t - prev > 21600000000
+"""
+
+QUERIES["user_inactivity_gaps"] = q_user_inactivity_gaps
+ORACLES["user_inactivity_gaps"] = ORACLE_INACTIVITY
+
+
+def q_concurrency_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open intervals per hour
+    (operators.windows.max_concurrency): each event opens a half-open
+    interval of round(value) seconds; the +1/-1 sweep runs as a
+    per-bucket window plus a bucket-table offset join — no global
+    single-task window. Peak is evaluated at change instants within
+    the bucket (same definition on both engines)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        max_concurrency,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    s = epoch_us("ts")
+    iv = e.select(
+        s.alias("s"),
+        (s + F.round(F.col("value")).cast("long") * 1_000_000).alias("en"),
+    )
+    return max_concurrency(iv, "s", "en")
+
+
+ORACLE_CONCURRENCY = """
+WITH iv AS (
+  SELECT epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(value) AS BIGINT) * 1000000 AS e
+  FROM events
+),
+d AS (SELECT s AS t, 1 AS delta FROM iv UNION ALL SELECT e, -1 FROM iv),
+r AS (SELECT t, delta, SUM(delta) OVER (ORDER BY t, delta) AS running FROM d)
+SELECT (t // 3600000000) * 3600000000 AS bucket_us,
+       CAST(max(running) AS BIGINT) AS peak
+FROM r GROUP BY 1
+"""
+
+QUERIES["concurrency_peaks"] = q_concurrency_peaks
+ORACLES["concurrency_peaks"] = ORACLE_CONCURRENCY
