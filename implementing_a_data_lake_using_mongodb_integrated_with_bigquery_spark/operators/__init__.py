@@ -63,8 +63,17 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     top_k_per_group,
     tumbling_agg,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.search import (
+    build_inverted_index,
+    keyword_and_search,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sessions import (
     sessionize,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.tfidf import (
+    bm25_topk,
+    term_table,
+    tfidf_topk,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
     cosine_near_dup_pairs,
@@ -78,6 +87,8 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
 __all__ = [
     "agg_state",
     "asof_join",
+    "bm25_topk",
+    "build_inverted_index",
     "benchmark_ngrams",
     "bin_range_join",
     "cohort_retention",
@@ -96,6 +107,7 @@ __all__ = [
     "hash_split",
     "inactivity_gaps",
     "ivf_topk",
+    "keyword_and_search",
     "last_write_wins",
     "max_concurrency",
     "merge_states",
@@ -113,6 +125,8 @@ __all__ = [
     "sessionize",
     "split_column",
     "stratified_cap",
+    "term_table",
+    "tfidf_topk",
     "top_k_per_group",
     "tumbling_agg",
     "upsert",

@@ -2563,3 +2563,125 @@ FROM r GROUP BY 1
 
 QUERIES["concurrency_peaks"] = q_concurrency_peaks
 ORACLES["concurrency_peaks"] = ORACLE_CONCURRENCY
+
+
+# --------------------------------------- term weighting / keyword search
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF top-5 terms per document (operators.tfidf).
+    Document frequencies attach via agg+equi-join rather than a
+    term-partitioned window so Zipf head terms can't create a hot
+    sort partition; corpus scalars ride a 1-row broadcast. Score is
+    rounded to 6dp BEFORE the ranking window (term-name tiebreak)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.tfidf import (
+        tfidf_topk,
+    )
+
+    return tfidf_topk(load_table(spark, sf_dir, "documents"), k=5)
+
+
+ORACLE_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+g AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, tfidf FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(t.tf * (ln((g.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY round(t.tf * (ln((g.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) DESC,
+                    t.term
+         ) AS rank
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN g
+) WHERE rank <= 5
+"""
+
+QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
+ORACLES["tfidf_top_terms"] = ORACLE_TFIDF
+
+
+def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 terms per document (operators.tfidf.bm25_topk,
+    k1=1.2, b=0.75). Same three-exchange shape as TF-IDF; length
+    normalization uses the exact corpus token total so avgdl is
+    reproducible on both engines."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.tfidf import (
+        bm25_topk,
+    )
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), k=5)
+
+
+ORACLE_BM25 = """
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+  FROM toks GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+g AS (
+  SELECT count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS sum_dl
+  FROM documents
+)
+SELECT doc_id, term, tf, df, dl, bm25 FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df, t.dl,
+         round(
+           ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * t.tf * (1.2 + 1.0)
+             / (t.tf + 1.2 * (1.0 - 0.75
+                  + 0.75 * t.dl / (CAST(g.sum_dl AS DOUBLE) / g.n_docs))),
+           6) AS bm25,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY round(
+             ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * (1.2 + 1.0)
+               / (t.tf + 1.2 * (1.0 - 0.75
+                    + 0.75 * t.dl / (CAST(g.sum_dl AS DOUBLE) / g.n_docs))),
+             6) DESC, t.term
+         ) AS rank
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN g
+) WHERE rank <= 5
+"""
+
+QUERIES["bm25_top_terms"] = q_bm25_top_terms
+ORACLES["bm25_top_terms"] = ORACLE_BM25
+
+
+def q_keyword_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search (operators.search): documents
+    containing ALL of {join, stream, filter}, scored by total query
+    term occurrences. Non-query terms are filtered before the
+    aggregate so only matching postings reach the shuffle; AND
+    semantics are one count-distinct check, no per-term self-joins."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.search import (
+        keyword_and_search,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return keyword_and_search(d, ["join", "stream", "filter"])
+
+
+ORACLE_KEYWORD_AND = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT doc_id, count(*) AS n_hits
+FROM tok
+WHERE term IN ('join', 'stream', 'filter')
+GROUP BY doc_id
+HAVING count(DISTINCT term) = 3
+"""
+
+QUERIES["keyword_and_search"] = q_keyword_and_search
+ORACLES["keyword_and_search"] = ORACLE_KEYWORD_AND
