@@ -1,9 +1,13 @@
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.asof import (
     asof_join,
+    point_in_time_join,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.decontaminate import (
     benchmark_ngrams,
     ngram_overlap,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.diff import (
+    snapshot_diff,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup import (
     dedup_against_target,
@@ -116,6 +120,7 @@ __all__ = [
     "mixture_weights",
     "new_rows_only",
     "ngram_jaccard_pairs",
+    "point_in_time_join",
     "ngram_overlap",
     "pii_scan",
     "reconcile_counts",
@@ -123,6 +128,7 @@ __all__ = [
     "salted_join",
     "scd2_history",
     "sessionize",
+    "snapshot_diff",
     "split_column",
     "stratified_cap",
     "term_table",

@@ -78,3 +78,50 @@ def asof_join(
         F.col(f"asof_{right_ts}"),
     )
     return out
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    on: str | list[str],
+    fact_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    attrs: list[str] | None = None,
+) -> DataFrame:
+    """Join facts to the SCD2 dimension version valid at each fact's
+    timestamp (``valid_from <= ts < valid_to``, open interval = NULL
+    ``valid_to``), without a range join: because SCD2 intervals are
+    contiguous per key, the valid version is exactly the most recent
+    ``valid_from`` at or before the fact — an as-of join.
+
+    Cost is therefore the as-of union-tag plan (one shuffle on the
+    key, one in-partition sort) instead of the O(facts × versions)
+    interval cross-check a naive BETWEEN join plans. Simultaneous
+    version openings (zero-length intervals) are resolved by carrying
+    the largest ``valid_to`` — the one row whose interval is
+    non-empty — matching the half-open-interval join semantics
+    row-for-row.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    attrs = attrs or [
+        c
+        for c in history.columns
+        if c not in set(keys) | {valid_from, valid_to, "is_current"}
+    ]
+    h = history.withColumn(
+        "_vt_order",
+        F.coalesce(
+            F.unix_micros(F.col(valid_to).cast("timestamp")),
+            F.lit((1 << 63) - 1),
+        ),
+    )
+    return asof_join(
+        facts,
+        h,
+        on,
+        left_ts=fact_ts,
+        right_ts=valid_from,
+        right_cols=attrs + ["_vt_order"],
+        tiebreak="_vt_order",
+    ).drop("asof__vt_order")

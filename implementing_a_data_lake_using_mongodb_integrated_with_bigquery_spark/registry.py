@@ -2685,3 +2685,123 @@ HAVING count(DISTINCT term) = 3
 
 QUERIES["keyword_and_search"] = q_keyword_and_search
 ORACLES["keyword_and_search"] = ORACLE_KEYWORD_AND
+
+
+# ------------------------------- point-in-time join / snapshot diff
+
+def q_pit_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment (operators.asof.point_in_time_join):
+    each purchase event picks up the SCD2 user-state version
+    (operators.scd over non-purchase events) valid AT the purchase
+    timestamp. Contiguous validity intervals turn the range join into
+    an as-of join — one shuffle on user_id, no interval cross-check.
+    Purchases before any version keep NULL state (left semantics)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.asof import (
+        point_in_time_join,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.scd import (
+        scd2_history,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    dim = e.filter(F.col("event_type") != "purchase")
+    facts = e.filter(F.col("event_type") == "purchase")
+    hist = scd2_history(dim, "user_id", "ts", ["event_type"], tiebreak_col="event_id")
+    hist = hist.withColumnRenamed("event_type", "state")
+    out = point_in_time_join(facts, hist, "user_id", fact_ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_us("ts").alias("ts_us"),
+        F.col("asof_state"),
+        epoch_us("asof_valid_from").alias("asof_valid_from_us"),
+    )
+
+
+ORACLE_PIT = """
+WITH e AS (SELECT * FROM events WHERE user_id < 200),
+ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(ts) OVER w IS NULL
+           OR event_type IS DISTINCT FROM lag(event_type) OVER w AS _open
+  FROM e WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), versions AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered WHERE _open
+), hist AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         lead(ts) OVER w2 AS valid_to
+  FROM versions WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT f.event_id, f.user_id, epoch_us(f.ts) AS ts_us,
+       h.state AS asof_state,
+       epoch_us(h.valid_from) AS asof_valid_from_us
+FROM e f
+LEFT JOIN hist h
+  ON f.user_id = h.user_id
+ AND h.valid_from <= f.ts
+ AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+WHERE f.event_type = 'purchase'
+"""
+
+QUERIES["pit_enriched_purchases"] = q_pit_enriched_purchases
+ORACLES["pit_enriched_purchases"] = ORACLE_PIT
+
+
+def q_snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data-feed (operators.diff): two
+    deterministically-derived customer snapshots (keys ending in 0
+    exist only in the new snapshot, in 1 only in the old, in 2 with a
+    shifted balance) full-outer-joined on the key and classified
+    added/removed/changed. One key-shuffle per side, nothing else
+    moves; bucketing both snapshots would remove even that."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.diff import (
+        snapshot_diff,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    new = c.filter(F.col("c_custkey") % 10 != 1).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(
+            F.when(F.col("c_custkey") % 10 == 2, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal")),
+            2,
+        ).alias("c_acctbal"),
+    )
+    return snapshot_diff(old, new, ["c_custkey"], ["c_mktsegment", "c_acctbal"])
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+  FROM customer WHERE c_custkey % 10 <> 0
+), new AS (
+  SELECT c_custkey, c_mktsegment,
+         round(CASE WHEN c_custkey % 10 = 2 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END, 2) AS c_acctbal
+  FROM customer WHERE c_custkey % 10 <> 1
+)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'added'
+            WHEN n.c_custkey IS NULL THEN 'removed'
+            WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+              OR o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       o.c_mktsegment AS old_c_mktsegment,
+       o.c_acctbal AS old_c_acctbal,
+       n.c_mktsegment AS new_c_mktsegment,
+       n.c_acctbal AS new_c_acctbal
+FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+WHERE CASE WHEN o.c_custkey IS NULL THEN 'added'
+           WHEN n.c_custkey IS NULL THEN 'removed'
+           WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+             OR o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'changed'
+           ELSE 'unchanged' END <> 'unchanged'
+"""
+
+QUERIES["snapshot_diff_customers"] = q_snapshot_diff_customers
+ORACLES["snapshot_diff_customers"] = ORACLE_SNAPSHOT_DIFF
