@@ -6,6 +6,12 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     benchmark_ngrams,
     ngram_overlap,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dq import (
+    expectations_report,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.regression import (
+    grouped_linreg,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.diff import (
     snapshot_diff,
 )
@@ -103,11 +109,13 @@ __all__ = [
     "dedup_clusters",
     "duplicate_audit",
     "exact_dedup",
+    "expectations_report",
     "finalize",
     "fk_filter",
     "fk_violations",
     "flatten_weather",
     "funnel",
+    "grouped_linreg",
     "hash_split",
     "inactivity_gaps",
     "ivf_topk",

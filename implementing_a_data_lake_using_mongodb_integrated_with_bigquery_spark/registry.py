@@ -2805,3 +2805,118 @@ WHERE CASE WHEN o.c_custkey IS NULL THEN 'added'
 
 QUERIES["snapshot_diff_customers"] = q_snapshot_diff_customers
 ORACLES["snapshot_diff_customers"] = ORACLE_SNAPSHOT_DIFF
+
+
+# ------------------------------ data-quality suite / grouped regression
+
+def q_dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators.dq): six expectations
+    over orders — nullability, domain membership, range, format,
+    single-column uniqueness, and referential integrity against
+    customer. All row-local rules + uniqueness fold into ONE
+    conditional-aggregate scan; the FK rule is a broadcast semi-join
+    probe. Generalizes the reference's scattered validate.py /
+    pre-insert FK checks into one report."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dq import (
+        expectations_report,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return expectations_report(
+        o,
+        row_rules={
+            "not_null_custkey": F.col("o_custkey").isNull(),
+            "status_domain": ~F.col("o_orderstatus").isin("F", "O", "P"),
+            "positive_price": F.col("o_totalprice") <= 0,
+            "priority_format": ~F.col("o_orderpriority").rlike("^[1-5]-"),
+        },
+        unique_rules={"unique_orderkey": "o_orderkey"},
+        fk_rules={"fk_custkey": ("o_custkey", c, "c_custkey")},
+    )
+
+
+ORACLE_DQ = """
+SELECT 'not_null_custkey' AS rule, CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0 AS ok
+FROM orders
+UNION ALL
+SELECT 'status_domain', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN NOT o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN NOT o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) = 0
+FROM orders
+UNION ALL
+SELECT 'positive_price', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) = 0
+FROM orders
+UNION ALL
+SELECT 'priority_format', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) = 0
+FROM orders
+UNION ALL
+SELECT 'unique_orderkey', CAST(count(*) AS BIGINT),
+       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) = 0
+FROM orders
+UNION ALL
+SELECT 'fk_custkey', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer) THEN 0 ELSE 1 END) AS BIGINT),
+       CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer) THEN 0 ELSE 1 END) AS BIGINT) = 0
+FROM orders
+"""
+
+QUERIES["dq_orders_report"] = q_dq_orders_report
+ORACLES["dq_orders_report"] = ORACLE_DQ
+
+
+def q_hourly_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS of value on hour-of-day
+    (operators.regression.grouped_linreg): slope/intercept/R² from
+    exact scaled-integer power sums — one combiner-reduced aggregate,
+    reproducible under any partitioning (unlike the built-in
+    regr_slope streaming estimator)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.regression import (
+        grouped_linreg,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", epoch_us("ts").alias("_us"), "value"
+    )
+    x = F.expr("_us div 3600000000") % 24
+    return grouped_linreg(e, ["event_type"], x, F.col("value"), y_scale=100)
+
+
+ORACLE_LINREG = """
+WITH b AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+  FROM b GROUP BY event_type
+), d AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+  FROM s
+), f AS (
+  SELECT event_type, n, nd, sxd, syd, syyd,
+         (nd * sxyd - sxd * syd) AS num,
+         (nd * sxxd - sxd * sxd) AS den
+  FROM d
+)
+SELECT event_type, n,
+       round((num / den) / 100, 6) AS slope,
+       round(((syd - (num / den) * sxd) / nd) / 100, 6) AS intercept,
+       round((num * num) / (den * (nd * syyd - syd * syd)), 6) AS r2
+FROM f
+"""
+
+QUERIES["hourly_value_regression"] = q_hourly_value_regression
+ORACLES["hourly_value_regression"] = ORACLE_LINREG
