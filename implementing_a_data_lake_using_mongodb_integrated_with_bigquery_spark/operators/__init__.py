@@ -67,9 +67,14 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.scd import (
     scd2_history,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.outliers import (
+    winsorize,
+    zscore_flags,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
     inactivity_gaps,
     max_concurrency,
+    sliding_agg,
     top_k_per_group,
     tumbling_agg,
 )
@@ -136,6 +141,7 @@ __all__ = [
     "salted_join",
     "scd2_history",
     "sessionize",
+    "sliding_agg",
     "snapshot_diff",
     "split_column",
     "stratified_cap",
@@ -144,4 +150,6 @@ __all__ = [
     "top_k_per_group",
     "tumbling_agg",
     "upsert",
+    "winsorize",
+    "zscore_flags",
 ]

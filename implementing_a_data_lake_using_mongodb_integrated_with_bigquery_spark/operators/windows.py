@@ -124,3 +124,71 @@ def max_concurrency(
             F.col("peak").cast("long").alias("peak"),
         )
     )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_us_col: str,
+    width_us: int,
+    slide_us: int,
+    sums: dict[str, "F.Column"],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Overlapping (sliding) time windows via pane slicing — the
+    Flink/Scotty two-level trick, not per-event window explosion.
+
+    The naive formulation replicates EVERY event into width/slide
+    windows before aggregating (a width/slide × corpus blow-up in the
+    shuffle). Instead: (1) aggregate into non-overlapping panes of the
+    slide length — map-side combined, shuffle bounded by |panes|;
+    (2) replicate only the PANE PARTIALS into the windows containing
+    them; (3) re-combine. At 100 TB with 1h/15m windows the ×4
+    replication applies to thousands of pane rows, not billions of
+    events. Only decomposable aggregates (count/sum/min/max) qualify —
+    which is also exactly the set that is order-independent and hence
+    oracle-checkable.
+
+    ``sums``: output name → integer column expression (scaled-integer
+    convention) summed over the window. Requires width % slide == 0.
+    Emits complete and partial windows alike (every window any event
+    falls in), with ``window_start_us`` = inclusive window start.
+    """
+    if width_us % slide_us != 0:
+        raise ValueError("width_us must be a multiple of slide_us")
+    panes_per_window = width_us // slide_us
+    gcols = group_cols or []
+
+    pane = (
+        df.select(
+            *gcols,
+            F.col(ts_us_col).alias("_t"),
+            *[expr.alias(f"_s_{name}") for name, expr in sums.items()],
+        )
+        .withColumn("_pane", F.expr(f"_t div {slide_us}"))
+        .groupBy(*gcols, "_pane")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(f"_s_{name}").alias(f"_ps_{name}") for name in sums],
+        )
+    )
+    exploded = pane.select(
+        *gcols,
+        F.explode(
+            F.sequence(F.col("_pane") - (panes_per_window - 1), F.col("_pane"))
+        ).alias("_k"),
+        "_n",
+        *[F.col(f"_ps_{name}") for name in sums],
+    )
+    return (
+        exploded.groupBy(*gcols, "_k")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            *[F.sum(f"_ps_{name}").alias(name) for name in sums],
+        )
+        .select(
+            *gcols,
+            (F.col("_k") * slide_us).alias("window_start_us"),
+            F.col("n_events"),
+            *[F.col(name) for name in sums],
+        )
+    )

@@ -2920,3 +2920,124 @@ FROM f
 
 QUERIES["hourly_value_regression"] = q_hourly_value_regression
 ORACLES["hourly_value_regression"] = ORACLE_LINREG
+
+
+# ----------------------------- sliding windows / outlier handling
+
+def q_sliding_hour_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows every 15min over events
+    (operators.windows.sliding_agg): pane-sliced two-level aggregation
+    — events combine into 15-min pane partials map-side, only PANE
+    rows are replicated ×4 into their windows, then partials merge.
+    The shuffle is bounded by |panes|, not |events| × overlap."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        sliding_agg,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        epoch_us("ts").alias("t_us"), "value"
+    )
+    out = sliding_agg(
+        e,
+        "t_us",
+        width_us=3_600_000_000,
+        slide_us=900_000_000,
+        sums={"sum_v100": F.round(F.col("value") * 100).cast("long")},
+    )
+    return out.select(
+        "window_start_us",
+        "n_events",
+        (F.col("sum_v100") / 100.0).alias("sum_value"),
+    )
+
+
+ORACLE_SLIDING = """
+WITH e AS (
+  SELECT epoch_us(ts) AS t, CAST(round(value * 100) AS BIGINT) AS v FROM events
+), x AS (
+  SELECT t, v,
+         unnest(generate_series(t // 900000000 - 3, t // 900000000)) AS k
+  FROM e
+)
+SELECT k * 900000000 AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v) AS BIGINT) / 100.0 AS sum_value
+FROM x GROUP BY k
+"""
+
+QUERIES["sliding_hour_windows"] = q_sliding_hour_windows
+ORACLES["sliding_hour_windows"] = ORACLE_SLIDING
+
+
+def q_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization (operators.outliers.winsorize): clip
+    event values into the exact [p05, p95] band of their type. Tiny
+    percentile aggregate broadcast back; the fact scan never
+    shuffles."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.outliers import (
+        winsorize,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = winsorize(e, ["event_type"], "value", lo=0.05, hi=0.95)
+    return out.select(
+        "event_id", "event_type",
+        F.round("value", 6).alias("value"),
+        "value_clipped", "was_clipped",
+    )
+
+
+ORACLE_WINSOR = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+       round(least(greatest(e.value, b.lo), b.hi), 6) AS value_clipped,
+       (e.value < b.lo OR e.value > b.hi) AS was_clipped
+FROM events e JOIN b USING (event_type)
+"""
+
+QUERIES["value_winsorized"] = q_value_winsorized
+ORACLES["value_winsorized"] = ORACLE_WINSOR
+
+
+def q_value_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row z-scores against per-type moments
+    (operators.outliers.zscore_flags): moments from exact
+    scaled-integer power sums (order-independent), broadcast back,
+    map-only flagging at |z| > 3."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.outliers import (
+        zscore_flags,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = zscore_flags(e, ["event_type"], "value", threshold=3.0)
+    return out.select("event_id", "event_type", "zscore", "is_outlier")
+
+
+ORACLE_ZSCORE = """
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(value * 10000) AS BIGINT)) AS s1,
+         sum(CAST(round(value * 10000) AS BIGINT)
+             * CAST(round(value * 10000) AS BIGINT)) AS s2
+  FROM events GROUP BY event_type
+), m AS (
+  SELECT event_type, s1 / n / 10000.0 AS mean,
+         (s2 / n - (s1 / n) * (s1 / n)) / 100000000.0 AS var
+  FROM s
+)
+SELECT e.event_id, e.event_type,
+       CASE WHEN m.var > 0
+            THEN round((e.value - m.mean) / sqrt(m.var), 6) END AS zscore,
+       COALESCE(CASE WHEN m.var > 0
+            THEN abs((e.value - m.mean) / sqrt(m.var)) > 3.0 END,
+            FALSE) AS is_outlier
+FROM events e JOIN m USING (event_type)
+"""
+
+QUERIES["value_outlier_flags"] = q_value_outlier_flags
+ORACLES["value_outlier_flags"] = ORACLE_ZSCORE

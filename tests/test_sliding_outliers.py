@@ -1,0 +1,81 @@
+"""Unit tests: pane-sliced sliding windows and outlier operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.outliers import (
+    winsorize,
+    zscore_flags,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+    sliding_agg,
+)
+
+US = 1_000_000
+MIN = 60 * US
+
+
+def test_sliding_agg_matches_brute_force(spark):
+    # width 4 min, slide 1 min; events scattered incl. pane boundaries
+    ts = [0, 30 * US, 1 * MIN, 2 * MIN + 1, 3 * MIN, 7 * MIN, 8 * MIN - 1]
+    df = spark.createDataFrame([(t, 1) for t in ts], ["t_us", "one"])
+    got = {
+        r.window_start_us: r.n_events
+        for r in sliding_agg(
+            df, "t_us", width_us=4 * MIN, slide_us=MIN, sums={"s": F.lit(1)}
+        ).collect()
+    }
+    brute = {}
+    for t in ts:
+        k_hi = t // MIN
+        for k in range(k_hi - 3, k_hi + 1):
+            brute[k * MIN] = brute.get(k * MIN, 0) + 1
+    assert got == brute
+
+
+def test_sliding_agg_sums_are_window_totals(spark):
+    df = spark.createDataFrame(
+        [(0, 10), (MIN, 20), (5 * MIN, 40)], ["t_us", "v"]
+    )
+    got = {
+        r.window_start_us: r.total
+        for r in sliding_agg(
+            df, "t_us", width_us=2 * MIN, slide_us=MIN, sums={"total": F.col("v")}
+        ).collect()
+    }
+    # window starting at 0 covers [0, 2min) → rows at 0 and 1min
+    assert got[0] == 30
+    assert got[MIN] == 20  # [1min, 3min)
+    assert got[5 * MIN] == 40
+    assert got[-MIN] == 10  # [-1min, 1min) partial window
+
+
+def test_sliding_agg_rejects_nondivisible_slide(spark):
+    df = spark.createDataFrame([(0, 1)], ["t_us", "v"])
+    try:
+        sliding_agg(df, "t_us", width_us=100, slide_us=33, sums={})
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_winsorize_clips_to_percentile_band(spark):
+    rows = [("a", float(v)) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = winsorize(df, ["g"], "v", lo=0.10, hi=0.90)
+    clipped = {r.v: (r.v_clipped, r.was_clipped) for r in out.collect()}
+    # exact linear-interp percentiles of 1..100: p10=10.9, p90=90.1
+    assert clipped[1.0] == (10.9, True)
+    assert clipped[100.0] == (90.1, True)
+    assert clipped[50.0] == (50.0, False)
+
+
+def test_zscore_flags_marks_extreme_point(spark):
+    rows = [("a", 10.0)] * 30 + [("a", 1000.0)] + [("b", 5.0)] * 5
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = zscore_flags(df, ["g"], "v", threshold=3.0)
+    flagged = [r for r in out.collect() if r.is_outlier]
+    assert len(flagged) == 1 and flagged[0].v == 1000.0 and flagged[0].g == "a"
+    # constant group has zero variance → z undefined, never flagged
+    assert all(not r.is_outlier for r in out.collect() if r.g == "b")
