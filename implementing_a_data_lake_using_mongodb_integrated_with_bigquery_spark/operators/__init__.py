@@ -6,6 +6,13 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     benchmark_ngrams,
     ngram_overlap,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.collocations import (
+    pmi_collocations,
+    transition_matrix,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.quantize import (
+    quantize_audit,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dq import (
     expectations_report,
 )
@@ -133,7 +140,9 @@ __all__ = [
     "mixture_weights",
     "new_rows_only",
     "ngram_jaccard_pairs",
+    "pmi_collocations",
     "point_in_time_join",
+    "quantize_audit",
     "ngram_overlap",
     "pii_scan",
     "reconcile_counts",
@@ -148,6 +157,7 @@ __all__ = [
     "term_table",
     "tfidf_topk",
     "top_k_per_group",
+    "transition_matrix",
     "tumbling_agg",
     "upsert",
     "winsorize",

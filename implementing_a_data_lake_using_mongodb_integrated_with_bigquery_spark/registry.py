@@ -3041,3 +3041,117 @@ FROM events e JOIN m USING (event_type)
 
 QUERIES["value_outlier_flags"] = q_value_outlier_flags
 ORACLES["value_outlier_flags"] = ORACLE_ZSCORE
+
+
+# ----------------------------- collocations / transition analytics
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations over the corpus
+    (operators.collocations.pmi_collocations, min_count=5): two
+    wordcount aggregates + vocabulary-sized joins (AQE-broadcast),
+    min-count filter BEFORE the joins, ln-PMI rounded to 6dp before
+    the global top-k."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.collocations import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(load_table(spark, sf_dir, "documents"), min_count=5, k=50)
+
+
+ORACLE_PMI = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM toks),
+u AS (SELECT w, count(*) AS n_w FROM uni GROUP BY w),
+bi AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i) g
+),
+b AS (
+  SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY w1, w2
+  HAVING count(*) >= 5
+),
+n AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_tokens FROM toks)
+SELECT w1, w2, n_pair, n_w1, n_w2, pmi FROM (
+  SELECT b.w1, b.w2, b.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+         round(ln((CAST(n.n_tokens AS DOUBLE) * b.n_pair)
+                  / (CAST(u1.n_w AS DOUBLE) * u2.n_w)), 6) AS pmi,
+         row_number() OVER (
+           ORDER BY round(ln((CAST(n.n_tokens AS DOUBLE) * b.n_pair)
+                    / (CAST(u1.n_w AS DOUBLE) * u2.n_w)), 6) DESC, b.w1, b.w2
+         ) AS rank
+  FROM b JOIN u u1 ON b.w1 = u1.w JOIN u u2 ON b.w2 = u2.w CROSS JOIN n
+) WHERE rank <= 50
+"""
+
+QUERIES["pmi_collocations"] = q_pmi_collocations
+ORACLES["pmi_collocations"] = ORACLE_PMI
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators.collocations.transition_matrix): one key
+    shuffle for the lag window, a |states|²-sized count aggregate,
+    row-normalized via broadcast join (no hot window)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.collocations import (
+        transition_matrix,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return transition_matrix(e, "user_id", "ts", "event_type", "event_id")
+
+
+ORACLE_TRANSITIONS = """
+WITH s AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS from_state,
+         event_type AS to_state
+  FROM events
+), c AS (
+  SELECT from_state, to_state, count(*) AS n_transitions
+  FROM s WHERE from_state IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT from_state, sum(n_transitions) AS n_from FROM c GROUP BY 1
+)
+SELECT c.from_state, c.to_state, c.n_transitions,
+       round(c.n_transitions / t.n_from, 6) AS p
+FROM c JOIN t USING (from_state)
+"""
+
+QUERIES["event_transition_matrix"] = q_event_transition_matrix
+ORACLES["event_transition_matrix"] = ORACLE_TRANSITIONS
+
+
+def q_embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit (operators.quantize): per
+    vector, the quantization scale, reconstruction cosine, and worst
+    per-dimension error — map-only higher-order expressions, metrics
+    chosen to be accumulation-order-free so the audit is
+    oracle-checkable."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.quantize import (
+        quantize_audit,
+    )
+
+    return quantize_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+ORACLE_QUANTIZE = """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM d
+), q AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, x -> round(x / scale) * scale) AS r
+  FROM s WHERE scale > 0
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       round(list_cosine_similarity(e, r), 6) AS cos_recon,
+       round(list_max(list_transform(range(1, len(e) + 1),
+             i -> abs(e[i] - r[i]))), 6) AS max_abs_err
+FROM q
+"""
+
+QUERIES["embedding_quantize_audit"] = q_embedding_quantize_audit
+ORACLES["embedding_quantize_audit"] = ORACLE_QUANTIZE
