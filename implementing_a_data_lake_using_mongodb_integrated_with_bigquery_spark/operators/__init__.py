@@ -1,5 +1,6 @@
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.asof import (
     asof_join,
+    asof_join_pandas,
     point_in_time_join,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.decontaminate import (
@@ -109,6 +110,7 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
 __all__ = [
     "agg_state",
     "asof_join",
+    "asof_join_pandas",
     "bm25_topk",
     "build_inverted_index",
     "benchmark_ngrams",

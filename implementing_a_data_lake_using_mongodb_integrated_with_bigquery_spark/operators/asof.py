@@ -125,3 +125,59 @@ def point_in_time_join(
         right_cols=attrs + ["_vt_order"],
         tiebreak="_vt_order",
     ).drop("asof__vt_order")
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Cogroup/Arrow formulation of :func:`asof_join` — the documented
+    fallback shape for operators Spark's built-ins cannot express:
+    ``left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas``
+    with a per-key ``pandas.merge_asof``.
+
+    Semantics are pinned IDENTICAL to the JVM union-tag plan by unit
+    test (same shuffle boundary too: one exchange per side on the
+    key). The JVM path remains the default — this exists to validate
+    the custom-operator escape hatch end-to-end, and as the template
+    for per-key logic that genuinely needs Python (the Arrow transfer
+    is per cogroup batch, never per row).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    fields = list(left.schema.fields)
+    for c in rcols:
+        fields.append(T.StructField(f"asof_{c}", right.schema[c].dataType))
+    fields.append(T.StructField(f"asof_{right_ts}", right.schema[right_ts].dataType))
+    schema = T.StructType(fields)
+    left_cols = list(left.columns)
+    sort_r = [right_ts] + ([tiebreak] if tiebreak else [])
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        l = l.sort_values(left_ts, kind="mergesort")
+        r = r.sort_values(sort_r, kind="mergesort")
+        rr = r[[right_ts] + rcols].rename(columns={c: f"asof_{c}" for c in rcols})
+        rr[f"asof_{right_ts}"] = rr[right_ts]
+        if rr.empty:
+            out = l.copy()
+            for c in rcols + [right_ts]:
+                out[f"asof_{c}"] = None
+            return out[[f.name for f in fields]]
+        out = pd.merge_asof(
+            l, rr, left_on=left_ts, right_on=right_ts,
+            direction="backward", suffixes=("", "_r"),
+        )
+        return out[[f.name for f in fields]]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(lambda l, r: merge(l, r), schema=schema)
+    )

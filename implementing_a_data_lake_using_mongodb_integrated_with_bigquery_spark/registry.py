@@ -3155,3 +3155,102 @@ FROM q
 
 QUERIES["embedding_quantize_audit"] = q_embedding_quantize_audit
 ORACLES["embedding_quantize_audit"] = ORACLE_QUANTIZE
+
+
+# ------------------------- built-in session windows / Q3-style join
+
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates via Spark's BUILT-IN session_window
+    (30-min gap) — the declarative dual of operators.sessions (which
+    pins identical gap semantics by unit test: boundary events at
+    exactly prev+gap merge). Plans as one key shuffle + in-partition
+    session merge; the same expression runs unchanged under
+    Structured Streaming with a watermark."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _scaled_sum(F.col("value"), 100, "sum_value"),
+    )
+    return agg.select(
+        "user_id",
+        epoch_us(F.col("session_window.start")).alias("session_start_us"),
+        epoch_us(F.col("session_window.end")).alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+ORACLE_SESSION_WINDOW = """
+WITH g AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + 1800000000 AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+QUERIES["session_window_stats"] = q_session_window_stats
+ORACLES["session_window_stats"] = ORACLE_SESSION_WINDOW
+
+
+def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with selective
+    filters on all three tables, revenue aggregate per order, top 10.
+    Customer dim broadcasts; the orders↔lineitem join shuffles on the
+    order key with both filters pushed to the scans."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate").agg(
+        _scaled_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, "revenue"
+        )
+    )
+    return (
+        agg.select(
+            "l_orderkey", epoch_us("o_orderdate").alias("o_orderdate_us"), "revenue"
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+QUERIES["top_unshipped_orders"] = q_top_unshipped_orders
+ORACLES["top_unshipped_orders"] = ORACLE_Q3
