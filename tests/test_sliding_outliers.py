@@ -79,3 +79,30 @@ def test_zscore_flags_marks_extreme_point(spark):
     assert len(flagged) == 1 and flagged[0].v == 1000.0 and flagged[0].g == "a"
     # constant group has zero variance → z undefined, never flagged
     assert all(not r.is_outlier for r in out.collect() if r.g == "b")
+
+
+def test_sliding_agg_matches_builtin_sliding_window(spark):
+    # pane-sliced formulation == Spark's built-in F.window(width, slide)
+    from pyspark.sql import functions as F2
+
+    ts = [11 * US, 73 * US, 119 * US, 180 * US, 299 * US, 300 * US]
+    df = spark.createDataFrame([(t, t // US) for t in ts], ["t_us", "v"])
+
+    ours = {
+        (r.window_start_us,): (r.n_events, r.total)
+        for r in sliding_agg(
+            df, "t_us", width_us=4 * MIN, slide_us=MIN, sums={"total": F2.col("v")}
+        ).collect()
+    }
+
+    b = (
+        df.withColumn("ts", F2.timestamp_micros(F2.col("t_us")))
+        .groupBy(F2.window("ts", "4 minutes", "1 minute"))
+        .agg(F2.count(F2.lit(1)).alias("n"), F2.sum("v").alias("total"))
+        .collect()
+    )
+    builtin = {
+        (int(r["window"]["start"].timestamp() * 1_000_000),): (r["n"], r["total"])
+        for r in b
+    }
+    assert ours == builtin
