@@ -3254,3 +3254,62 @@ LIMIT 10
 
 QUERIES["top_unshipped_orders"] = q_top_unshipped_orders
 ORACLES["top_unshipped_orders"] = ORACLE_Q3
+
+
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join as a driver-checked query
+    (sources.layout.write_bucketed_table): orders and lineitem are
+    persisted bucketed+sorted on the order key, then joined with NO
+    shuffle of either fact side — bucket matching replaces both
+    exchanges in the sort-merge case (pinned by tests/test_layout.py);
+    at small SF AQE instead broadcasts the dim side, which is strictly
+    cheaper and still moves zero fact rows. The oracle aggregates the
+    original un-bucketed tables, proving the layout transform is
+    result-invariant. The bucketed write pays one up-front shuffle;
+    every subsequent key join/agg on the table is exchange-free — the
+    amortization that matters when the fact table is read hundreds of
+    times at 100 TB."""
+    import os as _os
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        write_bucketed_table,
+    )
+
+    wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _shutil.rmtree(_os.path.join(wh, t), ignore_errors=True)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed_table(o, "bkt_orders", "o_orderkey", num_buckets=8,
+                         sort_col="o_orderkey")
+    write_bucketed_table(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bkt_lineitem", "o_orderkey", num_buckets=8, sort_col="o_orderkey",
+    )
+    j = spark.table("bkt_lineitem").join(spark.table("bkt_orders"), "o_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _scaled_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, "revenue"
+        ),
+    )
+
+
+ORACLE_BUCKETED = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) / 10000.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+QUERIES["bucketed_join_revenue"] = q_bucketed_join_revenue
+ORACLES["bucketed_join_revenue"] = ORACLE_BUCKETED
