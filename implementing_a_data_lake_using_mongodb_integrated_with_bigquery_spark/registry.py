@@ -3313,3 +3313,52 @@ GROUP BY o_orderpriority
 
 QUERIES["bucketed_join_revenue"] = q_bucketed_join_revenue
 ORACLES["bucketed_join_revenue"] = ORACLE_BUCKETED
+
+
+def q_stream_sliding_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch equivalence for SLIDING windows: a 1h window
+    sliding every 15min executed as an actual Structured Streaming job
+    (availableNow, watermarked, complete output), oracled against the
+    window-arithmetic batch SQL. Together with sliding_hour_windows
+    (pane-sliced batch formulation, pinned equal to the built-in by
+    unit test) this closes the loop: hand-rolled == built-in batch ==
+    streaming."""
+    import os as _os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        windowed_counts_once,
+    )
+
+    out = windowed_counts_once(
+        spark,
+        _os.path.join(sf_dir, "events.parquet"),
+        duration="1 hour",
+        slide="15 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            _scaled_sum(F.col("value"), 10000, "sum_value"),
+        ],
+    )
+    return out.select(
+        epoch_us("window_start").alias("window_start_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+ORACLE_STREAM_SLIDING = """
+WITH e AS (
+  SELECT epoch_us(ts) AS t, CAST(round(value * 10000) AS BIGINT) AS v FROM events
+), x AS (
+  SELECT t, v,
+         unnest(generate_series(t // 900000000 - 3, t // 900000000)) AS k
+  FROM e
+)
+SELECT k * 900000000 AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v) AS BIGINT) / 10000.0 AS sum_value
+FROM x GROUP BY k
+"""
+
+QUERIES["stream_sliding_quarters"] = q_stream_sliding_quarters
+ORACLES["stream_sliding_quarters"] = ORACLE_STREAM_SLIDING

@@ -26,15 +26,20 @@ def windowed_counts(
     lateness: str = "5 minutes",
     group_cols: list[str] | None = None,
     aggs: list[Column] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation over an unbounded
-    stream. State is bounded: windows older than the watermark are
-    finalized and evicted."""
+    stream (sliding when ``slide`` < ``duration`` is given: each event
+    then feeds duration/slide concurrent windows — state stays bounded
+    because the watermark still evicts finalized windows). State is
+    bounded: windows older than the watermark are finalized and
+    evicted."""
     group_cols = group_cols or []
     aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    win = F.window(ts_col, duration, slide) if slide else F.window(ts_col, duration)
     return (
         stream.withWatermark(ts_col, lateness)
-        .groupBy(F.window(ts_col, duration).alias("w"), *group_cols)
+        .groupBy(win.alias("w"), *group_cols)
         .agg(*aggs)
         .withColumn("window_start", F.col("w.start"))
         .withColumn("window_end", F.col("w.end"))
@@ -50,6 +55,7 @@ def windowed_counts_once(
     lateness: str = "5 minutes",
     group_cols: list[str] | None = None,
     aggs: list[Column] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
     """Run ``windowed_counts`` over the lake's events parquet as an
     actual Structured Streaming job (file stream, ``availableNow``
@@ -88,7 +94,7 @@ def windowed_counts_once(
         stream = stream.withColumn(
             ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
         )
-    out = windowed_counts(stream, ts_col, duration, lateness, group_cols, aggs)
+    out = windowed_counts(stream, ts_col, duration, lateness, group_cols, aggs, slide)
     sink = f"windowed_counts_once_{next(_SINK_SEQ)}"
     q = (
         out.writeStream.format("memory")
