@@ -14,6 +14,9 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.quantize import (
     quantize_audit,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.drift import (
+    ks_drift,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dq import (
     expectations_report,
 )
@@ -134,6 +137,7 @@ __all__ = [
     "inactivity_gaps",
     "ivf_topk",
     "keyword_and_search",
+    "ks_drift",
     "last_write_wins",
     "max_concurrency",
     "merge_states",

@@ -3362,3 +3362,52 @@ FROM x GROUP BY k
 
 QUERIES["stream_sliding_quarters"] = q_stream_sliding_quarters
 ORACLES["stream_sliding_quarters"] = ORACLE_STREAM_SLIDING
+
+
+def q_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift alarm (operators.drift.ks_drift): exact
+    two-sample KS statistic per event type between the first and
+    second half of the month. The corpus reduces to per-(type,
+    quantized value) conditional counts before any window runs, so
+    CDF construction is support-bounded, not row-bounded."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.drift import (
+        ks_drift,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return ks_drift(
+        e,
+        ["event_type"],
+        "value",
+        sample_a=F.col("ts") < F.lit("2024-01-16"),
+        scale=100,
+    )
+
+
+ORACLE_KS_DRIFT = """
+WITH per_v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM events GROUP BY 1, 2
+), stepped AS (
+  SELECT event_type,
+         sum(a) OVER (PARTITION BY event_type) AS ta,
+         sum(b) OVER (PARTITION BY event_type) AS tb,
+         sum(a) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(b) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cb
+  FROM per_v
+)
+SELECT event_type,
+       CAST(any_value(ta) AS BIGINT) AS n_a,
+       CAST(any_value(tb) AS BIGINT) AS n_b,
+       round(max(CASE WHEN ta > 0 AND tb > 0
+                 THEN abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)
+            END), 6) AS ks
+FROM stepped GROUP BY event_type
+"""
+
+QUERIES["value_drift_ks"] = q_value_drift_ks
+ORACLES["value_drift_ks"] = ORACLE_KS_DRIFT
