@@ -16,6 +16,7 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.drift import (
     ks_drift,
+    psi_drift,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dq import (
     expectations_report,
@@ -148,6 +149,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "pmi_collocations",
     "point_in_time_join",
+    "psi_drift",
     "quantize_audit",
     "ngram_overlap",
     "pii_scan",

@@ -63,3 +63,54 @@ def ks_drift(
         F.first("_tb").alias("n_b"),
         F.round(F.max("_gap"), 6).alias("ks"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    sample_a: Column,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+) -> DataFrame:
+    """Population Stability Index per group over fixed equal-width
+    bins: ``Σ (p_a - p_b) · ln(p_a / p_b)`` — the industry-standard
+    scorecard drift metric (PSI > 0.2 ≈ significant shift).
+
+    Bins with zero mass on either side are SKIPPED (their PSI term is
+    undefined); fixed bin edges rather than per-run quantile edges
+    keep the metric comparable across runs and engines. Same scale
+    shape as :func:`ks_drift`: one combiner-reduced count shuffle
+    bounded by |groups| × n_bins, then constant per-group math.
+    """
+    width = (hi - lo) / n_bins
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - lo) / width).cast("long")),
+    )
+    per_bin = df.groupBy(*group_cols, bin_.alias("_bin")).agg(
+        F.sum(F.when(sample_a, 1).otherwise(0)).cast("long").alias("_a"),
+        F.sum(F.when(sample_a, 0).otherwise(1)).cast("long").alias("_b"),
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    pa = F.col("_a").cast("double") / F.sum("_a").over(w_tot)
+    pb = F.col("_b").cast("double") / F.sum("_b").over(w_tot)
+    term = F.when(
+        (F.col("_a") > 0) & (F.col("_b") > 0), (pa - pb) * F.log(pa / pb)
+    )
+    stepped = per_bin.select(
+        *group_cols,
+        F.sum("_a").over(w_tot).alias("_ta"),
+        F.sum("_b").over(w_tot).alias("_tb"),
+        term.alias("_term"),
+    )
+    # per-term scale-to-integer before the sum: even a 10-element
+    # double sum is partition-order-dependent in its low bits, and the
+    # oracle hash would flake (registry determinism convention)
+    term_i = F.round(F.col("_term") * 1e9).cast("long")
+    return stepped.groupBy(*group_cols).agg(
+        F.first("_ta").alias("n_a"),
+        F.first("_tb").alias("n_b"),
+        F.round(F.sum(term_i) / 1e9, 6).alias("psi"),
+    )

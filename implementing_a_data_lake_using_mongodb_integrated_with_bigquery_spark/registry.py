@@ -3411,3 +3411,55 @@ FROM stepped GROUP BY event_type
 
 QUERIES["value_drift_ks"] = q_value_drift_ks
 ORACLES["value_drift_ks"] = ORACLE_KS_DRIFT
+
+
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between month halves
+    (operators.drift.psi_drift, 10 fixed-width bins over [0,1000)).
+    Count shuffle bounded by |types| × 10 bins; zero-mass bins are
+    skipped per the standard definition."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.drift import (
+        psi_drift,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return psi_drift(
+        e,
+        ["event_type"],
+        "value",
+        sample_a=F.col("ts") < F.lit("2024-01-16"),
+        n_bins=10,
+        lo=0.0,
+        hi=1000.0,
+    )
+
+
+ORACLE_PSI_DRIFT = """
+WITH per_bin AS (
+  SELECT event_type,
+         least(9, greatest(0, CAST(floor((value - 0.0) / 100.0) AS BIGINT))) AS b,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS BIGINT) AS bb
+  FROM events GROUP BY 1, 2
+), stepped AS (
+  SELECT event_type,
+         sum(a) OVER (PARTITION BY event_type) AS ta,
+         sum(bb) OVER (PARTITION BY event_type) AS tb,
+         CASE WHEN a > 0 AND bb > 0 THEN
+           (CAST(a AS DOUBLE) / sum(a) OVER (PARTITION BY event_type)
+            - CAST(bb AS DOUBLE) / sum(bb) OVER (PARTITION BY event_type))
+           * ln((CAST(a AS DOUBLE) / sum(a) OVER (PARTITION BY event_type))
+                / (CAST(bb AS DOUBLE) / sum(bb) OVER (PARTITION BY event_type)))
+         END AS term
+  FROM per_bin
+)
+SELECT event_type,
+       CAST(any_value(ta) AS BIGINT) AS n_a,
+       CAST(any_value(tb) AS BIGINT) AS n_b,
+       round(CAST(sum(CAST(round(term * 1000000000.0) AS BIGINT)) AS BIGINT)
+             / 1000000000.0, 6) AS psi
+FROM stepped GROUP BY event_type
+"""
+
+QUERIES["value_drift_psi"] = q_value_drift_psi
+ORACLES["value_drift_psi"] = ORACLE_PSI_DRIFT
