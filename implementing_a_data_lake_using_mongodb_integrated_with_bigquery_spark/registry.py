@@ -3463,3 +3463,121 @@ FROM stepped GROUP BY event_type
 
 QUERIES["value_drift_psi"] = q_value_drift_psi
 ORACLES["value_drift_psi"] = ORACLE_PSI_DRIFT
+
+
+# --------------------------- lake ingest discipline: CSV DLQ, evolution
+
+def q_csv_ingest_with_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine on a text-format ingest (K8
+    generalized to CSV): a mixed landing directory (valid CSV rows +
+    deterministically injected garbage lines) is read PERMISSIVE with
+    a corrupt-record column; bad lines are counted into the report
+    instead of poisoning the load or being dropped silently. The
+    oracle recomputes the clean-side aggregate from the source table
+    plus the known injection count — a hash match proves the CSV
+    write→read roundtrip is lossless AND the quarantine is exact."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as T
+
+    root = _tempfile.mkdtemp(prefix="csv_ingest_")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    o.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).csv(root, header=False)
+    # 7 deterministic garbage lines (wrong arity / non-numeric key)
+    spark.range(7).select(
+        F.concat(F.lit("garbage-line-"), F.col("id")).alias("value")
+    ).coalesce(1).write.mode("append").text(root)
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    # CSV column pruning parses only referenced fields, which lets
+    # malformed rows slip past corrupt-record detection when the bad
+    # field is pruned away — quarantine correctness needs a full parse
+    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(root)
+    )
+    # one aggregate over the mixed scan: Spark rejects any sub-plan
+    # that prunes down to ONLY the corrupt-record column, so the
+    # quarantine count is a conditional sum beside the clean metrics
+    # PERMISSIVE keeps any fields that DID parse on a quarantined row
+    # (e.g. over-arity rows parse their prefix), so clean-side metrics
+    # must be conditional on _corrupt IS NULL, not a bare sum
+    clean_price = F.when(F.col("_corrupt").isNull(), F.col("o_totalprice"))
+    return raw.agg(
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_parsed"),
+        _scaled_sum(clean_price, 100, "sum_price"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quarantined"),
+    )
+
+
+ORACLE_CSV_DLQ = """
+SELECT CAST(count(*) AS BIGINT) AS n_parsed,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price,
+       CAST(7 AS BIGINT) AS n_quarantined
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+QUERIES["csv_ingest_with_dlq"] = q_csv_ingest_with_dlq
+ORACLES["csv_ingest_with_dlq"] = ORACLE_CSV_DLQ
+
+
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution (mergeSchema): two snapshot
+    generations of the orders lake — an early 2-column layout and a
+    later layout that added o_orderpriority — are read as ONE table;
+    old rows surface NULL for the added column. The oracle rebuilds
+    the same union with a CASE, proving widened reads are lossless.
+    At 100 TB this is the zero-rewrite evolution path: old files are
+    never touched, footer merging happens at planning time."""
+    import os as _os
+    import tempfile as _tempfile
+
+    root = _tempfile.mkdtemp(prefix="schema_evo_")
+    o = load_table(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(_os.path.join(root, "gen=1"))
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(_os.path.join(root, "gen=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        _os.path.join(root, "gen=1"), _os.path.join(root, "gen=2")
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        _scaled_sum(F.col("o_totalprice"), 100, "sum_price"),
+    )
+
+
+ORACLE_SCHEMA_EVO = """
+SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
+                '<pre-evolution>') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
+FROM orders GROUP BY 1
+"""
+
+QUERIES["schema_evolution_merge"] = q_schema_evolution_merge
+ORACLES["schema_evolution_merge"] = ORACLE_SCHEMA_EVO
