@@ -82,3 +82,31 @@ def reconcile_counts(source: DataFrame, target: DataFrame, key: str) -> DataFram
         "consistent",
         (F.col("missing_in_target") == 0) & (F.col("extra_in_target") == 0),
     )
+
+def content_checksum(
+    df: DataFrame, cols: list[str], group_by: str | None = None
+) -> DataFrame:
+    """Order-independent content checksum — anti-entropy reconciliation
+    without moving data.
+
+    Generalizes the reference's count-only parity audit (``README.md:140``)
+    to CONTENT parity: each row is canonicalized to a string
+    (caller pre-casts floats/timestamps to deterministic forms), md5'd,
+    and the first 8 hex digits are summed as integers. Integer addition
+    is associative/commutative, so the checksum is identical under any
+    partitioning and row order — two stores agree iff (with md5-collision
+    probability) they hold the same multiset of rows. Map-only + a
+    |groups|-row aggregate: at 100 TB each side computes its checksum
+    in place and only the tiny digest crosses the wire.
+    """
+    row_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    h = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("long")
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).alias("checksum"),
+        F.min(h).alias("min_digest"),
+        F.max(h).alias("max_digest"),
+    ]
+    if group_by is None:
+        return df.agg(*aggs)
+    return df.groupBy(group_by).agg(*aggs)

@@ -265,3 +265,32 @@ def ivf_topk_learned(
     return top_k_per_group(
         scored, ["q_id"], [F.col("similarity").desc(), F.col(id_col).asc()], k
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label elementwise centroid of an embedding column — the
+    class-prototype primitive behind nearest-centroid classification,
+    per-domain corpus drift tracking, and IVF-style cluster summaries.
+
+    ``posexplode`` lowers the vector column to (label, dim, value) rows
+    and one hash aggregate keyed by (label, dim) reduces them. Map-side
+    partial aggregation caps the shuffle at |labels|·dim rows per input
+    partition regardless of corpus size, so the plan is a single bounded
+    shuffle at 100 TB. Components are summed as scaled integers
+    (associative), making the centroid bit-stable under any row order.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    sum_scaled = F.sum(F.round(F.col("val").cast("double") * scale).cast("long"))
+    n = F.count(F.lit(1))
+    return exploded.groupBy("label", "dim").agg(
+        n.cast("long").alias("n_vectors"),
+        F.round(sum_scaled.cast("double") / n / scale, 6).alias("centroid"),
+    )

@@ -205,3 +205,52 @@ def token_frequencies(df: DataFrame, text_col: str = "text", k: int = 20) -> Dat
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to the regex subset
+# shared by Java regex (Spark) and RE2 (DuckDB): contraction suffixes,
+# space-prefixed letter runs, space-prefixed digit runs, space-prefixed
+# punctuation runs, residual whitespace. The upstream GPT-2 pattern's
+# `\s+(?!\S)` lookahead is dropped (RE2 has no lookahead); the effect
+# is that inter-word single spaces attach to the following token and
+# only *residual* whitespace runs match the final branch — token
+# COUNTS, the quantity a data pipeline budgets by, are unchanged for
+# single-space-separated text.
+BPE_PRETOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+|\s+"
+
+
+def bpe_tokens(text_col: Column | str) -> Column:
+    """Array of BPE-style pre-tokens (the units a byte-pair encoder
+    would merge within). Built-in ``regexp_extract_all`` — JVM regex,
+    no Python."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", id_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-document token-count accounting under a BPE-ish pre-tokenizer
+    (SURVEY.md §2.10 "token counting: whitespace + a BPE-ish regex").
+
+    Emits both the whitespace count and the pre-token count plus the
+    fertility ratio (pre-tokens per whitespace word) — the number that
+    converts a 100 TB corpus size into a training-token budget. Map-only:
+    no shuffle, no UDF; the regex runs inside whole-stage codegen.
+    """
+    ids = id_cols or ["doc_id"]
+    bpe = bpe_tokens(text_col)
+    # drop pure-whitespace matches from the countable-token set
+    countable = F.filter(bpe, lambda x: ~x.rlike(r"^\s+$"))
+    n_bpe = F.size(countable).cast("long")
+    n_ws = F.size(tokens(text_col)).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    return df.select(
+        *ids,
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.when(n_ws > 0, F.round(n_bpe / n_ws, 6)).otherwise(F.lit(0.0)).alias("fertility"),
+        F.when(n_bpe > 0, F.round(n_chars / n_bpe, 6))
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_token"),
+    )

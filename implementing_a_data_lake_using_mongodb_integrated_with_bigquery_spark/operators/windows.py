@@ -192,3 +192,87 @@ def sliding_agg(
             *[F.col(name) for name in sums],
         )
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global rank (1-based, dense total order) WITHOUT a
+    single-partition window.
+
+    A bare ``row_number().over(Window.orderBy(...))`` collapses the
+    whole table into ONE task — the classic global-sort scale-killer.
+    This is the two-phase form a 1000-executor cluster needs:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` — a real
+       distributed sort (range partitioner, each task sorts its slice).
+    2. local row_number per partition, plus a |partitions|-row count
+       aggregate whose running total is broadcast back as each
+       partition's global offset.
+
+    ``order_cols`` must be a total order (include a unique tiebreak) —
+    then the output rank is unique and independent of partition
+    boundaries, so the operator is deterministic even though the range
+    sampler isn't pinned.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    sorted_df = df.repartitionByRange(n_part, *cols).sortWithinPartitions(*cols)
+    with_pid = sorted_df.withColumn("_pid", F.spark_partition_id())
+    local = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(*cols)
+    )
+    # per-partition counts -> exclusive running total = rank offset;
+    # |partitions| rows, broadcast back onto the fact side.
+    offsets = (
+        with_pid.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    return (
+        with_pid.withColumn("_local", local)
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_offset") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_offset")
+    )
+
+
+def ntile_exact(
+    df: DataFrame,
+    order_cols: list[str],
+    buckets: int,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact equal-frequency binning (SQL ``NTILE`` semantics: the first
+    ``n mod k`` buckets hold one extra row) built on :func:`global_rank`
+    — distributed, no single-partition window. The total row count is a
+    1-row aggregate joined back by broadcast."""
+    ranked = global_rank(df, order_cols, rank_col="_grank")
+    total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    q = F.col("_n") // buckets  # base bucket size
+    m = F.col("_n") % buckets  # buckets holding q+1 rows
+    r0 = F.col("_grank") - 1  # 0-based rank
+    big_span = (q + 1) * m  # rows covered by the larger buckets
+    bucket = F.when(m == 0, r0 / q).when(r0 < big_span, r0 / (q + 1)).otherwise(
+        m + (r0 - big_span) / q
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(bucket_col, (F.floor(bucket) + 1).cast("long"))
+        .drop("_grank", "_n")
+    )
