@@ -26,12 +26,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.q_star_revenue(spark, "/root/testdata/sf0.001")
 
 
+# Queries with a GREEN row in CORRECTNESS_r02.json. The driver verifies
+# only the first 50 entries of queries() per round, so ordering is a
+# coverage rotation: anything NOT yet driver-verified (round-2 additions
+# past the window, the round-2 stream_batch_hourly error, and every new
+# round-3 query) is emitted FIRST; already-hard-verified queries rotate
+# to the back. All entries stay selfcheck-verified regardless of order.
+_DRIVER_VERIFIED = frozenset(
+    {
+        "pricing_summary", "star_revenue", "coord_projection_cast",
+        "dedup_load", "duplicate_audit", "orders_without_lineitems",
+        "fk_semi_urgent", "freshness_latest_hour", "fuzzy_best_match",
+        "cdc_last_write_wins", "hourly_event_stats", "json_props_extract",
+        "text_stats", "text_quality", "lang_id", "doc_fingerprint",
+        "token_topk", "dedup_exact_text", "ngram_jaccard_pairs",
+        "minhash_lsh_pairs", "simhash_near_dup", "ann_cosine_topk",
+        "ann_ivf_topk", "embedding_near_dup", "multimodal_features",
+        "dlq_split_fk", "reconcile_counts", "gmt7_hourly", "set_ops",
+        "top_customers_by_balance", "rollup_revenue",
+        "window_running_metrics", "asof_purchase_click", "sessionize",
+        "priority_late_orders", "customer_order_distribution",
+        "top_customer_per_nation", "large_orders", "embedding_stats",
+        "dedup_clusters", "grouped_pct_rank", "value_percentiles",
+        "value_moments", "value_histogram", "string_functions",
+        "orders_pivot", "ann_ivf_learned", "conditional_aggregates",
+        "pattern_filters",
+    }
+)
+
+
+def _rotated(mapping: dict) -> dict:
+    unverified = {k: v for k, v in mapping.items() if k not in _DRIVER_VERIFIED}
+    verified = {k: v for k, v in mapping.items() if k in _DRIVER_VERIFIED}
+    return {**unverified, **verified}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    return _rotated(dict(registry.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each query (omitted for
     non-SQL-expressible ops → driver records rows-only check)."""
-    return dict(registry.ORACLES)
+    return _rotated(dict(registry.ORACLES))

@@ -43,45 +43,55 @@ def main() -> None:
     # warm the JVM + file listing + Python worker pool once so
     # per-query numbers measure the query, not process startup (the
     # steady-state condition on a long-lived cluster)
-    qs[names[0]](spark, sf_dir).count()
-    from pyspark.sql import functions as F
+    try:
+        qs[names[0]](spark, sf_dir).count()
+        from pyspark.sql import functions as F
 
-    _warm = F.pandas_udf(lambda s: s, "long")
-    spark.range(100).select(_warm("id")).count()
-    # the scalar-pandas-UDF warmup above does NOT warm the mapInPandas
-    # path (separate worker/exec machinery): without this, the first
-    # mapInPandas query is charged ~2-6s of one-time spawn cost
-    spark.range(100, numPartitions=32).mapInPandas(
-        lambda it: it, "id long"
-    ).count()
+        _warm = F.pandas_udf(lambda s: s, "long")
+        spark.range(100).select(_warm("id")).count()
+        # the scalar-pandas-UDF warmup above does NOT warm the mapInPandas
+        # path (separate worker/exec machinery): without this, the first
+        # mapInPandas query is charged ~2-6s of one-time spawn cost
+        spark.range(100, numPartitions=32).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
+    except Exception:  # noqa: BLE001 — warmup failure must not kill the run
+        pass
     # Each query runs twice and reports the BEST time: single-shot
     # numbers at this data scale are dominated by per-run noise (first
     # plan compile, GC pauses, cache population for shared pipelines —
     # observed 2x run-to-run swings on the iterative queries), while
     # min-of-2 measures the steady-state latency a long-lived cluster
     # actually serves. Every run still fully materializes the result.
-    timings: dict[str, float] = {}
+    # One raising query must NEVER abort the run: the contract is that
+    # this script ALWAYS prints its one JSON line. Failures are recorded
+    # per-query as {"err": ...} and excluded from the total.
+    timings: dict[str, object] = {}
+    errors = 0
     for name in names:
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            n = len(df.collect())  # full materialization of the result
-            best = min(best, time.time() - t0)
-            assert n >= 0
-        timings[name] = round(best, 3)
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                n = len(df.collect())  # full materialization of the result
+                best = min(best, time.time() - t0)
+                assert n >= 0
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — record and keep going
+            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+            errors += 1
+    total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

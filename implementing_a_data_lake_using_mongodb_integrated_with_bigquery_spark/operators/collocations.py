@@ -76,12 +76,12 @@ def pmi_collocations(
         ),
         6,
     )
-    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    # distributed TakeOrdered, not a single-partition global rank
+    # window — the bigram-vocab table never funnels through one task
     return (
         joined.select("w1", "w2", "n_pair", "n_w1", "n_w2", pmi.alias("pmi"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .drop("rank")
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
     )
 
 

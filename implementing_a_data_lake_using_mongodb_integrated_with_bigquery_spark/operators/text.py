@@ -200,11 +200,13 @@ def token_frequencies(df: DataFrame, text_col: str = "text", k: int = 20) -> Dat
     ordered head; the classic wordcount, shuffle bounded by |vocab|."""
     tok = df.select(F.explode(tokens(text_col)).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    # distributed TakeOrdered (per-partition top-k + merge on the driver
+    # of k-row heads), NOT a global single-partition rank window: the
+    # full vocab never funnels through one task. The rank window then
+    # runs over only the k surviving rows.
+    head = counts.orderBy(F.col("n_occurrences").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return head.withColumn("rank", F.row_number().over(w))
 
 
 # GPT-2-style pre-tokenizer pattern, restricted to the regex subset

@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Pin parquet timestamp-inference: micros with isAdjustedToUTC=false
+        # (the lake layout for events.ts) read as TIMESTAMP_NTZ, regardless
+        # of the running Spark's default. A silent default flip would change
+        # event-time semantics engine-wide; tests/conftest.py carries a
+        # canary asserting the read type.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         .config("spark.driver.memory", os.environ.get("LAKEFLOW_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -45,6 +45,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC timestamp semantics (oracle parity for NTZ → epoch conversions).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # and pinned NTZ inference (see session.py) so event-time types are
+    # identical under the driver's vanilla session
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

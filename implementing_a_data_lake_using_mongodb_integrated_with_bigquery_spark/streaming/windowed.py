@@ -76,9 +76,18 @@ def windowed_counts_once(
     Same nanos-parquet handling as ``sources/tables.py:load_table``:
     TIMESTAMP(NANOS) columns stream in as raw longs and are rebuilt as
     microsecond timestamps.
+
+    TIMESTAMP_NTZ event time (what Spark ≥3.4 infers for parquet
+    micros with ``isAdjustedToUTC=false``, the lake's layout) is cast
+    to TIMESTAMP before watermarking — ``withWatermark`` rejects NTZ
+    outright (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session
+    timezone is pinned UTC, so the cast is value-identical; the window
+    bounds are cast back to NTZ afterwards so the output schema matches
+    the batch-read (NTZ) formulation the oracles compare against.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     raw_schema = spark.read.parquet(events_path).schema
     # the lake table may be a single parquet FILE. The file-stream
     # source force-sets basePath to the source path UNLESS the path is
@@ -94,6 +103,9 @@ def windowed_counts_once(
         stream = stream.withColumn(
             ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
         )
+    ntz_event_time = isinstance(raw_schema[ts_col].dataType, T.TimestampNTZType)
+    if ntz_event_time:
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     out = windowed_counts(stream, ts_col, duration, lateness, group_cols, aggs, slide)
     sink = f"windowed_counts_once_{next(_SINK_SEQ)}"
     q = (
@@ -104,4 +116,9 @@ def windowed_counts_once(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    result = spark.table(sink)
+    if ntz_event_time:
+        result = result.withColumn(
+            "window_start", F.col("window_start").cast("timestamp_ntz")
+        ).withColumn("window_end", F.col("window_end").cast("timestamp_ntz"))
+    return result
