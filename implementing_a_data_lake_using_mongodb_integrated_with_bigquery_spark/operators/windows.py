@@ -209,9 +209,18 @@ def global_rank(
 
     1. ``repartitionByRange`` + ``sortWithinPartitions`` — a real
        distributed sort (range partitioner, each task sorts its slice).
-    2. local row_number per partition, plus a |partitions|-row count
-       aggregate whose running total is broadcast back as each
-       partition's global offset.
+    2. the local (within-partition) position comes from
+       ``monotonically_increasing_id``'s lower 33 bits — a plain
+       per-partition counter over the already-sorted rows, NO
+       ``Window.partitionBy(_pid)`` (which would re-hash-exchange the
+       entire table right after the range shuffle). A
+       |partitions|-row count aggregate's running total is broadcast
+       back as each partition's global offset.
+
+    The whole table moves exactly ONCE (the range shuffle); both
+    branches read the SAME exchange (Spark reuses it, and AQE never
+    re-coalesces an explicit-numPartitions repartition), so local
+    positions and per-partition counts are consistent by construction.
 
     ``order_cols`` must be a total order (include a unique tiebreak) —
     then the output rank is unique and independent of partition
@@ -222,12 +231,15 @@ def global_rank(
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
     sorted_df = df.repartitionByRange(n_part, *cols).sortWithinPartitions(*cols)
-    with_pid = sorted_df.withColumn("_pid", F.spark_partition_id())
-    local = F.row_number().over(
-        Window.partitionBy("_pid").orderBy(*cols)
+    # monotonically_increasing_id = (partition id << 33) + row number
+    # within partition: the lower 33 bits are the sorted local position
+    local_mask = (1 << 33) - 1
+    with_pid = sorted_df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_local", F.monotonically_increasing_id().bitwiseAND(F.lit(local_mask)) + 1
     )
     # per-partition counts -> exclusive running total = rank offset;
-    # |partitions| rows, broadcast back onto the fact side.
+    # |partitions| rows, broadcast back onto the fact side. The running
+    # sum's single-partition window is over |partitions| rows, not data.
     offsets = (
         with_pid.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -245,8 +257,7 @@ def global_rank(
         .select("_pid", "_offset")
     )
     return (
-        with_pid.withColumn("_local", local)
-        .join(F.broadcast(offsets), "_pid")
+        with_pid.join(F.broadcast(offsets), "_pid")
         .withColumn(rank_col, (F.col("_offset") + F.col("_local")).cast("long"))
         .drop("_pid", "_local", "_offset")
     )
@@ -264,7 +275,7 @@ def ntile_exact(
     1-row aggregate joined back by broadcast."""
     ranked = global_rank(df, order_cols, rank_col="_grank")
     total = ranked.agg(F.count(F.lit(1)).alias("_n"))
-    q = F.col("_n") // buckets  # base bucket size
+    q = F.floor(F.col("_n") / buckets).cast("long")  # base bucket size
     m = F.col("_n") % buckets  # buckets holding q+1 rows
     r0 = F.col("_grank") - 1  # 0-based rank
     big_span = (q + 1) * m  # rows covered by the larger buckets

@@ -3581,3 +3581,174 @@ FROM orders GROUP BY 1
 
 QUERIES["schema_evolution_merge"] = q_schema_evolution_merge
 ORACLES["schema_evolution_merge"] = ORACLE_SCHEMA_EVO
+
+
+# --------------------------------------- round 3: distributed rank / ntile
+
+def q_global_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global rank over the full events table via the two-phase
+    distributed form (operators.windows.global_rank: repartitionByRange
+    sort + per-partition row_number + broadcast offsets) — NOT a
+    single-partition ``row_number() OVER (ORDER BY ...)``, which would
+    funnel 100 TB through one task. (value, event_id) is a total order,
+    so the rank is partition-boundary-independent."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        global_rank,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return global_rank(e, ["value", "event_id"]).select("event_id", "rank")
+
+
+ORACLE_GLOBAL_RANK = """
+SELECT event_id,
+       CAST(row_number() OVER (ORDER BY value ASC, event_id ASC) AS BIGINT) AS rank
+FROM events
+"""
+
+
+def q_global_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-frequency binning (SQL NTILE semantics) built on the
+    distributed global rank — the 100 TB-safe form of
+    ``ntile(16) OVER (ORDER BY ...)``."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        ntile_exact,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return ntile_exact(e, ["value", "event_id"], buckets=16).select(
+        "event_id", "bucket"
+    )
+
+
+ORACLE_GLOBAL_NTILE = """
+SELECT event_id,
+       CAST(ntile(16) OVER (ORDER BY value ASC, event_id ASC) AS BIGINT) AS bucket
+FROM events
+"""
+
+QUERIES["global_value_rank"] = q_global_value_rank
+ORACLES["global_value_rank"] = ORACLE_GLOBAL_RANK
+QUERIES["global_value_ntile"] = q_global_value_ntile
+ORACLES["global_value_ntile"] = ORACLE_GLOBAL_NTILE
+
+
+# ------------------------------------------- round 3: BPE token accounting
+
+def q_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document training-token budget under the BPE-ish
+    pre-tokenizer (operators.text.bpe_token_stats): pre-token count,
+    whitespace-token count, fertility, chars/token. Map-only — the
+    regex runs inside whole-stage codegen, no UDF, no shuffle."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        bpe_token_stats,
+    )
+
+    return bpe_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_bpe_budget() -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        BPE_PRETOKEN_PATTERN,
+    )
+
+    sql = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_extract_all(text, '__PAT__'),
+                              x -> NOT regexp_matches(x, '^\\s+$'))) AS BIGINT) AS n_bpe,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_bpe AS n_bpe_tokens, n_ws AS n_ws_tokens,
+       CASE WHEN n_ws > 0 THEN round(n_bpe / CAST(n_ws AS DOUBLE), 6) ELSE 0.0 END AS fertility,
+       CASE WHEN n_bpe > 0 THEN round(n_chars / CAST(n_bpe AS DOUBLE), 6) ELSE 0.0 END AS chars_per_token
+FROM t
+"""
+    return sql.replace("__PAT__", BPE_PRETOKEN_PATTERN.replace("'", "''"))
+
+
+QUERIES["bpe_token_budget"] = q_bpe_token_budget
+ORACLES["bpe_token_budget"] = _oracle_bpe_budget()
+
+
+# --------------------------------------- round 3: content checksum parity
+
+def q_content_checksum_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy CONTENT audit (operators.integrity.content_checksum),
+    generalizing the reference's count-only load verification
+    (``README.md:140``): per-priority row counts plus an
+    order-independent md5-prefix integer checksum. Each store computes
+    its digest in place; only |groups| rows cross the wire."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.integrity import (
+        content_checksum,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return content_checksum(
+        o,
+        cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        group_by="o_orderpriority",
+    )
+
+
+ORACLE_CONTENT_CHECKSUM = """
+WITH h AS (
+  SELECT o_orderpriority,
+         CAST(concat('0x', substring(md5(concat_ws('|',
+              CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+              o_orderstatus, o_orderpriority)), 1, 8)) AS BIGINT) AS hv
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(hv) AS BIGINT) AS checksum,
+       MIN(hv) AS min_digest,
+       MAX(hv) AS max_digest
+FROM h GROUP BY o_orderpriority
+"""
+
+QUERIES["content_checksum_parity"] = q_content_checksum_parity
+ORACLES["content_checksum_parity"] = ORACLE_CONTENT_CHECKSUM
+
+
+# ------------------------------------------- round 3: per-label centroids
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (operators.similarity.
+    label_centroids): posexplode to (label, dim, val) + ONE bounded hash
+    aggregate — shuffle capped at |labels|·dim rows per input partition
+    by map-side combine, so the plan is corpus-size-independent.
+    Components summed as scaled integers (bit-stable under any row
+    order, per the registry determinism convention)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = label_centroids(emb, vec_col="embedding", label_col="label")
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("dim").cast("long").alias("dim"),
+        "n_vectors",
+        "centroid",
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+)
+SELECT label, dim,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(CAST(round(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000, 6) AS centroid
+FROM e GROUP BY label, dim
+"""
+
+QUERIES["label_centroids"] = q_label_centroids
+ORACLES["label_centroids"] = ORACLE_LABEL_CENTROIDS
