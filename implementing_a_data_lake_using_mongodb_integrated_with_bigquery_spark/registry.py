@@ -3752,3 +3752,185 @@ FROM e GROUP BY label, dim
 
 QUERIES["label_centroids"] = q_label_centroids
 ORACLES["label_centroids"] = ORACLE_LABEL_CENTROIDS
+
+
+# ------------------------------------- round 3: boilerplate shingle scores
+
+def q_boilerplate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-common shingle scoring (operators.boilerplate): fraction
+    of each document's distinct 8-gram shingles that occur in ≥2
+    documents — the CCNet/Gopher template-detection primitive. Two
+    bounded shuffles (per-doc-distinct explode, shingle DF aggregate);
+    the common-shingle join is AQE-broadcastable by construction."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.boilerplate import (
+        boilerplate_scores,
+    )
+
+    return boilerplate_scores(
+        load_table(spark, sf_dir, "documents"), n=8, min_docs=2
+    )
+
+
+ORACLE_BOILERPLATE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+  FROM tok, UNNEST(range(1, greatest(len(t)-7, 0)+1)) AS u(i)
+), df AS (
+  SELECT s, count(*) AS n_docs FROM sh GROUP BY s
+), scored AS (
+  SELECT sh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+  FROM sh JOIN df USING (s) GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_shingles, 0) AS n_shingles,
+       COALESCE(n_common, 0) AS n_common,
+       CASE WHEN COALESCE(n_shingles, 0) > 0
+            THEN round(n_common / CAST(n_shingles AS DOUBLE), 6)
+            ELSE 0.0 END AS boilerplate_ratio
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN scored USING (doc_id)
+"""
+
+QUERIES["boilerplate_flags"] = q_boilerplate_flags
+ORACLES["boilerplate_flags"] = ORACLE_BOILERPLATE
+
+
+# --------------------------------------- round 3: stream-side deduplication
+
+def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup executed as a REAL streaming
+    job (streaming.dedup.stream_dedup_once): the events table is
+    delivered TWICE (two unioned file streams — worst-case
+    at-least-once transport), ``dropDuplicatesWithinWatermark`` on the
+    event key suppresses the duplicates with bounded state, and the
+    oracle is batch SQL over the single-delivery table. A hash match
+    proves exactly-once arithmetic survived duplicate delivery."""
+    import os as _os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.dedup import (
+        stream_dedup_once,
+    )
+
+    return stream_dedup_once(
+        spark,
+        _os.path.join(sf_dir, "events.parquet"),
+        key_cols=["event_id"],
+        group_cols=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            _scaled_sum(F.col("value"), 10000, "sum_value"),
+        ],
+    )
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value
+FROM events GROUP BY event_type
+"""
+
+QUERIES["stream_dedup_counts"] = q_stream_dedup_counts
+ORACLES["stream_dedup_counts"] = ORACLE_STREAM_DEDUP
+
+
+# ----------------------------------------------- round 3: ORC sink/source
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format portability: project orders, write ORC (Spark's
+    second built-in columnar format — zlib, vectorized reader), read it
+    back, aggregate. The oracle aggregates the original parquet: a hash
+    match proves the ORC write/read roundtrip is lossless for longs,
+    doubles, strings and timestamps alike. Export funnels through the
+    engine's normal distributed write (one file per partition)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    path = _os.path.join(_tempfile.mkdtemp(prefix="orc_sink_"), "orders_orc")
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _scaled_sum(F.col("o_totalprice"), 100, "sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        epoch_us(F.min(F.col("o_orderdate").cast("timestamp"))).alias("min_date_us"),
+    )
+
+
+ORACLE_ORC_ROUNDTRIP = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       epoch_us(MIN(o_orderdate)) AS min_date_us
+FROM orders GROUP BY o_orderpriority
+"""
+
+QUERIES["orc_roundtrip"] = q_orc_roundtrip
+ORACLES["orc_roundtrip"] = ORACLE_ORC_ROUNDTRIP
+
+
+# --------------------------------------- round 3: nation-pair trade volume
+
+def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue shipped between distinct nation pairs by
+    year — a 6-table star with TWO independent dimension legs (supplier
+    nation and customer nation). The ship-date filter pushes to the
+    fact scan; both nation joins and the supplier join broadcast; the
+    only big shuffles are the fact⋈orders join and the final |pairs|
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        _scaled_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_NATION_PAIR = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ns.n_name <> nc.n_name
+  AND l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <= TIMESTAMP '1996-12-31'
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["nation_pair_volume"] = q_nation_pair_volume
+ORACLES["nation_pair_volume"] = ORACLE_NATION_PAIR
