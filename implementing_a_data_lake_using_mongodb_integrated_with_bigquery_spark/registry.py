@@ -3934,3 +3934,232 @@ GROUP BY 1, 2, 3
 
 QUERIES["nation_pair_volume"] = q_nation_pair_volume
 ORACLES["nation_pair_volume"] = ORACLE_NATION_PAIR
+
+
+# ------------------------------------------- round 3: semantic dedup keep
+
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) deduplication end-to-end: blocked
+    cosine near-dup pairs (≥0.3 within the coarse cluster) resolved
+    into connected components, keeping one representative per
+    component — the full keep/drop decision a curation pipeline
+    executes, not just the pair list. Pair generation is
+    |n|²/|blocks|; component resolution is the adaptive pointer-jump
+    CC with per-round lineage truncation (operators.graph)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
+        dedup_clusters,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(emb, threshold=0.3).select("id_a", "id_b")
+    return dedup_clusters(
+        emb.select("vec_id"), pairs, id_col="vec_id", pair_cols=("id_a", "id_b")
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+), edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+)
+SELECT node AS vec_id, MIN(lbl) AS cluster_id, node = MIN(lbl) AS is_representative
+FROM reach GROUP BY node
+"""
+
+QUERIES["semantic_dedup_keep"] = q_semantic_dedup_keep
+ORACLES["semantic_dedup_keep"] = ORACLE_SEMANTIC_DEDUP
+
+
+# ---------------------------------------------- round 3: CUBE / grouping id
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 4 grouping sets of priority × returnflag)
+    with ``grouping_id`` disambiguation — completes the multi-level
+    aggregation surface next to ROLLUP (`rollup_revenue`). One shuffle;
+    Spark expands grouping sets map-side."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (
+        j.cube("o_orderpriority", "l_returnflag")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            _scaled_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, "revenue"
+            ),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            "gid", "n_items", "revenue",
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT COALESCE(o_orderpriority, '<all>') AS priority,
+       COALESCE(l_returnflag, '<all>') AS returnflag,
+       CAST(GROUPING(o_orderpriority, l_returnflag) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY CUBE(o_orderpriority, l_returnflag)
+"""
+
+QUERIES["cube_revenue"] = q_cube_revenue
+ORACLES["cube_revenue"] = ORACLE_CUBE
+
+
+# -------------------------------------- round 3: quantile sketch vs exact
+
+def q_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit, the quantile sibling of
+    `approx_distinct_check`: per event type, the EXACT p50/p90 (the
+    audit side — sort-based, what you pay for ground truth) plus a
+    boolean asserting Spark's ``approx_percentile`` sketch (the 100 TB
+    fast path, mergeable across partitions) lands within a generous
+    tolerance of them. The oracle computes the exact values and
+    TRUE — a hash match means the sketch stayed in-bounds."""
+    e = load_table(spark, sf_dir, "events")
+
+    # The sketch's rank error is ~n/accuracy rows; the VALUE error that
+    # induces is one inter-sample gap around the target rank (the exact
+    # side interpolates, the sketch returns a member value), so the
+    # tolerance is relative with an absolute floor — generous at any SF.
+    def in_tol(p):
+        exact = F.percentile("value", F.lit(p))
+        approx = F.percentile_approx("value", F.lit(p), F.lit(10000))
+        return F.abs(approx - exact) <= F.greatest(F.lit(1.0), F.abs(exact) * 0.02)
+
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("exact_p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("exact_p90"),
+        in_tol(0.5).alias("p50_in_tolerance"),
+        in_tol(0.9).alias("p90_in_tolerance"),
+    )
+
+
+ORACLE_APPROX_QUANTILE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(quantile_cont(value, 0.5), 6) AS exact_p50,
+       round(quantile_cont(value, 0.9), 6) AS exact_p90,
+       TRUE AS p50_in_tolerance,
+       TRUE AS p90_in_tolerance
+FROM events GROUP BY event_type
+"""
+
+QUERIES["approx_quantile_check"] = q_approx_quantile_check
+ORACLES["approx_quantile_check"] = ORACLE_APPROX_QUANTILE
+
+
+# ------------------------------------- round 3: higher-order array surface
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function surface over the vector column — the
+    lambda-expression toolkit (transform / filter / exists / forall /
+    aggregate / zip_with) a pipeline uses for in-row array math without
+    ever exploding. All map-only, whole-stage-codegen'd, zero shuffle
+    beyond the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    dot_rev = F.aggregate(
+        F.zip_with(v, F.reverse(v), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.exists(v, lambda x: F.abs(x) > 0.5).alias("any_large"),
+        F.forall(v, lambda x: F.abs(x) < 1.0).alias("all_unit"),
+        F.round(dot_rev, 6).alias("dot_reversed"),
+    )
+
+
+ORACLE_ARRAY_FUNCS = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id,
+       round(sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')), 6) AS l2_norm,
+       CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_positive,
+       len(list_filter(e, x -> abs(x) > 0.5)) > 0 AS any_large,
+       len(list_filter(e, x -> abs(x) >= 1.0)) = 0 AS all_unit,
+       round(list_dot_product(e, list_reverse(e)), 6) AS dot_reversed
+FROM v
+"""
+
+QUERIES["array_functions"] = q_array_functions
+ORACLES["array_functions"] = ORACLE_ARRAY_FUNCS
+
+
+# ------------------------------------ round 3: mapInArrow / Python UDTF
+
+def q_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow vector math (operators.udx.vector_norms_arrow):
+    numpy reductions directly over the Arrow list buffers — the
+    fastest Python worker path (no pandas materialization, no per-row
+    Python). Oracled against DuckDB list arithmetic, proving the
+    zero-copy buffer handling is value-exact."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.udx import (
+        vector_norms_arrow,
+    )
+
+    emb = parallelize(load_table(spark, sf_dir, "embeddings"))
+    return vector_norms_arrow(emb)
+
+
+ORACLE_ARROW_NORMS = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id,
+       round(sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')), 6) AS l2_norm,
+       round(list_aggregate(e, 'sum'), 6) AS component_sum
+FROM v
+"""
+
+QUERIES["arrow_vector_norms"] = q_arrow_vector_norms
+ORACLES["arrow_vector_norms"] = ORACLE_ARROW_NORMS
+
+
+def q_udtf_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (operators.udx.ngram_udtf_class): per-doc
+    trigram expansion via SQL LATERAL join, then the standard two-phase
+    count. UDTFs are the deliberate slow path (per-row Python, Arrow
+    transport) — kept off hot paths; this query pins the API works and
+    returns exactly what the declarative shingle pipeline returns."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.udx import (
+        udtf_ngram_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = udtf_ngram_counts(docs, n=3)
+    return out.orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc()).limit(20)
+
+
+ORACLE_UDTF_NGRAMS = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT array_to_string(t[i:i+2], ' ') AS ngram
+  FROM tok, UNNEST(range(1, greatest(len(t)-2, 0)+1)) AS u(i)
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
+"""
+
+QUERIES["udtf_ngram_counts"] = q_udtf_ngram_counts
+ORACLES["udtf_ngram_counts"] = ORACLE_UDTF_NGRAMS
