@@ -154,3 +154,75 @@ def dedup_clusters(
         "cluster_id",
         (F.col("node") == F.col("cluster_id")).alias("is_representative"),
     )
+
+
+def blocked_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    block_col: str,
+    node_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, cluster_id) when every edge is INTERNAL to a blocking key
+    (LSH band, IVF cell, coarse cluster — the usual near-dup layout):
+    components cannot span blocks, so resolve each block independently
+    with an in-memory union-find via a cogrouped ``applyInPandas``.
+
+    ONE shuffle each for nodes and edges (co-partitioned by block)
+    replaces the O(rounds) iterative joins of
+    :func:`connected_components` — the right trade whenever the
+    blocking key bounds the group size (a block must fit one task,
+    which candidate-generation already guarantees, or its pair list
+    would have been quadratic). Labels match ``connected_components``
+    exactly: cluster_id = min node id in the component.
+
+    ``nodes`` must carry ``(block_col, node_col)``; ``edges``
+    ``(block_col, src_col, dst_col)``.
+    """
+    import pandas as pd
+
+    def resolve(n: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # orient toward the smaller id so min-labels fall out
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+
+        ids = n["node"].tolist()
+        for a, b in zip(e["src"].tolist(), e["dst"].tolist()):
+            union(a, b)
+        # second pass: the union order above doesn't guarantee the root
+        # IS the min — normalize each component to its min member
+        comp_min: dict = {}
+        for x in ids:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        return pd.DataFrame(
+            {"node": ids, "cluster_id": [comp_min[find(x)] for x in ids]}
+        )
+
+    n = nodes.select(F.col(block_col).alias("_blk"), F.col(node_col).alias("node"))
+    e = edges.select(
+        F.col(block_col).alias("_blk"),
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+    )
+    node_t = nodes.schema[node_col].dataType.simpleString()
+    return (
+        n.groupBy("_blk")
+        .cogroup(e.groupBy("_blk"))
+        .applyInPandas(resolve, f"node {node_t}, cluster_id {node_t}")
+    )

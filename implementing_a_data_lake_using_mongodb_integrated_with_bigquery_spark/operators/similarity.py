@@ -97,10 +97,16 @@ def cosine_near_dup_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_block: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold among pairs
     sharing a blocking key (coarse cluster) — the blocked self-join
-    keeps the pair space |n|²/|blocks| instead of |n|²."""
+    keeps the pair space |n|²/|blocks| instead of |n|².
+
+    ``keep_block=True`` retains the blocking key on each pair (as
+    ``block_col``) so downstream block-local consumers
+    (``operators.graph.blocked_components``) can co-partition without
+    re-deriving it through a join."""
     corpus = parallelize(corpus)
     a = corpus.select(
         F.col(block_col).alias("_blk"),
@@ -113,8 +119,10 @@ def cosine_near_dup_pairs(
         F.col(vec_col).alias("_vb"),
     )
     pairs = a.join(b, on="_blk").filter(F.col("id_a") < F.col("id_b"))
+    block_cols = [F.col("_blk").alias(block_col)] if keep_block else []
     return (
         pairs.select(
+            *block_cols,
             "id_a",
             "id_b",
             F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias(

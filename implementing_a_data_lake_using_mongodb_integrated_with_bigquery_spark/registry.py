@@ -3941,22 +3941,34 @@ ORACLES["nation_pair_volume"] = ORACLE_NATION_PAIR
 def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) deduplication end-to-end: blocked
     cosine near-dup pairs (≥0.3 within the coarse cluster) resolved
-    into connected components, keeping one representative per
-    component — the full keep/drop decision a curation pipeline
-    executes, not just the pair list. Pair generation is
-    |n|²/|blocks|; component resolution is the adaptive pointer-jump
-    CC with per-round lineage truncation (operators.graph)."""
+    into components, keeping one representative per component — the
+    full keep/drop decision a curation pipeline executes, not just the
+    pair list. Because every edge is internal to the blocking key,
+    resolution uses the ONE-shuffle cogrouped union-find
+    (operators.graph.blocked_components) instead of O(rounds)
+    iterative label propagation — labels are identical by
+    construction (min member id)."""
     from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
-        dedup_clusters,
+        blocked_components,
     )
     from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
         cosine_near_dup_pairs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_near_dup_pairs(emb, threshold=0.3).select("id_a", "id_b")
-    return dedup_clusters(
-        emb.select("vec_id"), pairs, id_col="vec_id", pair_cols=("id_a", "id_b")
+    pairs = cosine_near_dup_pairs(emb, threshold=0.3, keep_block=True)
+    cc = blocked_components(
+        emb.select("label", "vec_id"),
+        pairs.select("label", "id_a", "id_b"),
+        block_col="label",
+        node_col="vec_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_representative"),
     )
 
 

@@ -69,3 +69,50 @@ def test_grouped_percent_rank_sql_semantics(spark):
     assert out[2] == out[3] == round(1 / 3, 6)
     assert out[4] == 1.0
     assert out[5] == 0.0
+
+
+def test_blocked_components_matches_iterative_cc(spark):
+    from pyspark.sql import Row
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
+        blocked_components,
+        connected_components,
+    )
+
+    # two blocks; block 0 has a chain 1-2-3 plus isolated 4,
+    # block 1 has a pair 10-11 plus isolated 12
+    nodes = spark.createDataFrame(
+        [Row(blk=0, id=i) for i in (1, 2, 3, 4)]
+        + [Row(blk=1, id=i) for i in (10, 11, 12)]
+    )
+    edges = spark.createDataFrame(
+        [Row(blk=0, src=1, dst=2), Row(blk=0, src=2, dst=3), Row(blk=1, src=10, dst=11)]
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in blocked_components(nodes, edges, "blk").collect()
+    }
+    want = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            nodes.select("id"), edges.select("src", "dst")
+        ).collect()
+    }
+    assert got == want == {1: 1, 2: 1, 3: 1, 4: 4, 10: 10, 11: 10, 12: 12}
+
+
+def test_blocked_components_union_order_independent(spark):
+    from pyspark.sql import Row
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
+        blocked_components,
+    )
+
+    nodes = spark.createDataFrame([Row(blk=0, id=i) for i in range(8)])
+    # star centered on 7 (max id): min-label must still be 0's component min
+    edges_fwd = spark.createDataFrame([Row(blk=0, src=7, dst=i) for i in range(7)])
+    edges_rev = spark.createDataFrame([Row(blk=0, src=i, dst=7) for i in range(7)])
+    a = sorted(blocked_components(nodes, edges_fwd, "blk").collect())
+    b = sorted(blocked_components(nodes, edges_rev, "blk").collect())
+    assert a == b
+    assert all(r["cluster_id"] == 0 for r in a)
