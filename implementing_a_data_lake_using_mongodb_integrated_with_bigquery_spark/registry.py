@@ -4175,3 +4175,208 @@ ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
 
 QUERIES["udtf_ngram_counts"] = q_udtf_ngram_counts
 ORACLES["udtf_ngram_counts"] = ORACLE_UDTF_NGRAMS
+
+
+# ----------------------------------------- round 3: keep-best exact dedup
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-grade exact dedup: within each identical-content group
+    (md5 fingerprint) keep the BEST copy — longest text, then lowest
+    doc_id as the total-order tiebreak — instead of an arbitrary one.
+    The ranking window partitions by fingerprint (bounded groups, never
+    a global window); everything else is map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    fp = F.md5(F.col("text"))
+    w = W.partitionBy(fp).orderBy(
+        F.length("text").desc(), F.col("doc_id").asc()
+    )
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.count(F.lit(1)).over(W.partitionBy(fp)).cast("long").alias("n_copies"),
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = """
+SELECT doc_id, md5(text) AS fingerprint,
+       CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies,
+       row_number() OVER (PARTITION BY md5(text)
+                          ORDER BY length(text) DESC, doc_id ASC) = 1 AS is_kept
+FROM documents
+"""
+
+QUERIES["dedup_keep_best"] = q_dedup_keep_best
+ORACLES["dedup_keep_best"] = ORACLE_DEDUP_KEEP_BEST
+
+
+# -------------------------------------------- round 3: Z-order clustering
+
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key (sources.layout.zorder_key) over
+    two quantized event dimensions — the multi-dimensional sort key a
+    data-skipping layout (OPTIMIZE ZORDER) clusters files by. The
+    oracle recomputes the interleave arithmetically; the locality
+    property (sorting by the key tightens per-file min/max on BOTH
+    dimensions) is pinned by `tests/test_layout.py`. Map-only,
+    whole-stage codegen."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        zorder_key,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(1024))
+    y = F.pmod(F.round(F.col("value") * 10).cast("long"), F.lit(1024))
+    return e.select(
+        "event_id", zorder_key(x, y, bits=10).alias("zkey")
+    )
+
+
+def _oracle_zorder() -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        zorder_oracle_sql,
+    )
+
+    zx = "((user_id % 1024) + 1024) % 1024"
+    zy = "((CAST(round(value * 10) AS BIGINT) % 1024) + 1024) % 1024"
+    return (
+        "SELECT event_id, "
+        + zorder_oracle_sql(zx, zy, bits=10)
+        + " AS zkey FROM events"
+    )
+
+
+QUERIES["zorder_keys"] = q_zorder_keys
+ORACLES["zorder_keys"] = _oracle_zorder()
+
+
+# ------------------------------------- round 3: TPC-H classics Q6/Q10/Q14
+
+def q_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate 'what-if' — revenue
+    delta from discount changes in a date/quantity/discount band. ALL
+    three predicates push to the parquet scan; the aggregate is one
+    partial-combined scalar. The cheapest possible 100 TB query — IF
+    the filters actually push down (pinned in SCALE.md)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _scaled_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), 10000, "revenue_delta"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q6 = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns —
+    returnflag filter pushed to the fact scan, nation broadcast, one
+    fact⋈orders shuffle, distributed TakeOrdered head (no global
+    window)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _scaled_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, "lost_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS lost_revenue,
+       CAST(count(*) AS BIGINT) AS n_returned_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue share — two-branch
+    conditional aggregate over the part⋈lineitem join. The part dim
+    broadcasts; the share divides two scaled-integer sums, so the 6dp
+    ratio is partition-order-independent."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    out = j.agg(
+        _scaled_sum(promo, 10000, "promo_revenue"),
+        _scaled_sum(rev, 10000, "total_revenue"),
+    )
+    return out.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(F.col("promo_revenue") / F.col("total_revenue"), 6).alias("promo_share"),
+    )
+
+
+ORACLE_Q14 = """
+WITH s AS (
+  SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) / 10000.0 AS promo_revenue,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
+)
+SELECT promo_revenue, total_revenue,
+       round(promo_revenue / total_revenue, 6) AS promo_share
+FROM s
+"""
+
+QUERIES.update(
+    {
+        "forecast_revenue_delta": q_forecast_revenue_delta,
+        "returned_revenue_customers": q_returned_revenue_customers,
+        "promo_revenue_share": q_promo_revenue_share,
+    }
+)
+ORACLES.update(
+    {
+        "forecast_revenue_delta": ORACLE_Q6,
+        "returned_revenue_customers": ORACLE_Q10,
+        "promo_revenue_share": ORACLE_Q14,
+    }
+)

@@ -18,7 +18,8 @@ query plan:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -59,3 +60,37 @@ def write_json_projection(df: DataFrame, path: str, single_file: bool = True) ->
     pass ``single_file=False`` to keep the input parallelism."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").json(path)
+
+
+def zorder_key(x: Column | str, y: Column | str, bits: int = 10) -> Column:
+    """Morton (Z-order) interleave of two pre-quantized non-negative
+    integer columns — the multi-dimensional clustering key behind
+    data-skipping layouts (Delta/Iceberg OPTIMIZE ZORDER): sorting by
+    the interleaved key keeps rows close in BOTH dimensions close in
+    file order, so per-file min/max stats prune scans on either
+    predicate column, not just the leading sort column.
+
+    Callers quantize first (the key is only as good as the histogram);
+    inputs are masked to ``bits`` bits. Pure shift/or expressions —
+    whole-stage codegen, engine-portable arithmetic.
+    """
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    mask = (1 << bits) - 1
+    xm, ym = xc.bitwiseAND(F.lit(mask)), yc.bitwiseAND(F.lit(mask))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key + F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        key = key + F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i)
+    return key
+
+
+def zorder_oracle_sql(x_expr: str, y_expr: str, bits: int = 10) -> str:
+    """The DuckDB arithmetic twin of :func:`zorder_key` (for oracles):
+    a sum of masked shift terms over the same ``bits`` bit positions."""
+    mask = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({x_expr}) & {mask}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+        terms.append(f"(((({y_expr}) & {mask}) >> {i}) & 1) * {1 << (2 * i)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

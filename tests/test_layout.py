@@ -64,3 +64,56 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "event_type" in plan
     n_click = e.filter(F.col("event_type") == "click").count()
     assert scan.count() == n_click
+
+
+def test_zorder_key_clusters_both_dimensions(spark):
+    """Sorting by the Morton key must give per-chunk min/max ranges
+    that are tight on BOTH dimensions — that's the entire point of
+    Z-ordering vs a single-column sort (perfect on x, useless on y)."""
+    import pyspark.sql.functions as F
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        zorder_key,
+    )
+
+    n, chunks = 4096, 16
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 1024).alias("x"),
+        (F.col("id") * 40503 % 1024).alias("y"),
+    )
+
+    def chunk_span_sum(sorted_df, dim):
+        ranked = sorted_df.coalesce(1).withColumn(
+            "chunk", (F.monotonically_increasing_id() / (n // chunks)).cast("int")
+        )
+        spans = (
+            ranked.groupBy("chunk")
+            .agg((F.max(dim) - F.min(dim)).alias("span"))
+            .agg(F.sum("span"))
+            .first()[0]
+        )
+        return spans
+
+    z = df.withColumn("zkey", zorder_key("x", "y", bits=10)).orderBy("zkey")
+    by_x = df.orderBy("x")
+
+    # x-sort: x spans are ~0 but y spans are full-range (~1023 each)
+    assert chunk_span_sum(by_x, "y") > 1000 * chunks * 0.9
+    # z-order: BOTH dimensions stay clustered (~sqrt(cells per chunk))
+    assert chunk_span_sum(z, "x") < 1000 * chunks * 0.5
+    assert chunk_span_sum(z, "y") < 1000 * chunks * 0.5
+
+
+def test_zorder_key_known_interleave(spark):
+    import pyspark.sql.functions as F
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        zorder_key,
+    )
+
+    df = spark.createDataFrame([(3, 5)], "x long, y long")
+    # x=0b011 -> odd bits, y=0b101 -> even bits: 0b011011 -> wait:
+    # interleave x_i -> bit 2i+1, y_i -> bit 2i:
+    # y0=1 -> 1, x0=1 -> 2, y1=0 -> 0, x1=1 -> 8, y2=1 -> 16, x2=0 -> 0
+    # total = 1 + 2 + 8 + 16 = 27
+    assert df.select(zorder_key("x", "y", 10).alias("z")).first()["z"] == 27
