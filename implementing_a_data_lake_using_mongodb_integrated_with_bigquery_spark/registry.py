@@ -4380,3 +4380,81 @@ ORACLES.update(
         "promo_revenue_share": ORACLE_Q14,
     }
 )
+
+
+# ------------------------------------- round 3: stream-stream join e2e
+
+def q_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join executed as a REAL streaming job
+    (streaming.joins.attribution_join_once): click→purchase attribution
+    within a 30-minute horizon, both sides watermarked (state-bounded).
+    The returned batch aggregate is oracled against the equivalent
+    batch interval join — hash match pins stream-executed ==
+    batch-executed for two-sided stateful joins."""
+    import os as _os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.joins import (
+        attribution_join_once,
+    )
+
+    out = attribution_join_once(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    gap_us = F.unix_micros(F.col("right_ts")) - F.unix_micros(F.col("left_ts"))
+    return out.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.sum(gap_us).alias("sum_gap_us"),
+        _scaled_sum(F.col("right_value"), 10000, "attributed_value"),
+    ).withColumnRenamed("k", "user_id")
+
+
+ORACLE_STREAM_ATTRIBUTION = """
+SELECT c.user_id,
+       CAST(count(*) AS BIGINT) AS n_attributed,
+       CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS sum_gap_us,
+       CAST(sum(CAST(round(p.value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS attributed_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id
+"""
+
+QUERIES["stream_attribution_join"] = q_stream_attribution_join
+ORACLES["stream_attribution_join"] = ORACLE_STREAM_ATTRIBUTION
+
+
+# -------------------------------------- round 3: custom Python DataSource
+
+def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource scan (sources.pyds): the reference's
+    driver-side REST fetch loop re-expressed as a partitioned source —
+    one input partition per place shard, executor-side iteration, no
+    driver payloads. Deterministic synthetic responses make the whole
+    source oracle-checkable; sf_dir is unused (the source IS the
+    data), matching the reference's API leg which reads nothing from
+    the lake."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.pyds import (
+        register_weather_api,
+    )
+
+    register_weather_api(spark)
+    return (
+        spark.read.format("weather_api")
+        .option("places", 30)
+        .option("hours", 24)
+        .option("shards", 8)
+        .load()
+    )
+
+
+def _oracle_python_datasource() -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.pyds import (
+        weather_api_oracle_sql,
+    )
+
+    return weather_api_oracle_sql(places=30, hours=24)
+
+
+QUERIES["python_datasource_scan"] = q_python_datasource_scan
+ORACLES["python_datasource_scan"] = _oracle_python_datasource()

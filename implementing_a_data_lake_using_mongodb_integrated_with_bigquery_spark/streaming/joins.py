@@ -1,0 +1,122 @@
+"""Stream-stream joins with watermark-bounded state (SURVEY §2.7
+T-family extension).
+
+The reference's pipeline only ever joins a stream against a STATIC dim
+(places). The missing Structured Streaming capability is joining two
+streams — e.g. click-to-purchase attribution — where BOTH sides buffer
+in the state store and the time-range join condition plus watermarks
+bound how long either side waits for its match.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SINK_SEQ = itertools.count()
+
+
+def _event_stream(
+    spark: SparkSession, events_path: str, ts_col: str = "ts"
+) -> DataFrame:
+    """File stream over one lake table with the engine's standard
+    NTZ/nanos event-time normalization (cast to TIMESTAMP for
+    watermarking; see streaming/windowed.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    raw_schema = spark.read.parquet(events_path).schema
+    base = os.path.dirname(events_path.rstrip("/")) or "."
+    glob = events_path + "*" if not any(c in events_path for c in "*?[{") else events_path
+    s = spark.readStream.schema(raw_schema).option("basePath", base).parquet(glob)
+    if isinstance(raw_schema[ts_col].dataType, T.LongType):
+        s = s.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    if isinstance(raw_schema[ts_col].dataType, T.TimestampNTZType):
+        s = s.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return s
+
+
+def attribution_join_once(
+    spark: SparkSession,
+    events_path: str,
+    key_col: str = "user_id",
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "30 minutes",
+    lateness: str = "2 hours",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Run a stream-stream INNER join end-to-end on a bounded replay:
+    ``left_type`` events join ``right_type`` events of the same key
+    when the right event lands within ``[left.ts, left.ts + horizon]``.
+    Both sides are watermarked (state for either side is evicted once
+    the other side's watermark passes the join horizon) and the joined
+    rows land in an append-mode memory sink; the finalized table is
+    returned batch-side for oracle comparison against the equivalent
+    batch interval join.
+
+    Inner joins emit eagerly on match — the watermark bounds STATE, not
+    emission — so the bounded replay yields every match whose pair was
+    co-resident within the lateness budget (all of them, here: the lake
+    table is one file ⇒ one micro-batch).
+
+    ``state_partitions`` sizes the stateful shuffle: each partition
+    owns four state stores (left/right × keyed buffers), and store
+    open/commit cost is per-store per-batch — so the partition count
+    should track the join KEYSPACE, not the CPU count (a 32-way
+    stateful shuffle over a small keyspace pays 128 store commits for
+    no parallelism gain). The session's normal shuffle setting is
+    restored after the run; a production deployment sizes this once
+    against its key cardinality since it is pinned by the checkpoint.
+    """
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    left = (
+        _event_stream(spark, events_path)
+        .filter(F.col("event_type") == left_type)
+        .select(
+            F.col(key_col).alias("k"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", lateness)
+    )
+    right = (
+        _event_stream(spark, events_path)
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col(key_col).alias("k2"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("right_ts"),
+            F.col("value").alias("right_value"),
+        )
+        .withWatermark("right_ts", lateness)
+    )
+    joined = left.join(
+        right,
+        (F.col("k") == F.col("k2"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    )
+    sink = f"attribution_join_once_{next(_SINK_SEQ)}"
+    try:
+        q = (
+            joined.select(
+                "k", "left_id", "right_id", "left_ts", "right_ts", "right_value"
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink)

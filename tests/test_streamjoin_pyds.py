@@ -1,0 +1,80 @@
+"""Unit tests: stream-stream attribution join and the custom Python
+DataSource."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.pyds import (
+    register_weather_api,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.joins import (
+    attribution_join_once,
+)
+
+
+def test_attribution_join_matches_batch_interval_join(spark, sf_dir):
+    events = os.path.join(sf_dir, "events.parquet")
+    out = attribution_join_once(spark, events, state_partitions=4)
+    got = out.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("left_id").alias("sl"),
+        F.sum("right_id").alias("sr"),
+    ).first()
+
+    e = spark.read.parquet(events)
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"), F.col("event_id").alias("left_id"),
+        F.col("ts").alias("left_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k2"), F.col("event_id").alias("right_id"),
+        F.col("ts").alias("right_ts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("k") == F.col("k2"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr("INTERVAL 30 minutes")),
+    )
+    want = batch.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("left_id").alias("sl"),
+        F.sum("right_id").alias("sr"),
+    ).first()
+    assert (got["n"], got["sl"], got["sr"]) == (want["n"], want["sl"], want["sr"])
+    assert got["n"] > 0  # the fixture actually exercises the join
+
+
+def test_attribution_join_restores_shuffle_conf(spark, sf_dir):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    attribution_join_once(
+        spark, os.path.join(sf_dir, "events.parquet"), state_partitions=2
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    register_weather_api(spark)
+    df = (
+        spark.read.format("weather_api")
+        .option("places", 6).option("hours", 4).option("shards", 3)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 24  # 6 places x 4 hours, no shard overlap/loss
+    assert df.rdd.getNumPartitions() == 3
+    by_id = {r["obs_id"]: r for r in rows}
+    assert sorted(by_id) == list(range(24))
+    # deterministic payload: same id -> same measurement on re-read
+    again = {
+        r["obs_id"]: r
+        for r in spark.read.format("weather_api")
+        .option("places", 6).option("hours", 4).option("shards", 3)
+        .load().collect()
+    }
+    assert {k: (v["temp_c"], v["humidity"]) for k, v in by_id.items()} == {
+        k: (v["temp_c"], v["humidity"]) for k, v in again.items()
+    }
