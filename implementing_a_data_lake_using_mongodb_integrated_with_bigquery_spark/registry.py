@@ -4458,3 +4458,58 @@ def _oracle_python_datasource() -> str:
 
 QUERIES["python_datasource_scan"] = q_python_datasource_scan
 ORACLES["python_datasource_scan"] = _oracle_python_datasource()
+
+
+# ------------------------------------------- round 3: hourly gap-filling
+
+def q_gapfill_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill (operators.timeseries.fill_gaps):
+    hourly purchase-value series per user bucket, densified to every
+    hour between each bucket's first and last observation with the
+    last value carried forward. Spine generated from per-key bounds
+    (no global calendar cross join); fill is one co-partitioned
+    window."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.timeseries import (
+        fill_gaps,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hour_us = (F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000).cast(
+        "long"
+    ) * 3_600_000_000
+    hourly = (
+        e.groupBy(
+            F.pmod(F.col("user_id"), F.lit(8)).alias("bucket"),
+            hour_us.alias("hour_us"),
+        )
+        .agg(_scaled_sum(F.col("value"), 100, "hour_value"))
+    )
+    return fill_gaps(hourly, "bucket", "hour_us", "hour_value", step=3_600_000_000)
+
+
+ORACLE_GAPFILL = """
+WITH hourly AS (
+  SELECT ((user_id % 8) + 8) % 8 AS bucket,
+         epoch_us(ts) // 3600000000 * 3600000000 AS hour_us,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS hour_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), bounds AS (
+  SELECT bucket, min(hour_us) AS lo, max(hour_us) AS hi FROM hourly GROUP BY 1
+), spine AS (
+  SELECT bucket, unnest(generate_series(lo, hi, 3600000000)) AS hour_us FROM bounds
+), j AS (
+  SELECT s.bucket, s.hour_us, h.hour_value
+  FROM spine s LEFT JOIN hourly h USING (bucket, hour_us)
+)
+SELECT bucket, hour_us,
+       last_value(hour_value IGNORE NULLS) OVER (
+         PARTITION BY bucket ORDER BY hour_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hour_value,
+       hour_value IS NULL AS was_gap
+FROM j
+"""
+
+QUERIES["gapfill_hourly_series"] = q_gapfill_hourly_series
+ORACLES["gapfill_hourly_series"] = ORACLE_GAPFILL

@@ -15,7 +15,12 @@ thing, and the determinism makes the source oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # Deterministic stand-in for one observation payload: integer hash
 # arithmetic both engines can replicate exactly (no floats until the
@@ -48,8 +53,37 @@ class WeatherApiReader(DataSourceReader):
                 yield (_id, place, hour, temp_c, humidity)
 
 
+class WeatherApiStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader over the same synthetic API: each offset is
+    the next unpolled HOUR (the reference polls its API hourly —
+    ``README.md:13``). ``read(start)`` returns that hour's observations
+    for every place plus the advanced offset; Spark handles replay
+    bookkeeping through the checkpointed offset dict, so a crashed
+    stream resumes at the exact hour it last committed."""
+
+    def __init__(self, options: dict):
+        self.places = int(options.get("places", 30))
+        self.hours = int(options.get("hours", 24))
+
+    def initialOffset(self) -> dict:
+        return {"hour": 0}
+
+    def read(self, start: dict):
+        h = int(start["hour"])
+        if h >= self.hours:
+            return iter([]), {"hour": h}
+        rows = []
+        for place in range(self.places):
+            obs_id = place * self.hours + h
+            _id, temp_c, humidity = _observation(obs_id)
+            rows.append((_id, place, h, temp_c, humidity))
+        return iter(rows), {"hour": h + 1}
+
+
 class WeatherApiDataSource(DataSource):
-    """``spark.read.format("weather_api").option("places", N)...``"""
+    """``spark.read.format("weather_api").option("places", N)...`` —
+    and the same source streams: ``spark.readStream.format(
+    "weather_api")`` polls one synthetic hour per micro-batch."""
 
     @classmethod
     def name(cls) -> str:
@@ -63,6 +97,9 @@ class WeatherApiDataSource(DataSource):
 
     def reader(self, schema) -> WeatherApiReader:
         return WeatherApiReader(self.options)
+
+    def simpleStreamReader(self, schema) -> WeatherApiStreamReader:
+        return WeatherApiStreamReader(self.options)
 
 
 def register_weather_api(spark) -> None:

@@ -31,6 +31,7 @@ def stream_dedup_once(
     lateness: str = "10 minutes",
     group_cols: list[str] | None = None,
     aggs: list[Column] | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Prove stream-side dedup end-to-end on a bounded replay: read the
     events table as TWO unioned file streams (every event delivered
@@ -41,7 +42,17 @@ def stream_dedup_once(
     match proves the duplicate deliveries were fully suppressed.
 
     Same NTZ/nanos event-time handling as ``windowed.windowed_counts_once``.
+
+    ``state_partitions`` sizes the stateful shuffle (dedup buffer +
+    aggregation stores): per-partition store open/commit costs are paid
+    per micro-batch regardless of data volume, so the count should
+    track the key cardinality, not the CPU count — the session's normal
+    shuffle setting is restored after the run (see
+    ``streaming/joins.py`` for the same discipline).
     """
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
@@ -69,12 +80,15 @@ def stream_dedup_once(
     aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
     out = deduped.groupBy(*group_cols).agg(*aggs) if (group_cols or aggs) else deduped
     sink = f"stream_dedup_once_{next(_SINK_SEQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink)

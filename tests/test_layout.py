@@ -117,3 +117,23 @@ def test_zorder_key_known_interleave(spark):
     # y0=1 -> 1, x0=1 -> 2, y1=0 -> 0, x1=1 -> 8, y2=1 -> 16, x2=0 -> 0
     # total = 1 + 2 + 8 + 16 = 27
     assert df.select(zorder_key("x", "y", 10).alias("z")).first()["z"] == 27
+
+
+def test_zorder_key_is_a_bijection_on_the_grid(spark):
+    """All 32x32 quantized pairs must map to 1024 DISTINCT keys filling
+    exactly [0, 1023] — interleaving is a bijection, so file ranges
+    partition the space with no overlap and no gaps."""
+    import pyspark.sql.functions as F
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        zorder_key,
+    )
+
+    grid = spark.range(1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    keys = grid.select(zorder_key("x", "y", bits=5).alias("z"))
+    stats = keys.agg(
+        F.countDistinct("z").alias("d"), F.min("z").alias("lo"), F.max("z").alias("hi")
+    ).first()
+    assert (stats["d"], stats["lo"], stats["hi"]) == (1024, 0, 1023)

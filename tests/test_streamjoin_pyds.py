@@ -78,3 +78,32 @@ def test_python_datasource_partitions_and_determinism(spark):
     assert {k: (v["temp_c"], v["humidity"]) for k, v in by_id.items()} == {
         k: (v["temp_c"], v["humidity"]) for k, v in again.items()
     }
+
+
+def test_python_datasource_streams_hourly_microbatches(spark):
+    """The same custom source streams: one synthetic API poll (hour)
+    per micro-batch through SimpleDataSourceStreamReader, draining to
+    exactly the batch-read row set — offset bookkeeping proven by
+    replaying all hours."""
+    register_weather_api(spark)
+    s = (
+        spark.readStream.format("weather_api")
+        .option("places", 5).option("hours", 3).load()
+    )
+    q = (
+        s.writeStream.format("memory").queryName("wapi_stream_sink")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("wapi_stream_sink").collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.format("weather_api")
+            .option("places", 5).option("hours", 3).load().collect(),
+        )
+    )
+    assert got == want and len(got) == 15
