@@ -302,3 +302,101 @@ def label_centroids(
         n.cast("long").alias("n_vectors"),
         F.round(sum_scaled.cast("double") / n / scale, 6).alias("centroid"),
     )
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic integer "random" hyperplanes for sign-LSH.
+
+    Integer coefficients (range ±2000, md5-mixed per (plane, dim) so
+    planes are uncorrelated) instead of Gaussian floats: the sign of an
+    all-integer dot product is exact, so the bucket assignment is
+    bit-identical on any engine — no float summation-order hazard. The
+    planes are materialized as literals in BOTH the Spark expression
+    and the DuckDB oracle, so only this Python builder ever runs the
+    formula. Sign-LSH only needs directions spread over the sphere; a
+    dense integer lattice is indistinguishable from Gaussian here.
+    """
+    import hashlib
+
+    def coeff(r: int, i: int) -> int:
+        digest = hashlib.md5(f"lsh:{r}:{i}".encode()).digest()
+        return (int.from_bytes(digest[:4], "big") % 4001) - 2000
+
+    return [[coeff(r, i) for i in range(dim)] for r in range(n_planes)]
+
+
+def hyperplane_code(vec_col: Column, planes: list[list[int]]) -> Column:
+    """Sign-LSH bucket code: bit r = [dot(round_int(v), h_r) > 0].
+
+    The vector is first scaled to integers (floor(x·10⁶) — floor, not
+    round, because floor is tie-free and identical across engines);
+    each dot product is then exact int64 arithmetic inside a single
+    codegen'd higher-order-function expression — map-only, no Python.
+    """
+    e = F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
+    )
+    code = F.lit(0).cast("long")
+    for r, h in enumerate(planes):
+        harr = F.array(*[F.lit(int(c)).cast("long") for c in h])
+        dot = F.aggregate(
+            F.zip_with(e, harr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        code = code + F.when(dot > 0, F.lit(1 << r)).otherwise(F.lit(0)).cast("long")
+    return code
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_emb",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k cosine neighbors.
+
+    The scale path when no trained coarse quantizer exists: corpus
+    vectors get a sign-LSH bucket code in the same map-only scan that
+    reads them (2^n_planes buckets); each query probes its own bucket
+    plus every Hamming-1 neighbor (multi-probe LSH — recall without
+    replicating the corpus). Candidates come from an equi-join on the
+    code — |corpus|·(n_planes+1)/2^n_planes pairs scored instead of
+    |corpus|·|queries| — then exact cosine re-ranks. With the corpus
+    stored partitioned by code, partition pruning makes the probe
+    sub-linear in files read. Probe codes are distinct by construction,
+    so no candidate dedup is needed.
+    """
+    planes = hyperplanes(n_planes, dim)
+    coded = parallelize(corpus).withColumn(
+        "_lsh_code", hyperplane_code(F.col(vec_col), planes)
+    )
+    q_coded = queries.withColumn(
+        "_lsh_code0", hyperplane_code(F.col(query_vec_col), planes)
+    )
+    masks = [0] + [1 << r for r in range(n_planes)]
+    probes = q_coded.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.explode(
+            F.array(*[F.col("_lsh_code0").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("_lsh_code"),
+    )
+    scored = coded.join(F.broadcast(probes), on="_lsh_code").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6).alias(
+            "similarity"
+        ),
+    )
+    return top_k_per_group(
+        scored,
+        [query_id_col],
+        [F.col("similarity").desc(), F.col(id_col).asc()],
+        k,
+    )

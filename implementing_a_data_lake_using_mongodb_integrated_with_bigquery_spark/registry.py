@@ -4513,3 +4513,82 @@ FROM j
 
 QUERIES["gapfill_hourly_series"] = q_gapfill_hourly_series
 ORACLES["gapfill_hourly_series"] = ORACLE_GAPFILL
+
+
+# ------------------------------------------- round 3: sign-LSH bucketed ANN
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 cosine neighbors for 8 query
+    vectors (operators.similarity.lsh_topk): sign-LSH bucket codes from
+    4 deterministic integer hyperplanes, multi-probe over the own +
+    every Hamming-1 bucket, exact cosine re-rank of the candidates.
+    The no-trained-quantizer ANN scale path — corpus coded map-only,
+    candidates via equi-join on the code (never a cross join)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        lsh_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = lsh_topk(emb, q, k=5, n_planes=4, dim=64)
+    return out.select(
+        "q_id", "vec_id", "similarity", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _oracle_ann_lsh() -> str:
+    """DuckDB twin: identical integer hyperplanes (inlined literals from
+    the same Python builder), floor(x*1e6) integer scaling, exact-sign
+    bucket codes, same multi-probe mask set, same 6dp cosine re-rank."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    planes = hyperplanes(4, 64)
+    plane_rows = ",\n    ".join(
+        "({}, [{}])".format(r, ", ".join(str(c) for c in h))
+        for r, h in enumerate(planes)
+    )
+    return f"""
+WITH ei AS (
+  SELECT vec_id, embedding,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS e
+  FROM embeddings
+),
+h(r, hv) AS (VALUES
+    {plane_rows}
+),
+codes AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(ei.e, h.hv) > 0
+                       THEN (1 << h.r) ELSE 0 END) AS BIGINT) AS code
+  FROM ei CROSS JOIN h GROUP BY vec_id
+),
+coded AS (
+  SELECT c.vec_id, e.embedding, c.code
+  FROM codes c JOIN embeddings e USING (vec_id)
+),
+probes AS (
+  SELECT q.vec_id AS q_id, q.embedding AS q_emb, xor(q.code, t.m) AS code
+  FROM coded q CROSS JOIN (VALUES (0), (1), (2), (4), (8)) AS t(m)
+  WHERE q.vec_id < 8
+),
+cand AS (
+  SELECT p.q_id, c.vec_id,
+         round(list_cosine_similarity(c.embedding::DOUBLE[], p.q_emb::DOUBLE[]), 6)
+           AS similarity
+  FROM coded c JOIN probes p USING (code)
+)
+SELECT q_id, vec_id, similarity, rank FROM (
+  SELECT q_id, vec_id, similarity,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY similarity DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM cand
+) WHERE rank <= 5
+"""
+
+
+QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
+ORACLES["ann_lsh_topk"] = _oracle_ann_lsh()

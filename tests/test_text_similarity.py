@@ -296,3 +296,93 @@ def test_repetition_stats_single_token_edge(spark):
     assert r.top_bigram_share == 0.0 and r.max_run_len == 1
     # single-token docs trip the top-word-share rule by definition
     assert r.top_word_share == 1.0 and bool(r.repetitive) is True
+
+
+def test_lsh_topk_self_at_rank1_and_bucket_locality(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        hyperplane_code,
+        hyperplanes,
+        lsh_topk,
+    )
+
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = lsh_topk(corpus, q, k=4, n_planes=3, dim=dim)
+    rows = out.collect()
+    # each query finds itself at rank 1 (own bucket always probed)
+    r1 = {r.q_id: r for r in rows if r.rank == 1}
+    assert set(r1) == {0, 1, 2}
+    for r in r1.values():
+        assert r.vec_id == r.q_id and r.similarity == 1.0
+    # every candidate's bucket code is within Hamming-1 of its query's
+    planes = hyperplanes(3, dim)
+    codes = {
+        r.vec_id: r.code
+        for r in corpus.select(
+            "vec_id", hyperplane_code(F.col("embedding"), planes).alias("code")
+        ).collect()
+    }
+    for r in rows:
+        ham = bin(codes[r.q_id] ^ codes[r.vec_id]).count("1")
+        assert ham <= 1, (r.q_id, r.vec_id, ham)
+    # similarity is non-increasing in rank within each query
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r.q_id, r.rank)):
+        by_q.setdefault(r.q_id, []).append(r.similarity)
+    for sims in by_q.values():
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_hyperplane_code_exact_integer_sign(spark):
+    """Bucket bit = sign of the integer-scaled dot product — verified
+    against a pure-Python replication of floor(x*1e6) arithmetic."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        hyperplane_code,
+        hyperplanes,
+    )
+
+    import math
+
+    vecs = [(1, [0.5, -0.25, 0.125]), (2, [-0.1, 0.9, -0.3])]
+    df = spark.createDataFrame(
+        vecs,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    planes = hyperplanes(2, 3)
+    got = {
+        r.vec_id: r.code
+        for r in df.select(
+            "vec_id", hyperplane_code(F.col("embedding"), planes).alias("code")
+        ).collect()
+    }
+    import struct
+
+    for vid, v in vecs:
+        # replicate float32 storage then floor(x*1e6) exactly
+        v32 = [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        e = [math.floor(x * 1000000.0) for x in v32]
+        code = 0
+        for r, h in enumerate(planes):
+            if sum(a * b for a, b in zip(e, h)) > 0:
+                code |= 1 << r
+        assert got[vid] == code, vid
