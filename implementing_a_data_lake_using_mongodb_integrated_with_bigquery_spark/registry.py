@@ -4592,3 +4592,74 @@ SELECT q_id, vec_id, similarity, rank FROM (
 
 QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
 ORACLES["ann_lsh_topk"] = _oracle_ann_lsh()
+
+
+# ------------------------------------ round 3: streaming session windows
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-sessionization (streaming.windowed.
+    session_windows_once): per-user session windows (30-min gap) under
+    a 5-min watermark, executed as a real Structured Streaming job in
+    APPEND mode — the emitted set is exactly the sessions the final
+    watermark closed. The oracle replays the same semantics in SQL:
+    island-algorithm sessions plus the watermark cut, including Spark's
+    millisecond watermark truncation (event-time stats are tracked in
+    ms, so the cut is floor(max_ts_ms) - lateness, not max_ts_us)."""
+    import os as _os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        session_windows_once,
+    )
+
+    out = session_windows_once(
+        spark,
+        _os.path.join(sf_dir, "events.parquet"),
+        gap="30 minutes",
+        lateness="5 minutes",
+        group_cols=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            _scaled_sum(F.col("value"), 10000, "sum_value"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        epoch_us("session_start").alias("session_start_us"),
+        epoch_us("session_end").alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+ORACLE_STREAM_SESSIONS = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+lagd AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN pts IS NULL OR ts >= pts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM lagd
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+agg AS (
+  SELECT user_id, sid,
+         epoch_us(min(ts)) AS session_start_us,
+         epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, session_start_us, session_end_us, n_events, sum_value
+FROM agg, mx
+WHERE session_end_us <= (epoch_us(m) // 1000) * 1000 - 300000000
+"""
+
+QUERIES["stream_session_windows"] = q_stream_session_windows
+ORACLES["stream_session_windows"] = ORACLE_STREAM_SESSIONS

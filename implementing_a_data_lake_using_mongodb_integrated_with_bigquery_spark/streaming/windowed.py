@@ -19,6 +19,45 @@ from pyspark.sql import types as T
 _SINK_SEQ = itertools.count()
 
 
+def _open_event_stream(
+    spark: SparkSession, events_path: str, ts_col: str
+) -> tuple[DataFrame, bool]:
+    """File-stream over a lake parquet table with the event-time column
+    normalized to TIMESTAMP. Returns (stream, had_ntz_event_time).
+
+    Same nanos-parquet handling as ``sources/tables.py:load_table``:
+    TIMESTAMP(NANOS) columns stream in as raw longs and are rebuilt as
+    microsecond timestamps. TIMESTAMP_NTZ event time (what Spark ≥3.4
+    infers for parquet micros with ``isAdjustedToUTC=false``, the
+    lake's layout) is cast to TIMESTAMP — ``withWatermark`` rejects NTZ
+    outright (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); the session
+    timezone is pinned UTC so the cast is value-identical. Callers cast
+    emitted bounds back to NTZ for oracle schema parity.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    raw_schema = spark.read.parquet(events_path).schema
+    # the lake table may be a single parquet FILE. The file-stream
+    # source force-sets basePath to the source path UNLESS the path is
+    # a glob, and a file-valued basePath is rejected — so feed it a
+    # glob for the same file plus an explicit directory basePath
+    base = os.path.dirname(events_path.rstrip("/")) or "."
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("basePath", base)
+        .parquet(events_path + "*" if not any(c in events_path for c in "*?[{") else events_path)
+    )
+    if isinstance(raw_schema[ts_col].dataType, T.LongType):
+        stream = stream.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    ntz_event_time = isinstance(raw_schema[ts_col].dataType, T.TimestampNTZType)
+    if ntz_event_time:
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream, ntz_event_time
+
+
 def windowed_counts(
     stream: DataFrame,
     ts_col: str,
@@ -85,27 +124,7 @@ def windowed_counts_once(
     bounds are cast back to NTZ afterwards so the output schema matches
     the batch-read (NTZ) formulation the oracles compare against.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    raw_schema = spark.read.parquet(events_path).schema
-    # the lake table may be a single parquet FILE. The file-stream
-    # source force-sets basePath to the source path UNLESS the path is
-    # a glob, and a file-valued basePath is rejected — so feed it a
-    # glob for the same file plus an explicit directory basePath
-    base = os.path.dirname(events_path.rstrip("/")) or "."
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("basePath", base)
-        .parquet(events_path + "*" if not any(c in events_path for c in "*?[{") else events_path)
-    )
-    if isinstance(raw_schema[ts_col].dataType, T.LongType):
-        stream = stream.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
-        )
-    ntz_event_time = isinstance(raw_schema[ts_col].dataType, T.TimestampNTZType)
-    if ntz_event_time:
-        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    stream, ntz_event_time = _open_event_stream(spark, events_path, ts_col)
     out = windowed_counts(stream, ts_col, duration, lateness, group_cols, aggs, slide)
     sink = f"windowed_counts_once_{next(_SINK_SEQ)}"
     q = (
@@ -121,4 +140,81 @@ def windowed_counts_once(
         result = result.withColumn(
             "window_start", F.col("window_start").cast("timestamp_ntz")
         ).withColumn("window_end", F.col("window_end").cast("timestamp_ntz"))
+    return result
+
+
+def session_windows_once(
+    spark: SparkSession,
+    events_path: str,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    lateness: str = "5 minutes",
+    group_cols: list[str] | None = None,
+    aggs: list[Column] | None = None,
+    state_partitions: int | None = 16,
+) -> DataFrame:
+    """Watermarked streaming session windows (``F.session_window``) over
+    the lake's events parquet, run as an actual Structured Streaming
+    job (availableNow) and returned as a batch DataFrame.
+
+    The streaming twin of the batch gap-sessionization the engine
+    already oracles: events merge into one session while each arrives
+    strictly within ``gap`` of the previous (the session window is
+    half-open — an event exactly at prev_ts+gap starts a NEW session),
+    and the watermark both drops late events and bounds state: a
+    session is finalized and evicted once no in-gap continuation can
+    arrive.
+
+    Session windows support only append/update output, never complete
+    (merging sessions can retract rows), so unlike
+    ``windowed_counts_once`` this runs APPEND mode: the emitted set is
+    exactly the sessions whose ``session_end`` (last event + gap) is ≤
+    the final watermark (global max event time − ``lateness``). On a
+    bounded replay the trailing open sessions are therefore withheld —
+    correct streaming semantics, and the DuckDB oracle applies the same
+    ``session_end <= max(ts) - lateness`` cut so stream-executed ==
+    batch-SQL holds exactly. State is per (group, open session): at
+    1000 executors it shards by group key and the watermark evicts
+    every closed session, so state size tracks ACTIVE sessions only.
+    """
+    group_cols = group_cols if group_cols is not None else ["user_id"]
+    aggs = aggs or [F.count(F.lit(1)).cast("long").alias("n_events")]
+    stream, ntz_event_time = _open_event_stream(spark, events_path, ts_col)
+    aggd = (
+        stream.withWatermark(ts_col, lateness)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), *group_cols)
+        .agg(*aggs)
+    )
+    agg_names = [c for c in aggd.columns if c != "w" and c not in group_cols]
+    out = aggd.select(
+        *group_cols,
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *agg_names,
+    )
+    sink = f"session_windows_once_{next(_SINK_SEQ)}"
+    # state-partition sizing, same reasoning as streaming/joins.py:
+    # per-partition store open/commit cost dominates over a small
+    # keyspace, so size to the group-key cardinality, not the CPU
+    # count; restored after the bounded run (a production deployment
+    # pins this once via its checkpoint).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    result = spark.table(sink)
+    if ntz_event_time:
+        result = result.withColumn(
+            "session_start", F.col("session_start").cast("timestamp_ntz")
+        ).withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
     return result

@@ -107,3 +107,66 @@ def test_python_datasource_streams_hourly_microbatches(spark):
         )
     )
     assert got == want and len(got) == 15
+
+
+def test_stream_session_windows_match_batch_islands(spark, sf_dir):
+    """Streaming session_window (append, watermarked) == batch
+    gap-sessionization restricted to watermark-closed sessions."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        session_windows_once,
+    )
+
+    events = os.path.join(sf_dir, "events.parquet")
+    out = session_windows_once(
+        spark, events, gap="30 minutes", lateness="5 minutes",
+        group_cols=["user_id"],
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in out.collect()
+    }
+    assert got, "no sessions emitted"
+
+    # batch twin: lag/cumsum island algorithm + the ms-truncated
+    # watermark cut (Spark tracks event-time stats in milliseconds)
+    from pyspark.sql import Window
+
+    b = spark.read.parquet(events).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        b.withColumn("pts", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("pts").isNull()
+                | (F.col("ts") >= F.col("pts") + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    max_us = b.agg(F.unix_micros(F.max("ts"))).collect()[0][0]
+    wm_us = (max_us // 1000) * 1000 - 300_000_000
+    closed = sess.filter(F.unix_micros("session_end") <= wm_us)
+    want = {
+        (
+            r.user_id,
+            r.session_start.replace(tzinfo=None),
+            r.session_end.replace(tzinfo=None),
+            r.n_events,
+        )
+        for r in closed.collect()
+    }
+    got_naive = {
+        (u, s.replace(tzinfo=None), e.replace(tzinfo=None), n)
+        for u, s, e, n in got
+    }
+    assert got_naive == want
