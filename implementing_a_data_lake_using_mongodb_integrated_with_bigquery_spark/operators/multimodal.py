@@ -60,6 +60,251 @@ except Exception:
     _HAVE_CODEC = False
 
 
+# ---------------------------------------------------------------------------
+# Real byte-level decode path (no external codec needed).
+#
+# PNG and WAV are public, fully-specified container formats whose
+# headers parse with nothing but ``struct`` + ``zlib`` (both stdlib):
+#   - PNG: 8-byte signature, then chunks [len|type|data|crc32]. IHDR
+#     carries width/height/bit-depth/color-type; IDAT is
+#     zlib-compressed scanlines, each prefixed with a filter byte.
+#   - WAV: RIFF header, 'fmt ' chunk (PCM layout), 'data' chunk
+#     (little-endian PCM samples).
+# ``decode_media`` parses either format — including inflating IDAT and
+# un-filtering scanlines to recover pixel values — so the decode stage
+# is REAL byte-level work, not a stub; only exotic codecs (JPEG DCT,
+# MP3) remain out of scope for this container. This mirrors the
+# reference's raw-zone pattern (land what the source returned, extract
+# structure downstream — ``src/process_insert_update_weather_data.py:83-93``).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def build_png(doc_id: int) -> bytes:
+    """Deterministic valid grayscale PNG: width/height/pixel value are
+    arithmetic in ``doc_id`` (so a SQL oracle can predict what the
+    parser must recover). Every scanline uses filter type 0 (None)."""
+    import struct
+    import zlib
+
+    width = 1 + doc_id % 64
+    height = 1 + (doc_id // 64) % 64
+    pixel = doc_id % 256
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + bytes([pixel]) * width) * height
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def build_wav(doc_id: int) -> bytes:
+    """Deterministic canonical 44-byte-header mono PCM16 WAV; sample
+    rate, sample count, and the (constant) sample value are arithmetic
+    in ``doc_id``."""
+    import struct
+
+    rate = _WAV_RATES[doc_id % 4]
+    n_samples = 100 + doc_id % 400
+    value = (doc_id % 100) * 10
+    data = struct.pack("<h", value) * n_samples
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        1,  # mono
+        rate,
+        rate * 2,  # byte rate
+        2,  # block align
+        16,  # bits per sample
+        b"data",
+        len(data),
+    )
+    return hdr + data
+
+
+def parse_media(payload: bytes) -> dict:
+    """Parse PNG or WAV bytes into typed fields.
+
+    Returns a dict with keys: kind, width, height, bit_depth,
+    color_type, channels, sample_rate, n_samples, duration_us
+    (integer microseconds — exact, engine-portable),
+    mean_value, n_bytes. Inapplicable fields are None. PNG pixel data
+    is actually inflated and un-filtered (filter 0/2 supported) to
+    compute ``mean_value``; WAV PCM samples are actually read."""
+    import struct
+    import zlib
+
+    out = {
+        "kind": "unknown",
+        "width": None,
+        "height": None,
+        "bit_depth": None,
+        "color_type": None,
+        "channels": None,
+        "sample_rate": None,
+        "n_samples": None,
+        "duration_us": None,
+        "mean_value": None,
+        "n_bytes": len(payload),
+    }
+    if payload[:8] == _PNG_SIG:
+        out["kind"] = "png"
+        pos, idat = 8, b""
+        while pos + 8 <= len(payload):
+            (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + clen]
+            if ctype == b"IHDR":
+                w, h, depth, color = struct.unpack(">IIBB", data[:10])
+                out.update(
+                    width=w,
+                    height=h,
+                    bit_depth=depth,
+                    color_type=color,
+                    channels={0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color),
+                )
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + clen
+        if idat and out["bit_depth"] == 8 and out["color_type"] in (0, 2):
+            raw = zlib.decompress(idat)
+            stride = 1 + out["width"] * out["channels"]
+            total = n = 0
+            prev = bytes(out["width"] * out["channels"])
+            for y in range(out["height"]):
+                line = raw[y * stride : (y + 1) * stride]
+                ftype, body = line[0], bytearray(line[1:])
+                if ftype == 2:  # Up
+                    for i in range(len(body)):
+                        body[i] = (body[i] + prev[i]) & 0xFF
+                elif ftype != 0:  # pragma: no cover - encoder never emits
+                    raise NotImplementedError(f"PNG filter {ftype}")
+                prev = bytes(body)
+                total += sum(body)
+                n += len(body)
+            out["mean_value"] = total / n if n else None
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        out["kind"] = "wav"
+        pos = 12
+        while pos + 8 <= len(payload):
+            ctype = payload[pos : pos + 4]
+            (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            data = payload[pos + 8 : pos + 8 + clen]
+            if ctype == b"fmt ":
+                _fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", data[:16])
+                out.update(channels=ch, sample_rate=rate, bit_depth=bits)
+            elif ctype == b"data" and out["bit_depth"] == 16:
+                samples = struct.unpack(f"<{clen // 2}h", data[: clen // 2 * 2])
+                per_frame = out["channels"] or 1
+                out["n_samples"] = len(samples) // per_frame
+                out["mean_value"] = (
+                    sum(samples) / len(samples) if samples else None
+                )
+            pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+        if out["sample_rate"] and out["n_samples"] is not None:
+            # integer microseconds: exact on every engine (float seconds
+            # hit decimal-rounding ties across Spark/DuckDB)
+            out["duration_us"] = (
+                out["n_samples"] * 1_000_000 // out["sample_rate"]
+            )
+    return out
+
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("bit_depth", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("mean_value", T.DoubleType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column → (doc_id, mime, payload) with REAL container bytes
+    (even ids → PNG, odd ids → WAV), built per-partition via
+    mapInPandas — the distributed stand-in for a binary-column lake
+    table."""
+
+    def gen(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "mime": ids.map(
+                        lambda i: "image/png" if i % 2 == 0 else "audio/wav"
+                    ),
+                    "payload": ids.map(
+                        lambda i: build_png(int(i))
+                        if i % 2 == 0
+                        else build_wav(int(i))
+                    ),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, _PAYLOAD_SCHEMA)
+
+
+def decode_media(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Binary payloads → typed header/content fields via mapInPandas.
+
+    The real decode path: struct-parses PNG/WAV containers, inflates
+    IDAT, un-filters scanlines, reads PCM frames. Arrow-batched; batch
+    memory bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
+                rec = parse_media(bytes(b))
+                rec["doc_id"] = int(i)
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def extract_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:

@@ -797,6 +797,65 @@ QUERIES["multimodal_features"] = q_multimodal_features
 ORACLES["multimodal_features"] = ORACLE_MULTIMODAL
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-level media decode (operators.multimodal.decode_media):
+    synthesize genuine PNG/WAV container bytes per doc (even doc_id →
+    grayscale PNG, odd → mono PCM16 WAV; header fields are arithmetic
+    in doc_id), then struct-parse them back — inflating IDAT,
+    un-filtering scanlines, reading PCM frames. The oracle predicts
+    every recovered field by pure arithmetic, so a hash match proves
+    the decoder inverts the encoder through real container bytes (the
+    reference's raw-zone land-then-extract pattern,
+    ``src/process_insert_update_weather_data.py:83-93``). Two
+    mapInPandas stages, map-only: no shuffle, payload bytes never
+    leave the partition — the shape that scales to a binary lake."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.multimodal import (
+        decode_media,
+        synthesize_media,
+    )
+
+    d = parallelize(load_table(spark, sf_dir, "documents").select("doc_id"))
+    media = synthesize_media(d)
+    return decode_media(media).select(
+        "doc_id",
+        "kind",
+        "width",
+        "height",
+        "bit_depth",
+        "channels",
+        "sample_rate",
+        "n_samples",
+        "duration_us",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
+# Arithmetic twin of build_png/build_wav + parse_media: every field the
+# parser recovers from the bytes is predicted here from doc_id alone.
+ORACLE_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 64 END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 64) % 64 END AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bit_depth,
+       CAST(1 AS BIGINT) AS channels,
+       CASE WHEN doc_id % 2 = 1 THEN
+         CASE doc_id % 4 WHEN 1 THEN 16000 WHEN 3 THEN 44100 END
+       END AS sample_rate,
+       CASE WHEN doc_id % 2 = 1 THEN 100 + doc_id % 400 END AS n_samples,
+       CASE WHEN doc_id % 2 = 1 THEN
+         ((100 + doc_id % 400) * 1000000) // (CASE doc_id % 4 WHEN 1 THEN 16000
+                                              WHEN 3 THEN 44100 END)
+       END AS duration_us,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+            ELSE CAST((doc_id % 100) * 10 AS DOUBLE) END AS mean_value
+FROM documents
+"""
+
+QUERIES["multimodal_decode"] = q_multimodal_decode
+ORACLES["multimodal_decode"] = ORACLE_MULTIMODAL_DECODE
+
+
 # ------------------------------------------ batch 3: temporal/relational ops
 
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.asof import (  # noqa: E402
@@ -1292,8 +1351,11 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (jaccard ≥ 0.5) resolved into clusters via
-    iterative connected components; each doc labeled with its cluster
-    representative (min doc_id in the component)."""
+    contraction-based connected components
+    (operators.graph.partitioned_components: one block-local union-find
+    shuffle + iterative propagation on the contracted label graph
+    only); each doc labeled with its cluster representative (min
+    doc_id in the component)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("d1", "d2")
     return dedup_clusters(docs, pairs)
@@ -1870,7 +1932,7 @@ WITH scored AS (
          {case} AS predicted_lang
   FROM rep
 )
-SELECT predicted_lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT predicted_lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        round(CAST(SUM(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_quality
 FROM tagged GROUP BY predicted_lang
 """
@@ -1955,7 +2017,7 @@ def _oracle_train_split() -> str:
     case = split_sql_case("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1")
     return f"""
 SELECT {case} AS split, COUNT(*) AS n_docs,
-       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens
+       CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens
 FROM documents GROUP BY 1
 """
 

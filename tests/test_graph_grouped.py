@@ -116,3 +116,51 @@ def test_blocked_components_union_order_independent(spark):
     b = sorted(blocked_components(nodes, edges_rev, "blk").collect())
     assert a == b
     assert all(r["cluster_id"] == 0 for r in a)
+
+
+def test_partitioned_components_matches_iterative_cc_random(spark):
+    import random
+
+    from pyspark.sql import Row
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
+        connected_components,
+        partitioned_components,
+    )
+
+    rng = random.Random(42)
+    n = 120
+    # random sparse graph: chains, triangles, isolated nodes — edges
+    # land in arbitrary hash blocks, so cross-block chaining is the norm
+    edges = [
+        Row(src=rng.randrange(n), dst=rng.randrange(n)) for _ in range(90)
+    ]
+    edges = [e for e in edges if e.src != e.dst]
+    nodes = spark.createDataFrame([Row(id=i) for i in range(n)])
+    edf = spark.createDataFrame(edges)
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in partitioned_components(nodes, edf, num_blocks=8).collect()
+    }
+    want = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(nodes, edf).collect()
+    }
+    assert got == want
+
+
+def test_partitioned_components_cross_block_chain(spark):
+    from pyspark.sql import Row
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
+        partitioned_components,
+    )
+
+    # a long chain guarantees edges scatter across hash blocks; the
+    # contraction step must still stitch one component (this is exactly
+    # the case a per-band blocked union-find would get wrong)
+    nodes = spark.createDataFrame([Row(id=i) for i in range(64)])
+    edges = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(63)])
+    out = partitioned_components(nodes, edges, num_blocks=16).collect()
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert len(out) == 64

@@ -5,6 +5,15 @@ on DuckDB at the given SF, then compares row count, sorted column
 names, and (column-name-sorted, row-sorted) values exactly. Catches
 hash mismatches before the driver does.
 
+Also lints the DuckDB result's *Arrow* schema: the driver hashes the
+oracle result through Arrow, so a DuckDB HUGEINT output column
+(``SUM(BIGINT)`` uncast) surfaces as ``decimal128(38,0)`` and
+hash-mismatches an int64 Spark column even when every value is equal
+(round-3 failure mode: ``corpus_curation``, ``train_split_stats``).
+``fetchall()`` coerces HUGEINT to Python int and hides this, so the
+value comparison alone is blind to it — ``lint_result_types`` fails
+any decimal-typed oracle column whose Spark twin is not DecimalType.
+
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
 """
 
@@ -31,6 +40,33 @@ def norm(v):
     if isinstance(v, bool):
         return str(v)
     return v
+
+
+def lint_result_types(spark_dtypes, arrow_schema):
+    """Driver-parity type lint.
+
+    ``spark_dtypes``: list of (name, simpleString) pairs from
+    ``DataFrame.dtypes``. ``arrow_schema``: ``pyarrow.Schema`` of the
+    DuckDB oracle result. Returns a list of problem strings.
+
+    Hard failure: an Arrow decimal column (DuckDB HUGEINT / DECIMAL)
+    whose Spark twin is not a decimal — the driver's value hasher
+    treats decimal128 and int64 as different even for equal values.
+    """
+    import pyarrow.types as pat
+
+    sd = {n: t for n, t in spark_dtypes}
+    problems = []
+    for field in arrow_schema:
+        st = sd.get(field.name)
+        if st is None:
+            continue  # column-name mismatch is reported separately
+        if pat.is_decimal(field.type) and not st.startswith("decimal"):
+            problems.append(
+                f"oracle col {field.name!r} is {field.type} (HUGEINT/DECIMAL?) "
+                f"but spark col is {st}: cast the aggregate (CAST(... AS BIGINT))"
+            )
+    return problems
 
 
 def rows_key(rows, cols_order):
@@ -71,11 +107,12 @@ def main():
             res = con.execute(sql)
             d_cols = [c[0] for c in res.description]
             d_rows = res.fetchall()
+            d_arrow_schema = con.execute(sql).arrow().schema
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failed.append(name)
             continue
-        problems = []
+        problems = lint_result_types(sdf.dtypes, d_arrow_schema)
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
