@@ -373,6 +373,15 @@ def lsh_topk(
     so no candidate dedup is needed.
     """
     planes = hyperplanes(n_planes, dim)
+    # fail fast on a dim mismatch: zip_with pads the shorter side with
+    # nulls, so a wrong `dim` silently nulls every dot product and
+    # collapses all vectors into bucket 0 (DuckDB's list_dot_product
+    # errors loudly on the same input — keep both sides loud)
+    probe = corpus.select(F.size(vec_col).alias("n")).first()
+    if probe is not None and probe["n"] != dim:
+        raise ValueError(
+            f"lsh_topk: dim={dim} but {vec_col!r} has length {probe['n']}"
+        )
     coded = parallelize(corpus).withColumn(
         "_lsh_code", hyperplane_code(F.col(vec_col), planes)
     )

@@ -256,3 +256,62 @@ def bpe_token_stats(
         .otherwise(F.lit(0.0))
         .alias("chars_per_token"),
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    keep_threshold: float = -8.0,
+) -> DataFrame:
+    """Corpus-trained unigram LM quality filter (the CCNet-style
+    language-model filter from public training-data pipelines): learn
+    token log-probs from the corpus itself, score every document by
+    its mean token log-prob, and flag low-probability (gibberish /
+    boilerplate-coded) documents.
+
+    Scale shape: one wordcount aggregate (map-side combine, shuffle
+    bounded by |vocab|), a distributed TakeOrdered head for the top-K
+    vocabulary (never a global rank window), a broadcast join of the
+    K-row table onto the exploded tokens, and one per-doc aggregate.
+    No Python in the hot path.
+
+    Determinism: per-token log-probs are scaled to integer MICRO-nats
+    (``CAST(round(ln(p)*1e6) AS BIGINT)``) before the per-doc sum, so
+    the aggregation is an integer sum — partition-order-independent
+    and engine-exact (the registry's scaled-integer convention).
+    Out-of-vocabulary tokens get the floor log-prob ln(0.5/total).
+    """
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total_df = counts.agg(F.sum("cnt").cast("long").alias("tot"))
+    vocab = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(
+        vocab_size
+    )
+    lp_vocab = vocab.crossJoin(F.broadcast(total_df)).select(
+        "token",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("tot")) * 1_000_000
+        )
+        .cast("long")
+        .alias("lp"),
+    )
+    oov_lp = F.round(F.log(F.lit(0.5) / F.col("tot")) * 1_000_000).cast("long")
+    scored = (
+        toks.join(F.broadcast(lp_vocab), "token", "left")
+        .crossJoin(F.broadcast(total_df))
+        .select(id_col, F.coalesce("lp", oov_lp).alias("lp"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("lp_sum")
+    )
+    score = F.round(
+        F.col("lp_sum").cast("double") / F.col("n_tokens") / 1_000_000.0, 6
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        score.alias("lm_score"),
+        (score >= F.lit(keep_threshold)).alias("keep"),
+    )

@@ -4725,3 +4725,182 @@ WHERE session_end_us <= (epoch_us(m) // 1000) * 1000 - 300000000
 
 QUERIES["stream_session_windows"] = q_stream_session_windows
 ORACLES["stream_session_windows"] = ORACLE_STREAM_SESSIONS
+
+
+# ------------------------------------------- round 4: LM quality + sharding
+
+def q_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality filter
+    (operators.text.unigram_logprob_scores): the CCNet-style
+    language-model filter — wordcount → top-K vocabulary (distributed
+    TakeOrdered, never a global rank window) → broadcast log-prob join
+    → per-doc integer-nat mean. Complements the heuristic
+    quality_score/repetition_stats/boilerplate_flags filters with the
+    standard LM-probability signal from public pipelines."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        unigram_logprob_scores,
+    )
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return unigram_logprob_scores(docs, vocab_size=1000, keep_threshold=-8.0)
+
+
+ORACLE_LM_QUALITY = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM counts),
+vocab AS (
+  SELECT token, cnt FROM counts
+  QUALIFY row_number() OVER (ORDER BY cnt DESC, token ASC) <= 1000
+),
+lp AS (
+  SELECT v.token,
+         CAST(round(ln(CAST(v.cnt AS DOUBLE) / t.tot) * 1000000) AS BIGINT) AS lp
+  FROM vocab v, total t
+),
+scored AS (
+  SELECT tk.doc_id,
+         COALESCE(l.lp,
+                  (SELECT CAST(round(ln(0.5 / tot) * 1000000) AS BIGINT)
+                   FROM total)) AS lp
+  FROM toks tk LEFT JOIN lp l USING (token)
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         round(CAST(CAST(SUM(lp) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000000.0,
+               6) AS lm_score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, lm_score, lm_score >= -8.0 AS keep FROM agg
+"""
+
+QUERIES["lm_quality_filter"] = q_lm_quality_filter
+ORACLES["lm_quality_filter"] = ORACLE_LM_QUALITY
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-shard manifest
+    (sources.layout.shard_assignment): content-hash shard membership +
+    md5-order intra-shard bounds for the training-data materialization
+    step — the manifest a data loader uses to seek/resume. Pins the
+    exact assignment the writer (layout.write_sharded) materializes:
+    per shard, row count, an id checksum, and the first/last order
+    hashes. One shuffle on shard_id."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        shard_assignment,
+    )
+
+    docs = parallelize(load_table(spark, sf_dir, "documents").select("doc_id"))
+    tagged = shard_assignment(docs, "doc_id", num_shards=16)
+    return tagged.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.min("order_hash").alias("first_hash"),
+        F.max("order_hash").alias("last_hash"),
+    )
+
+
+def _oracle_shard_manifest() -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        shard_sql,
+    )
+
+    shard, h = shard_sql("doc_id", 16)
+    return f"""
+WITH tagged AS (
+  SELECT doc_id, {shard} AS shard_id, {h} AS order_hash FROM documents
+)
+SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       MIN(order_hash) AS first_hash, MAX(order_hash) AS last_hash
+FROM tagged GROUP BY shard_id
+"""
+
+
+QUERIES["shard_manifest"] = q_shard_manifest
+ORACLES["shard_manifest"] = _oracle_shard_manifest()
+
+
+def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational UNPIVOT surface (``DataFrame.unpivot`` — Spark's
+    melt): the four lineitem measures become (measure, value) rows,
+    then one aggregate per measure. Wide→long is the standard prelude
+    to generic per-metric pipelines (drift checks, quality gates) —
+    unpivot is a zero-shuffle row-local expansion; only the 4-row agg
+    shuffles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    long_df = l.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long_df.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        _scaled_sum(F.col("val"), 100, "sum_val"),
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH long_t AS (
+  SELECT measure, val FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+    FROM lineitem
+  ) UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+)
+SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(val * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_val
+FROM long_t GROUP BY measure
+"""
+
+QUERIES["lineitem_unpivot"] = q_lineitem_unpivot
+ORACLES["lineitem_unpivot"] = ORACLE_UNPIVOT
+
+
+def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4 ``parse_json`` /
+    ``variant_get``): rebuild a nested JSON document per event
+    (``to_json(struct(...))``), parse it into a VARIANT, and extract
+    typed fields back out — string, double, and a nested long — then
+    aggregate. Proves the variant path inverts the JSON encoder with
+    types intact (the lake pattern for schema-on-read columns; the
+    reference stores raw API JSON the same way,
+    ``src/ingest_places_data.py:50-67``). Map-only until the final
+    agg."""
+    e = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.col("value").alias("v"),
+            F.struct(
+                F.get_json_object("props", "$.k").cast("long").alias("k")
+            ).alias("nested"),
+        )
+    )
+    v = F.parse_json(doc)
+    return (
+        e.select(
+            F.variant_get(v, "$.t", "string").alias("t"),
+            F.variant_get(v, "$.v", "double").alias("val"),
+            F.variant_get(v, "$.nested.k", "long").alias("k"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            _scaled_sum(F.col("val"), 10000, "sum_v"),
+        )
+    )
+
+
+ORACLE_VARIANT = """
+SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_v
+FROM events GROUP BY event_type
+"""
+
+QUERIES["variant_props_extract"] = q_variant_props_extract
+ORACLES["variant_props_extract"] = ORACLE_VARIANT

@@ -94,3 +94,70 @@ def zorder_oracle_sql(x_expr: str, y_expr: str, bits: int = 10) -> str:
         terms.append(f"(((({x_expr}) & {mask}) >> {i}) & 1) * {1 << (2 * i + 1)}")
         terms.append(f"(((({y_expr}) & {mask}) >> {i}) & 1) * {1 << (2 * i)}")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+# ------------------------------------------------------------------
+# Deterministic shuffle-shard writer: the training-data materialization
+# step. A training run wants the corpus as N equal-ish shards whose
+# membership AND intra-shard order are pure functions of row content —
+# stable across reruns, cluster layouts, and engines — so data loaders
+# can seek/resume by (shard, offset) and two pipelines produce
+# byte-identical shards. Assignment: 16 bits of md5(salt||key) mod N
+# (16 bits parse identically on every engine — no 64-bit hex-overflow
+# disagreement); order: the full md5 hex, compared lexicographically
+# (engine-portable shuffle, same trick as sampling.split_column).
+# ------------------------------------------------------------------
+
+def shard_hash(key: Column | str, salt: str = "v1") -> Column:
+    c = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat(F.lit(salt), F.lit("\x1f"), c.cast("string")))
+
+
+def shard_column(key: Column | str, num_shards: int, salt: str = "v1") -> Column:
+    """Deterministic shard id in [0, num_shards): first 4 hex chars of
+    the salted md5, parsed as a 16-bit int, mod N."""
+    h16 = F.conv(F.substring(shard_hash(key, salt), 1, 4), 16, 10).cast("long")
+    return F.pmod(h16, F.lit(num_shards)).cast("int")
+
+
+def shard_sql(key_sql: str, num_shards: int, salt: str = "v1") -> tuple[str, str]:
+    """(shard_id_expr, order_hash_expr) for DuckDB — generated beside
+    the Spark expressions so engine and oracle can't drift."""
+    h = f"md5('{salt}' || chr(31) || CAST({key_sql} AS VARCHAR))"
+    shard = f"CAST(('0x' || substr({h}, 1, 4))::INTEGER % {num_shards} AS INTEGER)"
+    return shard, h
+
+
+def shard_assignment(
+    df: DataFrame, key_col: str, num_shards: int, salt: str = "v1"
+) -> DataFrame:
+    """Tag every row with (shard_id, order_hash)."""
+    return df.withColumn(
+        "shard_id", shard_column(F.col(key_col), num_shards, salt)
+    ).withColumn("order_hash", shard_hash(F.col(key_col), salt))
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    num_shards: int = 64,
+    salt: str = "v1",
+) -> None:
+    """Materialize deterministic shards: hive-partition directories
+    shard_id=K, rows inside each shard in order_hash order.
+
+    ONE shuffle (repartition on shard_id) + a partition-local sort;
+    ``partitionBy`` then writes each shard directory from the single
+    task that owns it, so every shard is one sorted file regardless of
+    upstream partitioning. Shard count scales the write parallelism —
+    at 100 TB pick num_shards >= cluster cores and shards stay
+    task-sized."""
+    tagged = shard_assignment(df, key_col, num_shards, salt)
+    (
+        tagged.repartition(num_shards, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "order_hash")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

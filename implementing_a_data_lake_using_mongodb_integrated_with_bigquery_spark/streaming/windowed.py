@@ -210,6 +210,24 @@ def session_windows_once(
             .start()
         )
         q.awaitTermination()
+        # The batch-SQL oracle models the emission rule for a
+        # SINGLE-data-micro-batch replay: watermark still at 0 while all
+        # rows arrive, so no late rows are dropped and the only cut is
+        # the final-watermark withholding. If the replay ever splits
+        # (maxFilesPerTrigger set, or a multi-file events table at
+        # larger SF), rows arriving after batch 1 would face a nonzero
+        # watermark and the stream would diverge from the oracle — fail
+        # loudly instead of silently diverging.
+        data_batches = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        if len(data_batches) > 1:
+            raise RuntimeError(
+                f"session_windows_once replayed {len(data_batches)} data "
+                "micro-batches; the bounded-replay oracle assumes exactly "
+                "one (watermark still 0 on arrival). Coalesce the input "
+                "or extend the oracle to model per-batch watermarks."
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     result = spark.table(sink)

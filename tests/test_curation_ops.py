@@ -109,3 +109,31 @@ def test_stratified_cap_deterministic_and_capped(spark):
     # small group below the cap is kept whole
     small = spark.createDataFrame([(1, "x"), (2, "x")], "k long, g string")
     assert stratified_cap(small, "g", "k", cap=7).count() == 2
+
+
+def test_unigram_logprob_scores_hand_computed(spark):
+    import math
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        unigram_logprob_scores,
+    )
+
+    # corpus: 'a' x4, 'b' x2, 'z' x1 → total 7 tokens; vocab_size=2
+    # keeps {a, b}; 'z' is OOV and gets the ln(0.5/7) floor
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b z")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in unigram_logprob_scores(
+            df, vocab_size=2, keep_threshold=-1.2
+        ).collect()
+    }
+    lp = lambda p: round(math.log(p) * 1e6)
+    exp1 = round((3 * lp(4 / 7) + lp(2 / 7)) / 4 / 1e6, 6)
+    exp2 = round((lp(4 / 7) + lp(2 / 7) + lp(0.5 / 7)) / 3 / 1e6, 6)
+    assert out[1]["lm_score"] == exp1
+    assert out[2]["lm_score"] == exp2
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 3
+    # doc 2 contains the rare token → lower score, filtered out
+    assert out[1]["keep"] is True and out[2]["keep"] is False

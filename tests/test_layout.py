@@ -137,3 +137,46 @@ def test_zorder_key_is_a_bijection_on_the_grid(spark):
         F.countDistinct("z").alias("d"), F.min("z").alias("lo"), F.max("z").alias("hi")
     ).first()
     assert (stats["d"], stats["lo"], stats["hi"]) == (1024, 0, 1023)
+
+
+def test_write_sharded_deterministic_layout(spark, tmp_path):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        shard_assignment,
+        write_sharded,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    p1 = str(tmp_path / "shards_a")
+    p2 = str(tmp_path / "shards_b")
+    write_sharded(df, p1, "doc_id", num_shards=8)
+    # a differently-partitioned input must produce IDENTICAL shards
+    write_sharded(df.repartition(13), p2, "doc_id", num_shards=8)
+
+    dirs = sorted(d for d in os.listdir(p1) if d.startswith("shard_id="))
+    assert len(dirs) == 8
+    back1 = spark.read.parquet(p1)
+    assert back1.count() == 500
+    # membership matches the manifest-side assignment expression
+    expect = {
+        (r["doc_id"], r["shard_id"])
+        for r in shard_assignment(df, "doc_id", 8).collect()
+    }
+    got = {(r["doc_id"], int(r["shard_id"])) for r in back1.collect()}
+    assert got == expect
+
+    # intra-shard order is the md5 order, identical across both writes
+    for d in dirs:
+        rows1 = [
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(p1, d)).collect()
+        ]
+        rows2 = [
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(p2, d)).collect()
+        ]
+        assert rows1 == rows2
+        hashes = {
+            r["doc_id"]: r["order_hash"]
+            for r in shard_assignment(df, "doc_id", 8).collect()
+        }
+        assert rows1 == sorted(rows1, key=lambda i: hashes[i])
