@@ -321,3 +321,90 @@ def minhash_lsh_pairs(
         .filter(F.col("d1") < F.col("d2"))
         .dropDuplicates(["d1", "d2"])
     )
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Append-only ingestion dedup: screen a NEW batch against the
+    EXISTING corpus without ever re-pairing the corpus with itself.
+
+    The corpus side is banded once (at real scale its band index is
+    precomputed and stored bucketed-by-band, so only the incoming
+    batch shuffles); candidates are incoming↔existing band collisions
+    only — the |corpus|² mass never enters any join, and within-batch
+    pairs are deliberately out of scope (they are the ordinary
+    ``minhash_banded_pairs`` run). Candidates verify with EXACT
+    Jaccard; an incoming doc is novel iff no verified match exists.
+
+    Output: one row per incoming doc with ≥ n tokens —
+    ``(doc_id, is_novel, dup_of, jaccard)`` where ``dup_of`` is the
+    smallest matching existing id (deterministic tiebreak) and
+    ``jaccard`` that pair's exact similarity; null for novel docs.
+    Same r=2/b=16 recall-≈1 banding argument as
+    ``minhash_banded_pairs``, so the exact-Jaccard SQL twin is the
+    oracle."""
+    r = num_hashes // bands
+    assert r * bands == num_hashes, "bands must divide num_hashes"
+    ex = _shingle_table(existing, id_col, text_col, n)
+    inc = _shingle_table(incoming, id_col, text_col, n)
+
+    def banded(docs: DataFrame, out: str) -> DataFrame:
+        sig = docs.select(
+            "doc",
+            *[e.alias(f"mh{j}") for j, e in enumerate(minhash_exprs(num_hashes))],
+        )
+        keys = [
+            F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
+            for b in range(bands)
+        ]
+        return sig.select(
+            F.col("doc").alias(out), F.explode(F.array(*keys)).alias("band_val")
+        )
+
+    cand = (
+        banded(inc, "d1")
+        .join(banded(ex, "d2"), "band_val")
+        .select("d1", "d2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    verified = (
+        cand.join(inc.select(F.col("doc").alias("d1"), F.col("sh").alias("_sh1")), "d1")
+        .join(ex.select(F.col("doc").alias("d2"), F.col("sh").alias("_sh2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("_sh1", "_sh2")).cast("long").alias("shared"),
+            F.size("_sh1").cast("long").alias("n1"),
+            F.size("_sh2").cast("long").alias("n2"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = verified.groupBy("d1").agg(
+        F.min("d2").alias("dup_of"),
+    )
+    best = best.join(
+        verified.select("d1", F.col("d2").alias("dup_of"), "jaccard"),
+        ["d1", "dup_of"],
+    )
+    return (
+        inc.select(F.col("doc").alias(id_col))
+        .join(best.withColumnRenamed("d1", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNull().alias("is_novel"),
+            "dup_of",
+            "jaccard",
+        )
+    )

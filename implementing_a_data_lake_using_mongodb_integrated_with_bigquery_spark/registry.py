@@ -4904,3 +4904,169 @@ FROM events GROUP BY event_type
 
 QUERIES["variant_props_extract"] = q_variant_props_extract
 ORACLES["variant_props_extract"] = ORACLE_VARIANT
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only ingestion dedup (operators.dedup_near.
+    incremental_dedup): screen an incoming batch (doc_id % 10 ≥ 8)
+    against the existing corpus (doc_id % 10 < 8) via banded MinHash
+    candidates + exact-Jaccard verify; within-batch pairs deliberately
+    excluded (that is the ordinary minhash_banded_pairs run). r=2/b=16
+    banding ⇒ recall ≈ 1 at the 0.5 threshold, so the exact-Jaccard
+    SQL twin is the oracle."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.pmod("doc_id", F.lit(10)) < 8)
+    incoming = docs.filter(F.pmod("doc_id", F.lit(10)) >= 8)
+    return incremental_dedup(existing, incoming, threshold=0.5)
+
+
+ORACLE_INCREMENTAL_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT d1, d2,
+         round(shared / (s1.n_sh + s2.n_sh - shared), 6) AS jaccard
+  FROM shared JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE round(shared / (s1.n_sh + s2.n_sh - shared), 6) >= 0.5
+),
+best AS (
+  SELECT v.d1, MIN(v.d2) AS dup_of FROM verified v GROUP BY v.d1
+),
+bestj AS (
+  SELECT b.d1, b.dup_of, v.jaccard
+  FROM best b JOIN verified v ON v.d1 = b.d1 AND v.d2 = b.dup_of
+),
+inc AS (
+  SELECT doc_id FROM toks WHERE len(t) >= 3 AND doc_id % 10 >= 8
+)
+SELECT i.doc_id, bj.dup_of IS NULL AS is_novel, bj.dup_of, bj.jaccard
+FROM inc i LEFT JOIN bestj bj ON bj.d1 = i.doc_id
+"""
+
+QUERIES["incremental_dedup"] = q_incremental_dedup
+ORACLES["incremental_dedup"] = ORACLE_INCREMENTAL_DEDUP
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality-eval harness: recall@5 of the sign-LSH bucketed path
+    (operators.similarity.lsh_topk) against the exact brute-force
+    top-5 (cosine_topk), per query vector. The eval every production
+    ANN deployment runs before trading exactness for pruning — here
+    with a fully deterministic oracle because BOTH retrieval paths are
+    engine-exact (integer hyperplanes, 6dp-rounded cosine, total-order
+    tiebreaks). Both branches share the corpus scan; the intersection
+    join is on (q_id, vec_id) — candidate-set sized."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = cosine_topk(emb, q, k=5).select("q_id", "vec_id")
+    approx = lsh_topk(emb, q, k=5, n_planes=4, dim=64).select("q_id", "vec_id")
+    hits = (
+        approx.join(exact, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 6).alias("recall_at_5"),
+        )
+    )
+
+
+def _oracle_ann_recall() -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    planes = hyperplanes(4, 64)
+    plane_rows = ",\n    ".join(
+        "({}, [{}])".format(r, ", ".join(str(c) for c in h))
+        for r, h in enumerate(planes)
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+exact_scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) AS similarity
+  FROM embeddings e CROSS JOIN q
+),
+exact_top AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id ASC) AS rank
+    FROM exact_scored
+  ) WHERE rank <= 5
+),
+ei AS (
+  SELECT vec_id, embedding,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS e
+  FROM embeddings
+),
+h(r, hv) AS (VALUES
+    {plane_rows}
+),
+codes AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(ei.e, h.hv) > 0
+                       THEN (1 << h.r) ELSE 0 END) AS BIGINT) AS code
+  FROM ei CROSS JOIN h GROUP BY vec_id
+),
+coded AS (
+  SELECT c.vec_id, e.embedding, c.code
+  FROM codes c JOIN embeddings e USING (vec_id)
+),
+probes AS (
+  SELECT qq.vec_id AS q_id, qq.embedding AS q_emb, xor(qq.code, t.m) AS code
+  FROM coded qq CROSS JOIN (VALUES (0), (1), (2), (4), (8)) AS t(m)
+  WHERE qq.vec_id < 8
+),
+cand AS (
+  SELECT p.q_id, c.vec_id,
+         round(list_cosine_similarity(c.embedding::DOUBLE[], p.q_emb::DOUBLE[]), 6)
+           AS similarity
+  FROM coded c JOIN probes p USING (code)
+),
+approx_top AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id ASC) AS rank
+    FROM cand
+  ) WHERE rank <= 5
+),
+hits AS (
+  SELECT a.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM approx_top a JOIN exact_top e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  GROUP BY a.q_id
+)
+SELECT q.q_id, COALESCE(h2.n_hits, 0) AS n_hits,
+       round(COALESCE(h2.n_hits, 0) / 5.0, 6) AS recall_at_5
+FROM q LEFT JOIN hits h2 ON q.q_id = h2.q_id
+"""
+
+
+QUERIES["ann_recall_eval"] = q_ann_recall_eval
+ORACLES["ann_recall_eval"] = _oracle_ann_recall()

@@ -386,3 +386,52 @@ def test_hyperplane_code_exact_integer_sign(spark):
             if sum(a * b for a, b in zip(e, h)) > 0:
                 code |= 1 << r
         assert got[vid] == code, vid
+
+
+def test_incremental_dedup_flags_batch_vs_corpus(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        incremental_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text about spark engines")],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, base + " tail"),             # near-dup of doc 1
+            (11, "utterly novel content that matches nothing in the lake"),
+            (12, "xy"),                        # < n tokens → excluded
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_dedup(existing, incoming, threshold=0.5).collect()
+    }
+    assert set(out) == {10, 11}  # doc 12 too short to shingle
+    assert out[10]["is_novel"] is False and out[10]["dup_of"] == 1
+    assert out[10]["jaccard"] >= 0.5
+    assert out[11]["is_novel"] is True and out[11]["dup_of"] is None
+
+
+def test_incremental_dedup_ignores_within_batch_pairs(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        incremental_dedup,
+    )
+
+    dup = "one two three four five six seven eight nine ten"
+    existing = spark.createDataFrame(
+        [(1, "entirely unrelated reference document text")], ["doc_id", "text"]
+    )
+    incoming = spark.createDataFrame(
+        [(10, dup), (11, dup)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["is_novel"]
+        for r in incremental_dedup(existing, incoming).collect()
+    }
+    # both incoming docs duplicate EACH OTHER but nothing in the
+    # corpus: incremental scope marks both novel
+    assert out == {10: True, 11: True}
