@@ -134,3 +134,53 @@ def mixture_weights(
     )
     total = F.sum("w_scaled").over(Window.partitionBy())
     return g.withColumn("weight", F.round(F.col("w_scaled") / total, 6))
+
+
+def apportion_budget(
+    weights: DataFrame,
+    group_cols: list[str],
+    weight_col: str = "w_scaled",
+    budget: int = 1_000_000,
+) -> DataFrame:
+    """Integer token-budget apportionment (Hamilton / largest
+    remainder): split a fixed training-token budget across mixture
+    groups exactly proportionally to their integer weights, with
+    ``sum(alloc) == budget`` guaranteed.
+
+    floor allocations first (``w·B // total``), then the leftover
+    tokens go one each to the groups with the largest integer
+    remainder (``w·B % total``), ties broken by group name — all
+    BIGINT arithmetic, so the result is partition-order-independent
+    and engine-exact. Runs entirely on the (tiny) group table: the
+    windows are over |groups| rows, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    total = F.sum(weight_col).over(w_all)
+    g = (
+        weights.select(
+            *group_cols,
+            F.col(weight_col).alias("_w"),
+            (F.col(weight_col) * budget).alias("_wb"),
+            total.alias("_tot"),
+        )
+        # integer DIV/%, never float division: a double quotient near an
+        # integer can floor one off and break sum(alloc) == budget
+        .withColumn("_floor", F.expr("_wb DIV _tot"))
+        .withColumn("_rem", F.expr("_wb % _tot"))
+    )
+    leftover = F.lit(budget) - F.sum("_floor").over(w_all)
+    rank = F.row_number().over(
+        Window.orderBy(F.col("_rem").desc(), *[F.col(c).asc() for c in group_cols])
+    )
+    return g.select(
+        *group_cols,
+        F.col("_w").alias(weight_col),
+        (
+            F.col("_floor")
+            + F.when(rank <= leftover, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )

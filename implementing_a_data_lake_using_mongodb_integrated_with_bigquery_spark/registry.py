@@ -5070,3 +5070,130 @@ FROM q LEFT JOIN hits h2 ON q.q_id = h2.q_id
 
 QUERIES["ann_recall_eval"] = q_ann_recall_eval
 ORACLES["ann_recall_eval"] = _oracle_ann_recall()
+
+
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery surface (ANSI lateral join, Spark 4
+    SQL): per customer, the top-2 orders by price via an ORDER BY …
+    LIMIT subquery that references the outer row. Catalyst rewrites
+    the correlated limit into a ranked window over one join — the
+    declarative form of top_customer_per_nation's explicit window;
+    pinning it proves the SQL-surface parity, not a new plan shape."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+ORACLE_LATERAL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+QUERIES["lateral_top_orders"] = q_lateral_top_orders
+ORACLES["lateral_top_orders"] = ORACLE_LATERAL
+
+
+def q_recursive_doc_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE surface (Spark 4 ``WITH RECURSIVE``): documents
+    form an implicit tree (parent = doc_id // 10, root 0); the
+    recursion walks every doc up to the root, emitting depth and root.
+    The iterative-algorithm class (graph walks, BOM explosions,
+    org charts) expressed declaratively — the engine materializes one
+    step per level, so depth is bounded by the tree height, not the
+    row count."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("rec_docs")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(doc_id, anc, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM rec_docs
+          UNION ALL
+          SELECT doc_id, anc DIV 10, depth + 1 FROM walk WHERE anc > 0
+        )
+        SELECT doc_id,
+               CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+               CAST(COUNT(*) AS BIGINT) AS n_ancestors
+        FROM walk GROUP BY doc_id
+        """
+    )
+
+
+ORACLE_RECURSIVE = """
+WITH RECURSIVE walk(doc_id, anc, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM documents
+  UNION ALL
+  SELECT doc_id, anc // 10, depth + 1 FROM walk WHERE anc > 0
+)
+SELECT doc_id,
+       CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+       CAST(COUNT(*) AS BIGINT) AS n_ancestors
+FROM walk GROUP BY doc_id
+"""
+
+QUERIES["recursive_doc_tree"] = q_recursive_doc_tree
+ORACLES["recursive_doc_tree"] = ORACLE_RECURSIVE
+
+
+def q_token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget apportionment (operators.sampling.apportion_budget):
+    split a 1M-token training budget across sources exactly
+    proportionally to the sqrt-temperature mixture weights (Hamilton /
+    largest-remainder, all-BIGINT arithmetic ⇒ sum(alloc) == budget
+    exactly). Corpus work is one agg down to |sources| rows; the
+    apportionment windows run on the group table only."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
+        apportion_budget,
+        mixture_weights,
+    )
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    w = mixture_weights(
+        docs, ["source"], F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    out = apportion_budget(w, ["source"], budget=1_000_000)
+    return out.select("source", F.col("w_scaled").cast("long"), "alloc_tokens")
+
+
+ORACLE_APPORTION = """
+WITH g AS (
+  SELECT source,
+         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, CAST(round(sqrt(n_tokens) * 1000000) AS BIGINT) AS w_scaled FROM g
+),
+t AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS tot FROM w),
+f AS (
+  SELECT w.source, w.w_scaled,
+         (w.w_scaled * 1000000) // t.tot AS fl,
+         (w.w_scaled * 1000000) % t.tot AS rem
+  FROM w, t
+),
+r AS (
+  SELECT source, w_scaled, fl, rem,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+         CAST(1000000 - SUM(fl) OVER () AS BIGINT) AS leftover
+  FROM f
+)
+SELECT source, w_scaled,
+       CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+FROM r
+"""
+
+QUERIES["token_budget_apportionment"] = q_token_budget_apportionment
+ORACLES["token_budget_apportionment"] = ORACLE_APPORTION

@@ -137,3 +137,36 @@ def test_unigram_logprob_scores_hand_computed(spark):
     assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 3
     # doc 2 contains the rare token → lower score, filtered out
     assert out[1]["keep"] is True and out[2]["keep"] is False
+
+
+def test_apportion_budget_exact_and_invariant(spark):
+    from pyspark.sql import Row
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
+        apportion_budget,
+    )
+
+    # weights 3:1:1 over budget 10 → floors [6,2,2], remainder 0
+    w = spark.createDataFrame(
+        [Row(g="a", w_scaled=3), Row(g="b", w_scaled=1), Row(g="c", w_scaled=1)]
+    )
+    out = {r["g"]: r["alloc_tokens"] for r in apportion_budget(w, ["g"], budget=10).collect()}
+    assert out == {"a": 6, "b": 2, "c": 2}
+
+    # weights forcing remainders: 1:1:1 over 10 → floors [3,3,3], one
+    # leftover goes to the lexicographically-first group (tied rems)
+    w2 = spark.createDataFrame(
+        [Row(g="x", w_scaled=1), Row(g="y", w_scaled=1), Row(g="z", w_scaled=1)]
+    )
+    out2 = {r["g"]: r["alloc_tokens"] for r in apportion_budget(w2, ["g"], budget=10).collect()}
+    assert sum(out2.values()) == 10
+    assert out2 == {"x": 4, "y": 3, "z": 3}
+
+    # large uneven weights: the sum invariant must hold exactly
+    import random
+
+    rng = random.Random(7)
+    rows = [Row(g=f"g{i:02d}", w_scaled=rng.randrange(1, 10**9)) for i in range(25)]
+    w3 = spark.createDataFrame(rows)
+    out3 = apportion_budget(w3, ["g"], budget=1_000_000).collect()
+    assert sum(r["alloc_tokens"] for r in out3) == 1_000_000
