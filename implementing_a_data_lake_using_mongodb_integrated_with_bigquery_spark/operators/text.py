@@ -315,3 +315,63 @@ def unigram_logprob_scores(
         score.alias("lm_score"),
         (score >= F.lit(keep_threshold)).alias("keep"),
     )
+
+
+def normalize_text(text_col: Column | str) -> Column:
+    """Dedup-grade text normalization (the preprocessing step every
+    public dedup pipeline applies before shingling): lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace runs, trim.
+    Pure JVM regex expressions (RE2-portable patterns), map-only."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lowered = F.lower(c)
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    collapsed = F.regexp_replace(stripped, " +", " ")
+    return F.trim(collapsed)
+
+
+def normalized_docs(
+    df: DataFrame, text_col: str = "text", id_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-doc normalized text + the canonical fingerprint of the
+    normalized form (what exact-dedup should really key on: raw-byte
+    md5 misses case/punctuation-only mutations)."""
+    ids = id_cols or ["doc_id"]
+    norm = normalize_text(text_col)
+    return df.select(
+        *ids,
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_fingerprint"),
+        F.size(F.split(norm, " ")).cast("long").alias("n_norm_tokens"),
+    )
+
+
+def doc_feature_matrix(
+    df: DataFrame, text_col: str = "text", id_cols: list[str] | None = None
+) -> DataFrame:
+    """Fused per-document feature matrix — every cheap quality signal
+    in ONE projection over ONE scan (the featurization row a quality
+    classifier trains on). At 100 TB the win is exactly this fusion:
+    computing the signals as separate queries rescans the corpus once
+    per signal; fused, the scan amortizes across all of them and the
+    whole stage stays inside whole-stage codegen. Map-only, no UDF."""
+    ids = id_cols or ["doc_id"]
+    t = tokens(text_col)
+    n_tok = F.size(t).cast("long")
+    n_distinct = F.size(F.array_distinct(t)).cast("long")
+    n_stop = count_in(t, STOPWORDS)
+    n_chars = F.length(text_col).cast("long")
+    sum_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    ).cast("long")
+    n_digitish = F.size(F.filter(t, lambda x: x.rlike("^[0-9]+$"))).cast("long")
+    return df.select(
+        *ids,
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(n_distinct / n_tok, 6).alias("type_token_ratio"),
+        F.round(sum_len / n_tok, 6).alias("avg_token_len"),
+        F.round(n_stop / n_tok, 6).alias("stop_ratio"),
+        F.round(n_digitish / n_tok, 6).alias("digit_token_ratio"),
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")))
+        .alias("text_fp"),
+    )

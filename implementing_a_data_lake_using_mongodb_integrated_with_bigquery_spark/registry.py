@@ -5197,3 +5197,117 @@ FROM r
 
 QUERIES["token_budget_apportionment"] = q_token_budget_apportionment
 ORACLES["token_budget_apportionment"] = ORACLE_APPORTION
+
+
+def q_normalized_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-canonical dedup keys (operators.text.
+    normalized_docs): lowercase → strip punctuation → collapse
+    whitespace, fingerprint the canonical form. Exact dedup keyed on
+    this catches case/punctuation-only mutations that raw-byte md5
+    misses. Map-only scan, RE2-portable regexes."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        normalized_docs,
+    )
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return normalized_docs(docs).select(
+        "doc_id", "norm_fingerprint", "n_norm_tokens"
+    )
+
+
+ORACLE_NORM_FP = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, md5(norm_text) AS norm_fingerprint,
+       CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_norm_tokens
+FROM n
+"""
+
+QUERIES["normalized_fingerprints"] = q_normalized_fingerprints
+ORACLES["normalized_fingerprints"] = ORACLE_NORM_FP
+
+
+def q_doc_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused featurization (operators.text.doc_feature_matrix): every
+    cheap per-doc quality signal in one projection over one scan —
+    the row a quality classifier trains on. Separate signal queries
+    would rescan the corpus once each; fused they share the scan and
+    stay in whole-stage codegen."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        doc_feature_matrix,
+    )
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return doc_feature_matrix(docs)
+
+
+_STOP_SQL_FEAT = "'the', 'a', 'and', 'of', 'is'"
+
+ORACLE_FEATURE_MATRIX = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       round(CAST(len(list_distinct(toks)) AS BIGINT) / len(toks), 6) AS type_token_ratio,
+       round(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) / len(toks), 6) AS avg_token_len,
+       round(CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL_FEAT}))) AS BIGINT) / len(toks), 6) AS stop_ratio,
+       round(CAST(len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) / len(toks), 6) AS digit_token_ratio,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_fp
+FROM t
+"""
+
+QUERIES["doc_feature_matrix"] = q_doc_feature_matrix
+ORACLES["doc_feature_matrix"] = ORACLE_FEATURE_MATRIX
+
+
+def q_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-mass histogram over the verified near-dup pair set
+    (threshold 0.2, 0.05-wide buckets): the distribution an engineer
+    reads before picking a dedup threshold — how much pair mass sits
+    at each similarity level. The corpus-sized work is the same
+    prefix-filtered pair generation as ngram_jaccard_pairs; the
+    histogram is one tiny agg on the pair set."""
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+    bucket = F.floor(F.col("jaccard") * 20).cast("long")
+    return (
+        pairs.groupBy(bucket.alias("bucket_idx"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "bucket_idx",
+            F.round(F.col("bucket_idx") / 20.0, 6).alias("bucket_lo"),
+            "n_pairs",
+        )
+    )
+
+
+ORACLE_JACCARD_HIST = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT round(shared / (s1.n_sh + s2.n_sh - shared), 6) AS jaccard
+  FROM shared JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE round(shared / (s1.n_sh + s2.n_sh - shared), 6) >= 0.2
+)
+SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bucket_idx,
+       round(CAST(floor(jaccard * 20) AS BIGINT) / 20.0, 6) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1
+"""
+
+QUERIES["jaccard_histogram"] = q_jaccard_histogram
+ORACLES["jaccard_histogram"] = ORACLE_JACCARD_HIST
