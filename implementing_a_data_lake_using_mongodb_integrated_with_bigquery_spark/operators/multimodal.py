@@ -326,3 +326,187 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize + frame-sample: the remaining two mapInPandas media stages,
+# also real byte work (inflate → pixel ops → re-encode; container
+# walk → per-frame decode). Together with decode_media this covers
+# the full decode / feature-extract / resize / frame-sample pipeline
+# on genuine container bytes.
+# ---------------------------------------------------------------------------
+
+_CLIP_MAGIC = b"FRMV"
+
+
+def resize_png(payload: bytes, factor: int) -> bytes:
+    """Nearest-neighbor downsample of a grayscale/truecolor PNG by an
+    integer factor: inflate IDAT, un-filter, keep every factor-th
+    pixel/row, re-encode (filter 0). Real pixel-level work with only
+    struct+zlib."""
+    import struct
+    import zlib
+
+    rec = parse_media(payload)
+    if rec["kind"] != "png" or rec["color_type"] not in (0, 2):
+        raise ValueError("resize_png supports grayscale/truecolor PNG")
+    w, h, ch = rec["width"], rec["height"], rec["channels"]
+    # re-inflate (parse_media doesn't return pixels)
+    pos, idat = 8, b""
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen
+    raw = zlib.decompress(idat)
+    stride = 1 + w * ch
+    prev = bytes(w * ch)
+    rows = []
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        ftype, body = line[0], bytearray(line[1:])
+        if ftype == 2:
+            for i in range(len(body)):
+                body[i] = (body[i] + prev[i]) & 0xFF
+        elif ftype != 0:  # pragma: no cover
+            raise NotImplementedError(f"PNG filter {ftype}")
+        prev = bytes(body)
+        rows.append(bytes(body))
+    new_w = (w + factor - 1) // factor
+    new_h = (h + factor - 1) // factor
+    out_raw = b"".join(
+        b"\x00"
+        + b"".join(
+            rows[y * factor][x * factor * ch : x * factor * ch + ch]
+            for x in range(new_w)
+        )
+        for y in range(new_h)
+    )
+    ihdr = struct.pack(">IIBBBBB", new_w, new_h, 8, rec["color_type"], 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(out_raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def build_clip(doc_id: int) -> bytes:
+    """Deterministic multi-frame clip container: magic + frame count +
+    length-prefixed PNG frames (frame i is ``build_png(doc_id*8+i)``,
+    so every frame's fields stay arithmetic in (doc_id, i))."""
+    import struct
+
+    n_frames = 2 + doc_id % 6
+    frames = [build_png(doc_id * 8 + i) for i in range(n_frames)]
+    return (
+        _CLIP_MAGIC
+        + struct.pack("<I", n_frames)
+        + b"".join(struct.pack("<I", len(f)) + f for f in frames)
+    )
+
+
+def iter_clip_frames(payload: bytes):
+    """Yield (frame_idx, frame_bytes) from a clip container."""
+    import struct
+
+    if payload[:4] != _CLIP_MAGIC:
+        raise ValueError("not a clip container")
+    (n,) = struct.unpack("<I", payload[4:8])
+    pos = 8
+    for i in range(n):
+        (ln,) = struct.unpack("<I", payload[pos : pos + 4])
+        yield i, payload[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+
+
+def resize_media(
+    df: DataFrame,
+    factor: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """payload → resized payload (PNG nearest-neighbor, integer
+    factor) via mapInPandas; map-only, bytes never leave the
+    partition."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": pdf[payload_col].map(
+                        lambda b: resize_png(bytes(b), factor)
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, _PAYLOAD_FRAME_SCHEMA)
+
+
+_PAYLOAD_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("mean_value", T.DoubleType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    every: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Clip container → every ``every``-th frame decoded to features
+    (one output row per sampled frame). The video-pipeline sampling
+    stage: container walk + per-frame decode inside one mapInPandas,
+    no shuffle, frames never reassembled."""
+
+    def batches(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
+                for idx, frame in iter_clip_frames(bytes(b)):
+                    if idx % every != 0:
+                        continue
+                    rec = parse_media(frame)
+                    rows.append(
+                        {
+                            "doc_id": int(i),
+                            "frame_idx": idx,
+                            "width": rec["width"],
+                            "height": rec["height"],
+                            "mean_value": rec["mean_value"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
+def synthesize_clips(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column → (doc_id, payload) clip containers via mapInPandas."""
+
+    def gen(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": ids.map(lambda i: build_clip(int(i))),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, _PAYLOAD_FRAME_SCHEMA)

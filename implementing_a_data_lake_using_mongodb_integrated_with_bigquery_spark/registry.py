@@ -5311,3 +5311,104 @@ FROM pairs GROUP BY 1
 
 QUERIES["jaccard_histogram"] = q_jaccard_histogram
 ORACLES["jaccard_histogram"] = ORACLE_JACCARD_HIST
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG resize stage (operators.multimodal.resize_png via
+    mapInPandas): inflate IDAT → un-filter → nearest-neighbor
+    downsample ×2 → re-encode, then decode the RESIZED bytes back.
+    The oracle predicts the post-resize fields arithmetically
+    (ceil-divided dims, preserved constant-pixel mean), so a hash
+    match proves actual pixel-level work happened twice (resize +
+    decode). Two map-only stages, bytes never leave the partition."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.multimodal import (
+        decode_media,
+        resize_media,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.multimodal import (
+        synthesize_media,
+    )
+
+    d = parallelize(load_table(spark, sf_dir, "documents").select("doc_id"))
+    pngs = synthesize_media(d.filter(F.pmod("doc_id", F.lit(2)) == 0))
+    resized = resize_media(pngs, factor=2)
+    return decode_media(resized).select(
+        "doc_id", "width", "height", F.round("mean_value", 6).alias("mean_value")
+    )
+
+
+ORACLE_MM_RESIZE = """
+SELECT doc_id,
+       ((1 + doc_id % 64) + 1) // 2 AS width,
+       ((1 + (doc_id // 64) % 64) + 1) // 2 AS height,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_value
+FROM documents WHERE doc_id % 2 = 0
+"""
+
+QUERIES["multimodal_resize"] = q_multimodal_resize
+ORACLES["multimodal_resize"] = ORACLE_MM_RESIZE
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage over multi-frame clip containers
+    (operators.multimodal.frame_sample): walk the container, decode
+    every 2nd frame, one output row per sampled frame — the video
+    pipeline's temporal downsampling. Frame fields are arithmetic in
+    (doc_id, frame_idx) so the oracle enumerates the same sampled set
+    with generate_series. Map-only; a clip's frames never reassemble."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.multimodal import (
+        frame_sample,
+        synthesize_clips,
+    )
+
+    d = parallelize(load_table(spark, sf_dir, "documents").select("doc_id"))
+    clips = synthesize_clips(d)
+    return frame_sample(clips, every=2).select(
+        "doc_id", "frame_idx", "width", "height",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
+ORACLE_MM_FRAMES = """
+SELECT d.doc_id, g.i AS frame_idx,
+       1 + (d.doc_id * 8 + g.i) % 64 AS width,
+       1 + ((d.doc_id * 8 + g.i) // 64) % 64 AS height,
+       CAST((d.doc_id * 8 + g.i) % 256 AS DOUBLE) AS mean_value
+FROM documents d,
+     LATERAL (SELECT unnest(generate_series(0, 2 + d.doc_id % 6 - 1)) AS i) g
+WHERE g.i % 2 = 0
+"""
+
+QUERIES["multimodal_frame_sample"] = q_multimodal_frame_sample
+ORACLES["multimodal_frame_sample"] = ORACLE_MM_FRAMES
+
+
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming.joins.stream_static_enrich_once):
+    the event stream joins the broadcast customer dim per micro-batch
+    (no state store for the static side) and aggregates per market
+    segment in complete mode — replay-deterministic, so the oracle is
+    the plain batch join+agg. This is the reference's only join shape
+    (stream × places lookup) executed as a real streaming job."""
+    import os as _os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.joins import (
+        stream_static_enrich_once,
+    )
+
+    dim = load_table(spark, sf_dir, "customer")
+    return stream_static_enrich_once(
+        spark, _os.path.join(sf_dir, "events.parquet"), dim
+    )
+
+
+ORACLE_STREAM_STATIC = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(e.value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+QUERIES["stream_static_enrich"] = q_stream_static_enrich
+ORACLES["stream_static_enrich"] = ORACLE_STREAM_STATIC

@@ -120,3 +120,49 @@ def attribution_join_once(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink)
+
+
+def stream_static_enrich_once(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_attr: str = "c_mktsegment",
+) -> DataFrame:
+    """Stream-static enrichment join, run end-to-end on a bounded
+    replay: the event stream joins a STATIC dimension (the reference's
+    only join shape — stream of weather readings × places lookup,
+    ``src/process_insert_update_weather_data.py:63-74``), then
+    aggregates per dim attribute in complete mode.
+
+    The static side is broadcast per micro-batch — no state store is
+    involved for the dim (unlike stream-stream joins), so the join
+    costs what a batch broadcast join costs, every batch. Complete-mode
+    aggregation makes the final table replay-deterministic: it equals
+    the batch join+agg over the same files, which is exactly what the
+    DuckDB oracle computes."""
+    stream = _event_stream(spark, events_path)
+    enriched = stream.join(
+        F.broadcast(dim.select(F.col(dim_key).alias(key_col), dim_attr)),
+        key_col,
+        "inner",
+    )
+    aggd = enriched.groupBy(dim_attr).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("_sv"),
+    )
+    sink = f"stream_static_enrich_once_{next(_SINK_SEQ)}"
+    q = (
+        aggd.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        dim_attr,
+        "n_events",
+        (F.col("_sv") / 10000.0).alias("sum_value"),
+    )

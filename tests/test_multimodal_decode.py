@@ -100,3 +100,53 @@ def test_spark_e2e_decode(spark):
     assert by_id[7]["kind"] == "wav" and by_id[7]["sample_rate"] == 44100
     assert by_id[7]["n_samples"] == 107
     assert by_id[7]["duration_us"] == 107 * 1_000_000 // 44100
+
+
+def test_resize_png_nearest_neighbor_exact():
+    # 4x2 grayscale with distinct pixels: resize ×2 keeps pixels at
+    # even (x, y) → [[10, 30]] from rows [[10,20,30,40],[50,60,70,80]]
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.multimodal import (
+        _png_chunk,
+        parse_media,
+        resize_png,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 0, 0, 0, 0)
+    raw = b"\x00" + bytes([10, 20, 30, 40]) + b"\x00" + bytes([50, 60, 70, 80])
+    b = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    rec = parse_media(resize_png(b, 2))
+    assert rec["width"] == 2 and rec["height"] == 1
+    assert rec["mean_value"] == (10 + 30) / 2
+
+
+def test_resize_png_odd_dims_ceil():
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.multimodal import (
+        build_png,
+        parse_media,
+        resize_png,
+    )
+
+    # doc 4: width 5, height 1 → resized (3, 1); constant pixel 4
+    rec = parse_media(resize_png(build_png(4), 2))
+    assert (rec["width"], rec["height"]) == (3, 1)
+    assert rec["mean_value"] == 4.0
+
+
+def test_clip_frame_sampling(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.multimodal import (
+        frame_sample,
+        synthesize_clips,
+    )
+
+    df = spark.range(3, 5).withColumnRenamed("id", "doc_id")
+    out = frame_sample(synthesize_clips(df), every=2).collect()
+    # doc 3: 5 frames → sampled 0,2,4; doc 4: 6 frames → 0,2,4
+    got = {(r["doc_id"], r["frame_idx"]) for r in out}
+    assert got == {(3, 0), (3, 2), (3, 4), (4, 0), (4, 2), (4, 4)}
+    r30 = next(r for r in out if (r["doc_id"], r["frame_idx"]) == (3, 0))
+    assert r30["width"] == 1 + 24 % 64 and r30["mean_value"] == 24.0
