@@ -5412,3 +5412,150 @@ GROUP BY c.c_mktsegment
 
 QUERIES["stream_static_enrich"] = q_stream_static_enrich
 ORACLES["stream_static_enrich"] = ORACLE_STREAM_STATIC
+
+
+def q_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (IN over a grouped-HAVING subquery): orders
+    whose total lineitem quantity clears a threshold, re-joined for
+    reporting. Catalyst decorrelates the IN into a semi-join against
+    the pre-aggregated subquery — the fact table shuffles once on the
+    order key and the HAVING filter collapses it before the join."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q18_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q18_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice,
+               CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS total_qty
+        FROM q18_orders o JOIN q18_lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM q18_lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 10000
+        )
+        GROUP BY o.o_orderkey, o.o_totalprice
+        """
+    )
+
+
+ORACLE_Q18 = """
+SELECT o.o_orderkey, o.o_totalprice,
+       CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 10000
+)
+GROUP BY o.o_orderkey, o.o_totalprice
+"""
+
+QUERIES["large_quantity_orders"] = q_large_quantity_orders
+ORACLES["large_quantity_orders"] = ORACLE_Q18
+
+
+def q_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (correlated EXISTS + NOT EXISTS): suppliers who
+    shipped a returned line in a multi-supplier order where NO other
+    supplier's line was returned — the classic double-correlated
+    anti-pattern Catalyst lowers to one semi- and one anti-join on the
+    order key. Counts per supplier."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q21_supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q21_lineitem")
+    return spark.sql(
+        """
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM q21_supplier s
+        JOIN q21_lineitem l1
+          ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+        WHERE EXISTS (
+          SELECT 1 FROM q21_lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM q21_lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+        )
+        GROUP BY s.s_name
+        """
+    )
+
+
+ORACLE_Q21 = """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM lineitem l3
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    AND l3.l_returnflag = 'R'
+)
+GROUP BY s.s_name
+"""
+
+QUERIES["sole_returning_supplier"] = q_sole_returning_supplier
+ORACLES["sole_returning_supplier"] = ORACLE_Q21
+
+
+def q_min_price_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated scalar subquery): parts priced at
+    the minimum of their type class. Catalyst decorrelates the scalar
+    subquery into an aggregate + join on the correlation key — one
+    shuffle on p_type, no per-row re-execution."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q2_part")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_name, p.p_type, p.p_retailprice
+        FROM q2_part p
+        WHERE p.p_retailprice = (
+          SELECT MIN(p2.p_retailprice) FROM q2_part p2
+          WHERE p2.p_type = p.p_type
+        )
+        """
+    )
+
+
+ORACLE_Q2MIN = """
+SELECT p.p_partkey, p.p_name, p.p_type, p.p_retailprice
+FROM part p
+WHERE p.p_retailprice = (
+  SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+)
+"""
+
+QUERIES["min_price_per_type"] = q_min_price_per_type
+ORACLES["min_price_per_type"] = ORACLE_Q2MIN
+
+
+def q_pandas_api_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-API-on-Spark surface (``pyspark.pandas``): the
+    distributed DataFrame dialect data scientists reach for first —
+    groupby/size/sort in pandas idiom, lowered by the same Catalyst
+    plans as the SQL form (the oracle). Restricted to integer counts
+    (float pandas aggs would be partition-order-dependent)."""
+    psdf = load_table(spark, sf_dir, "events").pandas_api()
+    out = (
+        psdf.groupby(["event_type", "user_id"])
+        .size()
+        .rename("n_events")
+        .reset_index()
+    )
+    return out.to_spark().select(
+        "event_type", "user_id", F.col("n_events").cast("long")
+    )
+
+
+ORACLE_PANDAS_API = """
+SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type, user_id
+"""
+
+QUERIES["pandas_api_counts"] = q_pandas_api_counts
+ORACLES["pandas_api_counts"] = ORACLE_PANDAS_API
