@@ -32,7 +32,22 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     duplicate_audit,
     exact_dedup,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    frame_sample,
+    resize_media,
+    synthesize_clips,
+    synthesize_media,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+    doc_feature_matrix,
+    normalize_text,
+    normalized_docs,
+    unigram_logprob_scores,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+    incremental_dedup,
     minhash_banded_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -41,6 +56,7 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     flatten_weather,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
+    partitioned_components,
     connected_components,
     dedup_clusters,
 )
@@ -71,6 +87,7 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     bin_range_join,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
+    apportion_budget,
     hash_split,
     mixture_weights,
     split_column,
@@ -106,6 +123,7 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     cosine_near_dup_pairs,
     cosine_topk,
     ivf_topk,
+    lsh_topk,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.skew import (
     salted_join,
@@ -113,6 +131,20 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
 
 __all__ = [
     "agg_state",
+    "apportion_budget",
+    "decode_media",
+    "doc_feature_matrix",
+    "extract_features",
+    "frame_sample",
+    "incremental_dedup",
+    "lsh_topk",
+    "normalize_text",
+    "normalized_docs",
+    "partitioned_components",
+    "resize_media",
+    "synthesize_clips",
+    "synthesize_media",
+    "unigram_logprob_scores",
     "asof_join",
     "asof_join_pandas",
     "bm25_topk",

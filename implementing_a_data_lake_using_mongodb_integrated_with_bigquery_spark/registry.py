@@ -5559,3 +5559,101 @@ FROM events GROUP BY event_type, user_id
 
 QUERIES["pandas_api_counts"] = q_pandas_api_counts
 ORACLES["pandas_api_counts"] = ORACLE_PANDAS_API
+
+
+def q_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation v2, chaining the round-4 operators:
+    normalize (text.normalize_text) → exact-dedup on the CANONICAL
+    fingerprint (catches case/punct-only dups) → corpus-trained
+    unigram LM quality filter on the deduped corpus
+    (text.unigram_logprob_scores) → per-source report. One corpus
+    scan feeds normalization+fingerprint; the dedup window shuffles
+    on the fingerprint; LM training aggregates the already-deduped
+    corpus. Per-doc lm_scores aggregate as scaled integers so the
+    mean is partition-order-independent."""
+    from pyspark.sql import Window
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        normalized_docs,
+        unigram_logprob_scores,
+    )
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    norm = normalized_docs(docs, id_cols=["doc_id", "source"]).select(
+        "doc_id", "source", "norm_text", "norm_fingerprint"
+    )
+    w = Window.partitionBy("norm_fingerprint").orderBy("doc_id")
+    deduped = (
+        norm.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "norm_fingerprint")
+    )
+    lm = unigram_logprob_scores(
+        deduped, text_col="norm_text", vocab_size=1000, keep_threshold=-8.0
+    )
+    kept = lm.filter("keep").join(
+        deduped.select("doc_id", "source"), "doc_id"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum(F.round(F.col("lm_score") * 1_000_000).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / 1_000_000.0,
+            6,
+        ).alias("avg_lm_score"),
+    )
+
+
+ORACLE_CURATION_V2 = """
+WITH norm AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS ntext
+  FROM documents
+),
+dedup AS (
+  SELECT doc_id, source, ntext FROM norm
+  QUALIFY row_number() OVER (PARTITION BY md5(ntext) ORDER BY doc_id) = 1
+),
+toks AS (SELECT doc_id, unnest(string_split(ntext, ' ')) AS token FROM dedup),
+counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM counts),
+vocab AS (
+  SELECT token, cnt FROM counts
+  QUALIFY row_number() OVER (ORDER BY cnt DESC, token ASC) <= 1000
+),
+lp AS (
+  SELECT v.token,
+         CAST(round(ln(CAST(v.cnt AS DOUBLE) / t.tot) * 1000000) AS BIGINT) AS lp
+  FROM vocab v, total t
+),
+scored AS (
+  SELECT tk.doc_id,
+         COALESCE(l.lp,
+                  (SELECT CAST(round(ln(0.5 / tot) * 1000000) AS BIGINT)
+                   FROM total)) AS lp
+  FROM toks tk LEFT JOIN lp l USING (token)
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         round(CAST(CAST(SUM(lp) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000000.0,
+               6) AS lm_score
+  FROM scored GROUP BY doc_id
+),
+kept AS (
+  SELECT p.doc_id, p.n_tokens, p.lm_score, d.source
+  FROM per_doc p JOIN dedup d USING (doc_id)
+  WHERE p.lm_score >= -8.0
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(CAST(SUM(CAST(round(lm_score * 1000000) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_lm_score
+FROM kept GROUP BY source
+"""
+
+QUERIES["corpus_curation_v2"] = q_corpus_curation_v2
+ORACLES["corpus_curation_v2"] = ORACLE_CURATION_V2
