@@ -5657,3 +5657,68 @@ FROM kept GROUP BY source
 
 QUERIES["corpus_curation_v2"] = q_corpus_curation_v2
 ORACLES["corpus_curation_v2"] = ORACLE_CURATION_V2
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS surface (the general form behind ROLLUP/CUBE,
+    both already oracled): revenue by (returnflag), by (linestatus),
+    and the grand total in ONE pass — Catalyst expands the sets into
+    a single Expand + hash aggregate, so the fact table is scanned
+    once, not once per set. grouping_id() disambiguates the null
+    grouping keys."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS revenue
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+QUERIES["grouping_sets_revenue"] = q_grouping_sets_revenue
+ORACLES["grouping_sets_revenue"] = ORACLE_GROUPING_SETS
+
+
+def q_brands_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (``listagg`` / ``string_agg``): the
+    distinct brands per part type as one deterministic comma-joined
+    string (explicit WITHIN-GROUP order — an unordered listagg would
+    be partition-order-dependent and could never hash-match)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select("p_type", "p_brand")
+        .distinct()
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_brands"),
+            F.expr(
+                "listagg(p_brand, ',') WITHIN GROUP (ORDER BY p_brand)"
+            ).alias("brands"),
+        )
+    )
+
+
+ORACLE_LISTAGG = """
+WITH d AS (SELECT DISTINCT p_type, p_brand FROM part)
+SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_brands,
+       string_agg(p_brand, ',' ORDER BY p_brand) AS brands
+FROM d GROUP BY p_type
+"""
+
+QUERIES["brands_listagg"] = q_brands_listagg
+ORACLES["brands_listagg"] = ORACLE_LISTAGG
