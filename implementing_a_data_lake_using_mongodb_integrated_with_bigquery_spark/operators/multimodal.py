@@ -190,22 +190,36 @@ def parse_media(payload: bytes) -> dict:
                 break
             pos += 12 + clen
         if idat and out["bit_depth"] == 8 and out["color_type"] in (0, 2):
+            import numpy as np
+
             raw = zlib.decompress(idat)
-            stride = 1 + out["width"] * out["channels"]
-            total = n = 0
-            prev = bytes(out["width"] * out["channels"])
-            for y in range(out["height"]):
-                line = raw[y * stride : (y + 1) * stride]
-                ftype, body = line[0], bytearray(line[1:])
-                if ftype == 2:  # Up
-                    for i in range(len(body)):
-                        body[i] = (body[i] + prev[i]) & 0xFF
-                elif ftype != 0:  # pragma: no cover - encoder never emits
-                    raise NotImplementedError(f"PNG filter {ftype}")
-                prev = bytes(body)
-                total += sum(body)
-                n += len(body)
-            out["mean_value"] = total / n if n else None
+            w = out["width"] * out["channels"]
+            # scanlines as a (h, 1+w) uint8 matrix: column 0 is the
+            # filter byte, the rest are pixel bytes — vectorized
+            # un-filtering (cumulative sum down rows inverts filter 2)
+            mat = np.frombuffer(raw, dtype=np.uint8).reshape(
+                out["height"], 1 + w
+            )
+            ftypes, body = mat[:, 0], mat[:, 1:].astype(np.int64)
+            bad = set(np.unique(ftypes)) - {0, 2}
+            if bad:  # pragma: no cover - encoder never emits
+                raise NotImplementedError(f"PNG filter {bad}")
+            if (ftypes == 2).any():
+                # Up filter: each row adds the reconstructed row above.
+                # Rows are segmented by filter-0 "restart" rows; within
+                # a run of filter-2 rows the reconstruction is a
+                # cumulative sum (mod 256) from the last filter-0 row.
+                rec = np.zeros_like(body)
+                prev = np.zeros(w, dtype=np.int64)
+                for y in range(out["height"]):  # row loop only, O(h)
+                    prev = (
+                        body[y] if ftypes[y] == 0 else (body[y] + prev) % 256
+                    )
+                    rec[y] = prev
+                body = rec
+            out["mean_value"] = (
+                float(body.sum()) / body.size if body.size else None
+            )
     elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         out["kind"] = "wav"
         pos = 12
@@ -217,11 +231,15 @@ def parse_media(payload: bytes) -> dict:
                 _fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", data[:16])
                 out.update(channels=ch, sample_rate=rate, bit_depth=bits)
             elif ctype == b"data" and out["bit_depth"] == 16:
-                samples = struct.unpack(f"<{clen // 2}h", data[: clen // 2 * 2])
+                import numpy as np
+
+                samples = np.frombuffer(
+                    data[: clen // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
                 per_frame = out["channels"] or 1
-                out["n_samples"] = len(samples) // per_frame
+                out["n_samples"] = samples.size // per_frame
                 out["mean_value"] = (
-                    sum(samples) / len(samples) if samples else None
+                    float(samples.sum()) / samples.size if samples.size else None
                 )
             pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
         if out["sample_rate"] and out["n_samples"] is not None:
@@ -359,30 +377,27 @@ def resize_png(payload: bytes, factor: int) -> bytes:
         if ctype == b"IDAT":
             idat += payload[pos + 8 : pos + 8 + clen]
         pos += 12 + clen
+    import numpy as np
+
     raw = zlib.decompress(idat)
-    stride = 1 + w * ch
-    prev = bytes(w * ch)
-    rows = []
-    for y in range(h):
-        line = raw[y * stride : (y + 1) * stride]
-        ftype, body = line[0], bytearray(line[1:])
-        if ftype == 2:
-            for i in range(len(body)):
-                body[i] = (body[i] + prev[i]) & 0xFF
-        elif ftype != 0:  # pragma: no cover
-            raise NotImplementedError(f"PNG filter {ftype}")
-        prev = bytes(body)
-        rows.append(bytes(body))
-    new_w = (w + factor - 1) // factor
-    new_h = (h + factor - 1) // factor
-    out_raw = b"".join(
-        b"\x00"
-        + b"".join(
-            rows[y * factor][x * factor * ch : x * factor * ch + ch]
-            for x in range(new_w)
-        )
-        for y in range(new_h)
-    )
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w * ch)
+    ftypes, body = mat[:, 0], mat[:, 1:].astype(np.int64)
+    if (ftypes == 2).any():
+        rec = np.zeros_like(body)
+        prev = np.zeros(w * ch, dtype=np.int64)
+        for y in range(h):  # row loop only, O(h)
+            prev = body[y] if ftypes[y] == 0 else (body[y] + prev) % 256
+            rec[y] = prev
+        body = rec
+    elif (~np.isin(ftypes, (0, 2))).any():  # pragma: no cover
+        raise NotImplementedError("unsupported PNG filter")
+    pix = body.reshape(h, w, ch).astype(np.uint8)
+    # nearest-neighbor: keep pixels at integer multiples of factor
+    sampled = pix[::factor, ::factor, :]
+    new_h, new_w = sampled.shape[0], sampled.shape[1]
+    lines = np.zeros((new_h, 1 + new_w * ch), dtype=np.uint8)
+    lines[:, 1:] = sampled.reshape(new_h, new_w * ch)
+    out_raw = lines.tobytes()
     ihdr = struct.pack(">IIBBBBB", new_w, new_h, 8, rec["color_type"], 0, 0, 0)
     return (
         _PNG_SIG
