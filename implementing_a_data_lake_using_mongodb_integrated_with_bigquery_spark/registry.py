@@ -5722,3 +5722,104 @@ FROM d GROUP BY p_type
 
 QUERIES["brands_listagg"] = q_brands_listagg
 ORACLES["brands_listagg"] = ORACLE_LISTAGG
+
+
+def q_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe function surface (``try_divide`` / ``try_cast``
+    / ``try_to_timestamp``): expressions that yield NULL instead of
+    raising under ANSI mode — the lake-ingest posture for dirty data
+    (the reference wraps every cast in try/except row loops,
+    ``src/process_insert_update_weather_data.py:96-118``; here the
+    nulls flow through one vectorized pass and are counted, not
+    crashed on)."""
+    e = load_table(spark, sf_dir, "events")
+    per_row = e.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.col("user_id") % 3).alias("div3"),
+        F.expr("TRY_CAST(get_json_object(props, '$.k') AS BIGINT)").alias("k_long"),
+        F.expr("TRY_CAST(event_type AS BIGINT)").alias("bad_cast"),
+    )
+    return per_row.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("div3").alias("n_divisible"),
+        F.count("k_long").alias("n_k"),
+        F.count("bad_cast").alias("n_bad_cast"),
+        F.sum(F.round(F.col("div3") * 10000).cast("long")).alias("_s"),
+    ).select(
+        "n_rows",
+        "n_divisible",
+        "n_k",
+        "n_bad_cast",
+        (F.col("_s") / 10000.0).alias("sum_div3"),
+    )
+
+
+ORACLE_SAFE_ARITH = """
+WITH p AS (
+  SELECT event_id,
+         CASE WHEN user_id % 3 <> 0 THEN value / (user_id % 3) END AS div3,
+         TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k_long,
+         TRY_CAST(event_type AS BIGINT) AS bad_cast
+  FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(div3) AS BIGINT) AS n_divisible,
+       CAST(COUNT(k_long) AS BIGINT) AS n_k,
+       CAST(COUNT(bad_cast) AS BIGINT) AS n_bad_cast,
+       CAST(SUM(CAST(round(div3 * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_div3
+FROM p
+"""
+
+QUERIES["safe_arithmetic"] = q_safe_arithmetic
+ORACLES["safe_arithmetic"] = ORACLE_SAFE_ARITH
+
+
+def q_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time token-bucket rate limiting (operators.ratelimit.
+    token_bucket_flags): per-user bucket (capacity 3, refill 1
+    token/hour of EVENT time) replayed deterministically over the
+    event sequence; report admitted vs throttled counts per user. The
+    recurrence is integer micro-tokens, so the DuckDB oracle replays
+    the identical decision sequence with a recursive CTE. One shuffle
+    on the key; groups replay sequentially, keys in parallel."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.ratelimit import (
+        token_bucket_flags,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    flags = token_bucket_flags(
+        e, capacity_tokens=3, refill_us_per_token=3_600_000_000
+    )
+    return flags.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("allowed")).alias("n_allowed"),
+        F.count_if(~F.col("allowed")).alias("n_throttled"),
+    )
+
+
+ORACLE_RATE_LIMIT = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec(user_id, rn, ts_us, tokens, allowed) AS (
+  SELECT user_id, rn, ts_us,
+         3000000 - 1000000, TRUE
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.ts_us,
+         CASE WHEN least(3000000, r.tokens + (s.ts_us - r.ts_us) // 3600) >= 1000000
+              THEN least(3000000, r.tokens + (s.ts_us - r.ts_us) // 3600) - 1000000
+              ELSE least(3000000, r.tokens + (s.ts_us - r.ts_us) // 3600) END,
+         least(3000000, r.tokens + (s.ts_us - r.ts_us) // 3600) >= 1000000
+  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(CASE WHEN allowed THEN 1 END) AS BIGINT) AS n_allowed,
+       CAST(COUNT(CASE WHEN NOT allowed THEN 1 END) AS BIGINT) AS n_throttled
+FROM rec GROUP BY user_id
+"""
+
+QUERIES["rate_limit_audit"] = q_rate_limit_audit
+ORACLES["rate_limit_audit"] = ORACLE_RATE_LIMIT

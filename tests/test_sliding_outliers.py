@@ -106,3 +106,58 @@ def test_sliding_agg_matches_builtin_sliding_window(spark):
         for r in b
     }
     assert ours == builtin
+
+
+def test_token_bucket_event_time_replay(spark):
+    import datetime as dt
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.ratelimit import (
+        token_bucket_flags,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minutes):
+        return (1, eid, t0 + dt.timedelta(minutes=minutes))
+
+    # capacity 3, refill 1 token/hour: events at t=0,1,2 drain the
+    # bucket; t=3 is throttled; t=63 has refilled exactly 1 token
+    # (60 min) → allowed; t=64 throttled again.
+    df = spark.createDataFrame(
+        [ev(1, 0), ev(2, 1), ev(3, 2), ev(4, 3), ev(5, 63), ev(6, 64)],
+        ["user_id", "event_id", "ts"],
+    )
+    out = {
+        r["event_id"]: r["allowed"]
+        for r in token_bucket_flags(
+            df, capacity_tokens=3, refill_us_per_token=3_600_000_000
+        ).collect()
+    }
+    assert out == {1: True, 2: True, 3: True, 4: False, 5: True, 6: False}
+
+
+def test_token_bucket_caps_at_capacity(spark):
+    import datetime as dt
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.ratelimit import (
+        token_bucket_flags,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # a week of idle time must NOT bank more than capacity=2 tokens:
+    # after the gap only events 3 and 4 are admitted, 5 is throttled
+    rows = [
+        (7, 1, t0),
+        (7, 2, t0 + dt.timedelta(minutes=1)),
+        (7, 3, t0 + dt.timedelta(days=7)),
+        (7, 4, t0 + dt.timedelta(days=7, minutes=1)),
+        (7, 5, t0 + dt.timedelta(days=7, minutes=2)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+    out = {
+        r["event_id"]: r["allowed"]
+        for r in token_bucket_flags(
+            df, capacity_tokens=2, refill_us_per_token=3_600_000_000
+        ).collect()
+    }
+    assert out == {1: True, 2: True, 3: True, 4: True, 5: False}
