@@ -57,30 +57,47 @@ def token_bucket_flags(
     # (delta_us * 1e6 would overflow int64 for month-scale gaps)
     us_per_microtoken = refill_us_per_token // _TOKEN_U
 
-    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_ts_us", id_col])
-        tokens = cap_u
-        prev_ts = None
-        allowed = []
-        for ts_us in pdf["_ts_us"]:
-            if prev_ts is not None:
-                refill = (int(ts_us) - prev_ts) // us_per_microtoken
-                tokens = min(cap_u, tokens + refill)
-            prev_ts = int(ts_us)
-            if tokens >= _TOKEN_U:
-                tokens -= _TOKEN_U
-                allowed.append(True)
-            else:
-                allowed.append(False)
-        out = pdf[[key_col, id_col]].copy()
-        out["allowed"] = allowed
-        return out
+    # One JVM-side repartition+sort, then ONE sequential scan per
+    # partition via mapInPandas with a per-key state dict carried
+    # across Arrow batches. Deliberately NOT groupBy().applyInPandas:
+    # that materializes one pandas frame per key, and at thousands of
+    # keys per task the per-group construction overhead dwarfs the
+    # O(rows) replay loop (measured ~4s → ~0.5s at sf0.1). Each
+    # partition holds complete keys in (key, ts, id) order, so a key's
+    # rows can span Arrow batches but never partitions.
+    def scan(batches):
+        import numpy as np
+
+        state: dict = {}  # key → (tokens, last_ts)
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            ts = pdf["_ts_us"].to_numpy(dtype=np.int64)
+            allowed = np.empty(len(ts), dtype=bool)
+            for i in range(len(ts)):
+                k = keys[i]
+                tokens, prev = state.get(k, (cap_u, None))
+                if prev is not None:
+                    tokens = min(
+                        cap_u, tokens + (int(ts[i]) - prev) // us_per_microtoken
+                    )
+                if tokens >= _TOKEN_U:
+                    tokens -= _TOKEN_U
+                    allowed[i] = True
+                else:
+                    allowed[i] = False
+                state[k] = (tokens, int(ts[i]))
+            out = pdf[[key_col, id_col]].copy()
+            out["allowed"] = allowed
+            yield out
 
     tagged = df.select(
         key_col, id_col, epoch_us(F.col(ts_col)).alias("_ts_us")
     )
     key_t = df.schema[key_col].dataType.simpleString()
     id_t = df.schema[id_col].dataType.simpleString()
-    return tagged.groupBy(key_col).applyInPandas(
-        replay, f"{key_col} {key_t}, {id_col} {id_t}, allowed boolean"
+    ordered = tagged.repartition(F.col(key_col)).sortWithinPartitions(
+        key_col, "_ts_us", id_col
+    )
+    return ordered.mapInPandas(
+        scan, f"{key_col} {key_t}, {id_col} {id_t}, allowed boolean"
     )
