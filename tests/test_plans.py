@@ -15,7 +15,9 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     salted_join,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.plans.explain import (
+    count_shuffles,
     has_pushed_filter,
+    physical_plan,
     scan_read_schema,
     uses_broadcast_join,
     whole_stage_codegen_ids,
@@ -65,3 +67,59 @@ def test_salted_join_matches_plain_join(spark):
     plain = fact.join(dim, "k").groupBy("k", "name").count()
     salted = salted_join(fact, dim, "k", salt_buckets=8).groupBy("k", "name").count()
     assert sorted(map(str, plain.collect())) == sorted(map(str, salted.collect()))
+
+
+def test_lm_quality_filter_broadcasts_vocab(spark, sf_dir):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        unigram_logprob_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = unigram_logprob_scores(docs, vocab_size=100)
+    # the K-row vocab table must join onto the exploded tokens as a
+    # broadcast — a shuffled vocab join would move the token stream
+    assert uses_broadcast_join(df)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_manifest_is_two_shuffles_max(spark, sf_dir):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        shard_assignment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    tagged = shard_assignment(docs, "doc_id", 16)
+    agg = tagged.groupBy("shard_id").count()
+    # map-only assignment + one agg shuffle: anything more means the
+    # hash expressions stopped being row-local
+    assert count_shuffles(agg) <= 1
+
+
+def test_incremental_dedup_has_no_cartesian(spark, sf_dir):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = incremental_dedup(
+        docs.filter(F.col("doc_id") % 10 < 8),
+        docs.filter(F.col("doc_id") % 10 >= 8),
+    )
+    plan = physical_plan(df)
+    # candidates must come from the band-key equi-join; a cartesian or
+    # broadcast nested loop means banding degenerated to all-pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_bucket_single_key_shuffle(spark, sf_dir):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.ratelimit import (
+        token_bucket_flags,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    df = token_bucket_flags(e)
+    # one repartition on the key feeds the sorted scan; no second
+    # exchange may appear between the sort and the mapInPandas
+    assert count_shuffles(df) == 1
