@@ -5823,3 +5823,75 @@ FROM rec GROUP BY user_id
 
 QUERIES["rate_limit_audit"] = q_rate_limit_audit
 ORACLES["rate_limit_audit"] = ORACLE_RATE_LIMIT
+
+
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface (Spark 4 ``from_xml``): build an XML document per
+    order from its columns, parse it back with a declared schema, and
+    aggregate the extracted typed fields — proving the XML path
+    inverts the encoder with types intact (same round-trip pattern as
+    variant_props_extract; the oracle computes from the raw columns).
+    Map-only until the final agg."""
+    o = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<order><key>"), F.col("o_orderkey"),
+        F.lit("</key><status>"), F.col("o_orderstatus"),
+        F.lit("</status><total>"), F.format_number(F.col("o_totalprice"), 2),
+        F.lit("</total></order>"),
+    )
+    parsed = F.from_xml(
+        F.regexp_replace(xml, ",", ""),
+        "key BIGINT, status STRING, total DOUBLE",
+    )
+    return (
+        o.select(parsed.alias("x"))
+        .groupBy(F.col("x.status").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("x.key").cast("long").alias("key_sum"),
+            _scaled_sum(F.col("x.total"), 100, "total_sum"),
+        )
+    )
+
+
+ORACLE_XML = """
+SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(round(CAST(printf('%.2f', o_totalprice) AS DOUBLE) * 100)
+                AS BIGINT)) AS BIGINT) / 100.0 AS total_sum
+FROM orders GROUP BY o_orderstatus
+"""
+
+QUERIES["xml_roundtrip"] = q_xml_roundtrip
+ORACLES["xml_roundtrip"] = ORACLE_XML
+
+
+def q_brand_exclusion_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (NOT IN subquery): parts whose brand never
+    appears among a selective probe set (size-50 SMALL-type parts),
+    counted per type. Catalyst
+    lowers NOT IN to a null-aware anti-join — the NULL-semantics trap
+    of NOT IN (one NULL in the subquery empties the result) is exactly
+    what both engines must agree on."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q16_part")
+    return spark.sql(
+        """
+        SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM q16_part
+        WHERE p_brand NOT IN (
+          SELECT p_brand FROM q16_part WHERE p_size = 50 AND p_type LIKE 'SMALL%'
+        )
+        GROUP BY p_type
+        """
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM part
+WHERE p_brand NOT IN (SELECT p_brand FROM part WHERE p_size = 50 AND p_type LIKE 'SMALL%')
+GROUP BY p_type
+"""
+
+QUERIES["brand_exclusion_counts"] = q_brand_exclusion_counts
+ORACLES["brand_exclusion_counts"] = ORACLE_Q16
