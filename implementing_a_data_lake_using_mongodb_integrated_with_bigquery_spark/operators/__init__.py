@@ -122,8 +122,18 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_topk,
+    hard_negatives,
     ivf_topk,
     lsh_topk,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.chunking import (
+    chunk_documents,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.packing import (
+    pack_documents,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.pagerank import (
+    pagerank,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.skew import (
     salted_join,
@@ -132,46 +142,41 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
 __all__ = [
     "agg_state",
     "apportion_budget",
-    "decode_media",
-    "doc_feature_matrix",
-    "extract_features",
-    "frame_sample",
-    "incremental_dedup",
-    "lsh_topk",
-    "normalize_text",
-    "normalized_docs",
-    "partitioned_components",
-    "resize_media",
-    "synthesize_clips",
-    "synthesize_media",
-    "unigram_logprob_scores",
     "asof_join",
     "asof_join_pandas",
-    "bm25_topk",
-    "build_inverted_index",
     "benchmark_ngrams",
     "bin_range_join",
+    "bm25_topk",
+    "build_inverted_index",
+    "chunk_documents",
     "cohort_retention",
     "connected_components",
     "cosine_near_dup_pairs",
     "cosine_topk",
+    "decode_media",
     "dedup_against_target",
     "dedup_clusters",
+    "doc_feature_matrix",
     "duplicate_audit",
     "exact_dedup",
     "expectations_report",
+    "extract_features",
     "finalize",
     "fk_filter",
     "fk_violations",
     "flatten_weather",
+    "frame_sample",
     "funnel",
     "grouped_linreg",
+    "hard_negatives",
     "hash_split",
     "inactivity_gaps",
+    "incremental_dedup",
     "ivf_topk",
     "keyword_and_search",
     "ks_drift",
     "last_write_wins",
+    "lsh_topk",
     "max_concurrency",
     "merge_states",
     "minhash_banded_pairs",
@@ -179,14 +184,20 @@ __all__ = [
     "mixture_weights",
     "new_rows_only",
     "ngram_jaccard_pairs",
+    "ngram_overlap",
+    "normalize_text",
+    "normalized_docs",
+    "pack_documents",
+    "pagerank",
+    "partitioned_components",
+    "pii_scan",
     "pmi_collocations",
     "point_in_time_join",
     "psi_drift",
     "quantize_audit",
-    "ngram_overlap",
-    "pii_scan",
     "reconcile_counts",
     "redact",
+    "resize_media",
     "salted_join",
     "scd2_history",
     "sessionize",
@@ -194,11 +205,14 @@ __all__ = [
     "snapshot_diff",
     "split_column",
     "stratified_cap",
+    "synthesize_clips",
+    "synthesize_media",
     "term_table",
     "tfidf_topk",
     "top_k_per_group",
     "transition_matrix",
     "tumbling_agg",
+    "unigram_logprob_scores",
     "upsert",
     "winsorize",
     "zscore_flags",

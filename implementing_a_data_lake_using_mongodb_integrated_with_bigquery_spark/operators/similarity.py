@@ -409,3 +409,64 @@ def lsh_topk(
         [F.col("similarity").desc(), F.col(id_col).asc()],
         k,
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    k: int,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    every anchor, the top-k most-similar vectors with a DIFFERENT
+    label — the negatives that actually move the loss (random
+    negatives are trivially separable; the informative ones are the
+    near-misses).
+
+    Scale shape: candidates come from a self-equi-join on the anchor's
+    sign-LSH bucket code (same integer hyperplanes as ``lsh_topk`` —
+    computed map-only in the scan), never an all-pairs cross join; the
+    label filter prunes before scoring, and the per-anchor top-k is a
+    bounded-group ranking window. With the corpus stored partitioned
+    by code this is a co-located join at 100 TB.
+
+    Determinism: bucket codes are exact-integer signs, cosine is
+    6dp-rounded with the same left-fold summation order as DuckDB's
+    ``list_cosine_similarity``, and ties break on the negative id.
+    """
+    planes = hyperplanes(n_planes, dim)
+    coded = parallelize(corpus).withColumn(
+        "_code", hyperplane_code(F.col(vec_col), planes)
+    )
+    a = coded.select(
+        F.col("_code"),
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("_a_vec"),
+        F.col(label_col).alias("_a_label"),
+    )
+    b = coded.select(
+        F.col("_code"),
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("_n_vec"),
+        F.col(label_col).alias("_n_label"),
+    )
+    scored = (
+        a.join(b, "_code")
+        .filter(F.col("_a_label") != F.col("_n_label"))
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.round(
+                cosine_similarity(F.col("_a_vec"), F.col("_n_vec")), 6
+            ).alias("similarity"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        ["anchor_id"],
+        [F.col("similarity").desc(), F.col("neg_id").asc()],
+        k,
+    )

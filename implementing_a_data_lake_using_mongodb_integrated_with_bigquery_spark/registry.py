@@ -5895,3 +5895,210 @@ GROUP BY p_type
 
 QUERIES["brand_exclusion_counts"] = q_brand_exclusion_counts
 ORACLES["brand_exclusion_counts"] = ORACLE_Q16
+
+
+# ------------------------- batch: round-4 continuation (training-data ops)
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking (operators.chunking): every
+    document cut into 64-char windows every 48 chars, each chunk
+    fingerprinted for downstream chunk-level dedup. Map-only
+    sequence+explode — no shuffle, no Python."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_chars=64, stride=48)
+
+
+ORACLE_DOC_CHUNKS = """
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(greatest(length(text)-1, 0) AS BIGINT), 48)) AS s
+  FROM documents)
+SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx, CAST(s AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, CAST(s+1 AS INT), 64)) AS BIGINT) AS chunk_chars,
+       substr(md5(substr(text, CAST(s+1 AS INT), 64)), 1, 16) AS chunk_fp
+FROM starts
+"""
+
+QUERIES["doc_chunks"] = q_doc_chunks
+ORACLES["doc_chunks"] = ORACLE_DOC_CHUNKS
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing
+    (operators.packing.pack_documents): documents concatenated in
+    md5-hash order, sliced every 256 tokens; per-bin fill report. The
+    global prefix sum is the two-phase distributed form (range sort +
+    narrow mapInPandas cumsum + broadcast partition offsets) — no
+    single-task window; the oracle replays it as a plain cumsum."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.packing import (
+        pack_documents,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    packed = pack_documents(
+        d,
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")),
+        budget=256,
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.count_if(F.col("spans_boundary")).alias("n_spanning"),
+    )
+
+
+ORACLE_SEQUENCE_PACKING = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         substr(md5('pack' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 16) AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM t)
+SELECT CAST(start // 256 AS BIGINT) AS bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(COUNT(CASE WHEN start // 256
+                       != (start + greatest(n_tok - 1, 0)) // 256 THEN 1 END)
+            AS BIGINT) AS n_spanning
+FROM c GROUP BY 1
+"""
+
+QUERIES["sequence_packing"] = q_sequence_packing
+ORACLES["sequence_packing"] = ORACLE_SEQUENCE_PACKING
+
+
+def q_purchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration exact integer PageRank (operators.pagerank) over
+    the customer→supplier purchase graph (distinct pairs via the
+    orders⋈lineitem equi-join). Contributions are floored BIGINTs
+    BEFORE summation, so the iterative result is bit-identical on any
+    engine/partitioning; the oracle replays the same three steps as
+    chained CTEs. Per-iteration cost: key-partitioned joins on
+    |edges|, lineage cut each round."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.pagerank import (
+        pagerank,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=3)
+
+
+ORACLE_PURCHASE_PAGERANK = """
+WITH edges AS (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+p0 AS (SELECT node, CAST(1000000000000 AS BIGINT) // (SELECT n_nodes FROM n) AS pr
+       FROM nodes),
+s1 AS (SELECT e.dst AS node, SUM((p.pr * 85) // (100 * o.d)) AS m
+       FROM edges e JOIN p0 p ON p.node = e.src JOIN outdeg o ON o.src = e.src
+       GROUP BY e.dst),
+p1 AS (SELECT nd.node,
+              CAST(15 * 1000000000000 AS BIGINT) // (100 * (SELECT n_nodes FROM n))
+              + COALESCE(s1.m, 0) AS pr
+       FROM nodes nd LEFT JOIN s1 ON s1.node = nd.node),
+s2 AS (SELECT e.dst AS node, SUM((p.pr * 85) // (100 * o.d)) AS m
+       FROM edges e JOIN p1 p ON p.node = e.src JOIN outdeg o ON o.src = e.src
+       GROUP BY e.dst),
+p2 AS (SELECT nd.node,
+              CAST(15 * 1000000000000 AS BIGINT) // (100 * (SELECT n_nodes FROM n))
+              + COALESCE(s2.m, 0) AS pr
+       FROM nodes nd LEFT JOIN s2 ON s2.node = nd.node),
+s3 AS (SELECT e.dst AS node, SUM((p.pr * 85) // (100 * o.d)) AS m
+       FROM edges e JOIN p2 p ON p.node = e.src JOIN outdeg o ON o.src = e.src
+       GROUP BY e.dst),
+p3 AS (SELECT nd.node,
+              CAST(15 * 1000000000000 AS BIGINT) // (100 * (SELECT n_nodes FROM n))
+              + COALESCE(s3.m, 0) AS pr
+       FROM nodes nd LEFT JOIN s3 ON s3.node = nd.node)
+SELECT node, CAST(pr AS BIGINT) AS pr_scaled FROM p3
+"""
+
+QUERIES["purchase_pagerank"] = q_purchase_pagerank
+ORACLES["purchase_pagerank"] = ORACLE_PURCHASE_PAGERANK
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators.similarity.hard_negatives):
+    per anchor, the top-3 most-similar DIFFERENT-label vectors,
+    candidates blocked by sign-LSH bucket (equi-self-join on the
+    integer code — never all-pairs)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hard_negatives(emb, k=3, n_planes=4, dim=64)
+    return out.select(
+        "anchor_id", "neg_id", "similarity", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _oracle_hard_negatives() -> str:
+    """DuckDB twin: identical inlined integer hyperplanes, same bucket
+    codes, same different-label filter and 6dp cosine ranking."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    planes = hyperplanes(4, 64)
+    plane_rows = ",\n    ".join(
+        "({}, [{}])".format(r, ", ".join(str(c) for c in h))
+        for r, h in enumerate(planes)
+    )
+    return f"""
+WITH ei AS (
+  SELECT vec_id, embedding, label,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS e
+  FROM embeddings
+),
+h(r, hv) AS (VALUES
+    {plane_rows}
+),
+codes AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(ei.e, h.hv) > 0
+                       THEN (1 << h.r) ELSE 0 END) AS BIGINT) AS code
+  FROM ei CROSS JOIN h GROUP BY vec_id
+),
+coded AS (
+  SELECT c.vec_id, e.embedding, e.label, c.code
+  FROM codes c JOIN embeddings e USING (vec_id)
+),
+cand AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+           AS similarity
+  FROM coded a JOIN coded b USING (code)
+  WHERE a.label != b.label
+)
+SELECT anchor_id, neg_id, similarity, rank FROM (
+  SELECT anchor_id, neg_id, similarity,
+         CAST(row_number() OVER (
+           PARTITION BY anchor_id ORDER BY similarity DESC, neg_id ASC) AS BIGINT) AS rank
+  FROM cand
+) WHERE rank <= 3
+"""
+
+
+QUERIES["hard_negatives"] = q_hard_negatives
+ORACLES["hard_negatives"] = _oracle_hard_negatives()

@@ -1,0 +1,108 @@
+"""Unit tests for the round-4 continuation operators: chunking,
+sequence packing, integer PageRank, hard-negative mining."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.chunking import (
+    chunk_documents,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.packing import (
+    pack_documents,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.pagerank import (
+    SCALE,
+    pagerank,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+    hard_negatives,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.tables import (
+    load_table,
+)
+
+
+def test_chunking_covers_text_with_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 100), (2, "xy"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, chunk_chars=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0, 48, 96 -> lengths 64, 52, 4
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_start"] for r in d1] == [0, 48, 96]
+    assert [r["chunk_chars"] for r in d1] == [64, 52, 4]
+    # short doc: single full-text chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_chars"] == 2
+    # empty doc still yields one (empty) chunk
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_chars"] == 0
+    # identical content -> identical fingerprint
+    fp = {r["chunk_fp"] for r in d1 if r["chunk_chars"] == 64}
+    assert len(fp) == 1  # both 64-char windows of 'aaaa…' hash equal
+
+
+def test_packing_is_a_partition_of_the_token_stream(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    packed = pack_documents(
+        d, "doc_id", F.size(F.split(F.col("text"), " ")), budget=128
+    )
+    rows = packed.collect()
+    assert len(rows) == d.count()  # every doc assigned exactly once
+    # starts are the exclusive prefix sums: sorted starts are strictly
+    # increasing by exactly n_tok (a perfect tiling of [0, total))
+    srt = sorted(rows, key=lambda r: r["start"])
+    acc = 0
+    for r in srt:
+        assert r["start"] == acc
+        acc += r["n_tok"]
+        assert r["bin_id"] == r["start"] // 128
+        assert r["end_bin_id"] == (r["start"] + max(r["n_tok"] - 1, 0)) // 128
+        assert r["spans_boundary"] == (r["bin_id"] != r["end_bin_id"])
+    # deterministic across reruns/partitionings
+    again = {
+        r["doc_id"]: (r["start"], r["bin_id"])
+        for r in pack_documents(
+            d.repartition(7),
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")),
+            budget=128,
+        ).collect()
+    }
+    assert again == {r["doc_id"]: (r["start"], r["bin_id"]) for r in rows}
+
+
+def test_pagerank_integer_recurrence(spark):
+    # star graph: a,b,c all point to z; z dangles
+    edges = spark.createDataFrame(
+        [("a", "z"), ("b", "z"), ("c", "z")], ["src", "dst"]
+    )
+    pr = {r["node"]: r["pr_scaled"] for r in pagerank(edges, iterations=2).collect()}
+    n = 4
+    base = (15 * SCALE) // (100 * n)
+    p0 = SCALE // n
+    # iteration 1: sources get base; z gets base + 3 * floor(p0*85/100)
+    p1_src = base
+    p1_z = base + 3 * ((p0 * 85) // 100)
+    # iteration 2 from p1
+    assert pr["a"] == base and pr["b"] == base and pr["c"] == base
+    assert pr["z"] == base + 3 * ((p1_src * 85) // 100)
+    assert p1_z > p1_src  # sink accumulates rank
+
+
+def test_hard_negatives_labels_differ_and_ranked(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hard_negatives(emb, k=3, n_planes=4, dim=64)
+    rows = out.collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    per_anchor = {}
+    for r in rows:
+        assert labels[r["anchor_id"]] != labels[r["neg_id"]]
+        per_anchor.setdefault(r["anchor_id"], []).append(r)
+    for rs in per_anchor.values():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert len(rs) <= 3
+        sims = [r["similarity"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
