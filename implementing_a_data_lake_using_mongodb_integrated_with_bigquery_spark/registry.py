@@ -6102,3 +6102,95 @@ SELECT anchor_id, neg_id, similarity, rank FROM (
 
 QUERIES["hard_negatives"] = q_hard_negatives
 ORACLES["hard_negatives"] = _oracle_hard_negatives()
+
+
+# ---------------------- batch: TPC-H hard decorrelation shapes (Q21/Q22/Q11)
+
+_Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+"""
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the hardest decorrelation pattern: a
+    correlated EXISTS *and* a correlated NOT EXISTS on the same fact
+    table, the anti branch additionally correlated on an OUTER
+    column from a third table (o_orderdate). Catalyst rewrites both
+    into semi/anti joins on l_orderkey (no per-row subquery
+    execution); 'late' is shipdate > orderdate + 90 days (this schema
+    carries no receipt/commit dates — ref: TPC-H Q21 uses
+    l_receiptdate > l_commitdate)."""
+    for t in ("supplier", "lineitem", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q21_SQL)
+
+
+QUERIES["sole_late_supplier"] = q_sole_late_supplier
+ORACLES["sole_late_supplier"] = _Q21_SQL
+
+
+_Q22_SQL = """
+SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer c
+WHERE CAST(round(c_acctbal*100) AS BIGINT)
+        * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT SUM(CAST(round(c_acctbal*100) AS BIGINT)) FROM customer
+         WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY c_mktsegment
+"""
+
+
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no
+    finalized orders — a scalar aggregate subquery in the WHERE plus a
+    correlated NOT EXISTS anti-join, grouped by segment. The
+    above-average comparison is exact integer cross-multiplication
+    (cents · count > total-cents): thresholds on float AVG are
+    summation-order-dependent at the boundary, integers are not."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q22_SQL)
+
+
+QUERIES["idle_customer_balance"] = q_idle_customer_balance
+ORACLES["idle_customer_balance"] = _Q22_SQL
+
+
+_Q11_SQL = """
+SELECT l_partkey,
+       CAST(SUM(CAST(round(l_extendedprice*l_quantity) AS BIGINT)) AS BIGINT)
+         AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(CAST(round(l_extendedprice*l_quantity) AS BIGINT))
+         * (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey FROM lineitem)) * 10
+       > 12 * (SELECT SUM(CAST(round(l_extendedprice*l_quantity) AS BIGINT))
+               FROM lineitem)
+"""
+
+
+def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value with a scalar subquery inside
+    HAVING (parts above 1.2x the mean part value — scale-invariant
+    selectivity, unlike Q11's absolute fraction). All comparisons are
+    exact scaled-integer cross-multiplications; the scalar total is a
+    one-row broadcast, so the plan is two aggregates over one scan
+    lineage plus a filter."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q11_SQL)
+
+
+QUERIES["part_value_share"] = q_part_value_share
+ORACLES["part_value_share"] = _Q11_SQL
