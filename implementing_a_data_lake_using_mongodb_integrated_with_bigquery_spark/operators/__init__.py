@@ -44,6 +44,7 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     doc_feature_matrix,
     normalize_text,
     normalized_docs,
+    source_lang_entropy,
     unigram_logprob_scores,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
@@ -128,6 +129,7 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.chunking import (
     chunk_documents,
+    duplicate_chunks,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.packing import (
     pack_documents,
@@ -158,6 +160,7 @@ __all__ = [
     "dedup_clusters",
     "doc_feature_matrix",
     "duplicate_audit",
+    "duplicate_chunks",
     "exact_dedup",
     "expectations_report",
     "extract_features",
@@ -203,6 +206,7 @@ __all__ = [
     "sessionize",
     "sliding_agg",
     "snapshot_diff",
+    "source_lang_entropy",
     "split_column",
     "stratified_cap",
     "synthesize_clips",

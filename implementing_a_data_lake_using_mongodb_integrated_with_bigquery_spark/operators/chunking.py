@@ -63,3 +63,38 @@ def chunk_documents(
             F.substring(F.md5(chunk), 1, fp_chars).alias("chunk_fp"),
         )
     )
+
+
+def duplicate_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 64,
+    stride: int = 48,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document chunk-level exact dedup: fingerprints of
+    full-size chunks that appear in ≥ ``min_docs`` distinct documents
+    — the paragraph/span-granularity companion to document-level
+    exact dedup (shared spans survive document-level dedup because
+    the *documents* differ; the chunks don't).
+
+    Scale shape: the map-only chunker feeds ONE hash aggregate keyed
+    by fingerprint (map-side combined; shuffle bounded by |distinct
+    chunks|); short tail chunks are filtered before the aggregate so
+    trivial sub-size windows never shuffle. No self-joins.
+    """
+    chunks = chunk_documents(
+        df, id_col=id_col, text_col=text_col,
+        chunk_chars=chunk_chars, stride=stride,
+    )
+    return (
+        chunks.filter(F.col("chunk_chars") == chunk_chars)
+        .groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

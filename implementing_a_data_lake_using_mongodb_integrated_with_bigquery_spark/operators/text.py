@@ -375,3 +375,40 @@ def doc_feature_matrix(
         F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")))
         .alias("text_fp"),
     )
+
+
+def source_lang_entropy(
+    df: DataFrame,
+    group_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Language-mixture diagnostics per corpus slice: Shannon entropy
+    (micro-nats) of the language distribution within each group — the
+    standard check that one source hasn't collapsed to a single
+    language (entropy→0) or turned into unfiltered noise (entropy→
+    ln(n_langs)).
+
+    Determinism: each entropy term ``-p·ln(p)`` is computed from
+    EXACT integer counts and rounded to an integer micro-nat BEFORE
+    the per-group sum, so the aggregate is an order-free BIGINT sum
+    (the registry's scaled-integer convention; same ln-on-exact-ratio
+    pattern as ``unigram_logprob_scores``).
+
+    Scale shape: two chained hash aggregates (|group×lang| then
+    |group|) plus a broadcast-sized join — counts reduce before any
+    math; no windows, no Python.
+    """
+    sl = df.groupBy(group_col, lang_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = sl.groupBy(group_col).agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    p = F.col("n").cast("double") / F.col("n_docs")
+    term = F.round(-p * F.log(p) * 1_000_000).cast("long")
+    return (
+        sl.join(tot, group_col)
+        .groupBy(group_col, "n_langs", "n_docs")
+        .agg(F.sum(term).cast("long").alias("entropy_micro_nats"))
+    )

@@ -6194,3 +6194,154 @@ def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["part_value_share"] = q_part_value_share
 ORACLES["part_value_share"] = _Q11_SQL
+
+
+# ----------------- batch: corpus diagnostics + training-pair composition
+
+
+def q_chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup (operators.chunking.
+    duplicate_chunks): 64-char chunk fingerprints shared by ≥2
+    documents — catches copied spans that survive document-level
+    dedup. Map-only chunker → one fingerprint-keyed hash aggregate."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.chunking import (
+        duplicate_chunks,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicate_chunks(d, chunk_chars=64, stride=48, min_docs=2)
+
+
+ORACLE_CHUNK_DEDUP = """
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(greatest(length(text)-1, 0) AS BIGINT), 48)) AS s
+  FROM documents),
+chunks AS (
+  SELECT doc_id,
+         substr(md5(substr(text, CAST(s+1 AS INT), 64)), 1, 16) AS chunk_fp,
+         length(substr(text, CAST(s+1 AS INT), 64)) AS len
+  FROM starts)
+SELECT chunk_fp, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM chunks WHERE len = 64
+GROUP BY chunk_fp HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+QUERIES["chunk_level_dedup"] = q_chunk_level_dedup
+ORACLES["chunk_level_dedup"] = ORACLE_CHUNK_DEDUP
+
+
+def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mixture entropy (operators.text.
+    source_lang_entropy): Shannon entropy in integer micro-nats, each
+    term rounded from exact counts before the order-free BIGINT sum."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        source_lang_entropy,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return source_lang_entropy(d, group_col="source", lang_col="lang")
+
+
+ORACLE_LANG_ENTROPY = """
+WITH sl AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2),
+tot AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM sl GROUP BY 1)
+SELECT s.source, t.n_langs, t.n_docs,
+       CAST(SUM(CAST(round(-(s.n*1.0/t.n_docs) * ln(s.n*1.0/t.n_docs) * 1000000)
+                AS BIGINT)) AS BIGINT) AS entropy_micro_nats
+FROM sl s JOIN tot t USING (source) GROUP BY 1, 2, 3
+"""
+
+QUERIES["source_lang_entropy"] = q_source_lang_entropy
+ORACLES["source_lang_entropy"] = ORACLE_LANG_ENTROPY
+
+
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair export: (anchor, positive, negative)
+    triplets — positives are label-blocked near-duplicates
+    (cosine ≥ 0.3, operators.similarity.cosine_near_dup_pairs),
+    negatives the anchor's rank-1 sign-LSH hard negative
+    (operators.similarity.hard_negatives). Both sides are blocked
+    candidate generators (label / LSH bucket), joined on the anchor id
+    — the end-to-end pair-mining pipeline with no all-pairs stage."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = cosine_near_dup_pairs(emb, threshold=0.3).select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("pos_id"),
+        F.col("similarity").alias("pos_sim"),
+    )
+    neg = (
+        hard_negatives(emb, k=1, n_planes=4, dim=64)
+        .filter(F.col("rank") == 1)
+        .select("anchor_id", "neg_id", F.col("similarity").alias("neg_sim"))
+    )
+    return pos.join(neg, "anchor_id")
+
+
+def _oracle_contrastive_triplets() -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    planes = hyperplanes(4, 64)
+    plane_rows = ",\n    ".join(
+        "({}, [{}])".format(r, ", ".join(str(c) for c in h))
+        for r, h in enumerate(planes)
+    )
+    return f"""
+WITH pos AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS pos_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+           AS pos_sim
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+),
+ei AS (
+  SELECT vec_id, embedding, label,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS e
+  FROM embeddings
+),
+h(r, hv) AS (VALUES
+    {plane_rows}
+),
+codes AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(ei.e, h.hv) > 0
+                       THEN (1 << h.r) ELSE 0 END) AS BIGINT) AS code
+  FROM ei CROSS JOIN h GROUP BY vec_id
+),
+coded AS (
+  SELECT c.vec_id, e.embedding, e.label, c.code
+  FROM codes c JOIN embeddings e USING (vec_id)
+),
+neg AS (
+  SELECT anchor_id, neg_id, neg_sim FROM (
+    SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS neg_sim,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+                      b.vec_id ASC) AS rnk
+    FROM coded a JOIN coded b USING (code)
+    WHERE a.label != b.label
+  ) WHERE rnk = 1
+)
+SELECT p.anchor_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim
+FROM pos p JOIN neg n USING (anchor_id)
+"""
+
+
+QUERIES["contrastive_triplets"] = q_contrastive_triplets
+ORACLES["contrastive_triplets"] = _oracle_contrastive_triplets()

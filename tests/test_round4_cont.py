@@ -106,3 +106,41 @@ def test_hard_negatives_labels_differ_and_ranked(spark, sf_dir):
         assert len(rs) <= 3
         sims = [r["similarity"] for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_duplicate_chunks_flags_shared_spans(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.chunking import (
+        duplicate_chunks,
+    )
+
+    shared = "s" * 64
+    df = spark.createDataFrame(
+        [
+            (1, shared + "tail one"),
+            (2, "prefix that offsets nothing"),
+            (3, shared + "other tail"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = duplicate_chunks(df, chunk_chars=64, stride=64).collect()
+    # exactly the shared 64-char span is flagged, owned by doc 1
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["first_doc"] == 1
+
+
+def test_source_lang_entropy_bounds(spark):
+    import math
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        source_lang_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "en"), ("a", "en"), ("b", "en"), ("b", "fr")],
+        ["source", "lang"],
+    )
+    out = {r["source"]: r for r in source_lang_entropy(df).collect()}
+    assert out["a"]["entropy_micro_nats"] == 0  # single language
+    # uniform over 2 langs -> ln(2) nats
+    assert out["b"]["entropy_micro_nats"] == round(math.log(2) * 1e6 / 2) * 2
+    assert out["b"]["n_langs"] == 2 and out["b"]["n_docs"] == 2
