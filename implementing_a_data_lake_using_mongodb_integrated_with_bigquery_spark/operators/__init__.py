@@ -81,6 +81,7 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     funnel,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.pii import (
+    k_anonymity_audit,
     pii_scan,
     redact,
 )
@@ -93,6 +94,10 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     mixture_weights,
     split_column,
     stratified_cap,
+    temporal_leakage_audit,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.encoding import (
+    target_encode,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.scd import (
     scd2_history,
@@ -176,6 +181,7 @@ __all__ = [
     "inactivity_gaps",
     "incremental_dedup",
     "ivf_topk",
+    "k_anonymity_audit",
     "keyword_and_search",
     "ks_drift",
     "last_write_wins",
@@ -210,6 +216,8 @@ __all__ = [
     "split_column",
     "stratified_cap",
     "synthesize_clips",
+    "target_encode",
+    "temporal_leakage_audit",
     "synthesize_media",
     "term_table",
     "tfidf_topk",

@@ -72,3 +72,20 @@ def pii_scan(
         total.alias("n_pii"),
         redact(text_col).alias("redacted"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Quasi-identifier groups smaller than ``k`` — the re-identification
+    risk audit run before releasing training data: any combination of
+    quasi-identifiers shared by fewer than k rows singles people out
+    and must be suppressed or generalized. One hash aggregate keyed by
+    the quasi-identifier tuple (map-side combined); output is the
+    violating combos with their group sizes.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )

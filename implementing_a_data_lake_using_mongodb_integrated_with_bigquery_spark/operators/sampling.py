@@ -184,3 +184,56 @@ def apportion_budget(
         .cast("long")
         .alias("alloc_tokens"),
     )
+
+
+def temporal_leakage_audit(
+    df: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    cutoff: str,
+) -> DataFrame:
+    """Time-based train/test split report with an entity-leakage
+    count: rows before ``cutoff`` are train, the rest test; an entity
+    appearing on BOTH sides leaks future information into training
+    (the classic temporal-CV mistake). Output: one row per split with
+    event/entity counts plus the shared leak count.
+
+    Scale shape: ONE pass — the fact table shuffles once on the
+    entity key into per-entity train/test counts (map-side combined),
+    and every output number (per-split events/entities AND the leak
+    count) folds out of that single entity table in one 1-row
+    aggregate; the two report rows are exploded from it map-only.
+    Conditional aggregation instead of a second grouping keeps the
+    fact scan single and the plan to two shuffles total.
+    """
+    is_train = F.col(ts_col) < F.lit(cutoff).cast("timestamp")
+    per_ent = df.groupBy(F.col(entity_col).alias("_ent")).agg(
+        F.count_if(is_train).cast("long").alias("_n_train"),
+        F.count_if(~is_train).cast("long").alias("_n_test"),
+    )
+    summary = per_ent.agg(
+        F.sum("_n_train").cast("long").alias("_ev_train"),
+        F.sum("_n_test").cast("long").alias("_ev_test"),
+        F.count_if(F.col("_n_train") > 0).cast("long").alias("_ent_train"),
+        F.count_if(F.col("_n_test") > 0).cast("long").alias("_ent_test"),
+        F.count_if((F.col("_n_train") > 0) & (F.col("_n_test") > 0))
+        .cast("long")
+        .alias("n_leaked_entities"),
+    )
+    return summary.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("train").alias("split"),
+                    F.col("_ev_train").alias("n_events"),
+                    F.col("_ent_train").alias("n_entities"),
+                ),
+                F.struct(
+                    F.lit("test").alias("split"),
+                    F.col("_ev_test").alias("n_events"),
+                    F.col("_ent_test").alias("n_entities"),
+                ),
+            )
+        ).alias("_row"),
+        F.col("n_leaked_entities"),
+    ).select("_row.*", "n_leaked_entities")

@@ -6345,3 +6345,93 @@ FROM pos p JOIN neg n USING (anchor_id)
 
 QUERIES["contrastive_triplets"] = q_contrastive_triplets
 ORACLES["contrastive_triplets"] = _oracle_contrastive_triplets()
+
+
+# ----------------------------- batch: ML-ops audits + feature encoding
+
+
+def q_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split report with entity-leakage count
+    (operators.sampling.temporal_leakage_audit): events before
+    2024-01-08 are train; users active on both sides of the cutoff
+    are leaks. One entity-keyed shuffle of the fact table."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
+        temporal_leakage_audit,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return temporal_leakage_audit(
+        e, ts_col="ts", entity_col="user_id", cutoff="2024-01-08 00:00:00"
+    )
+
+
+ORACLE_TEMPORAL_SPLIT = """
+WITH tagged AS (
+  SELECT user_id AS ent,
+         CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00'
+              THEN 'train' ELSE 'test' END AS split
+  FROM events),
+per_ent AS (
+  SELECT ent, split, COUNT(*) AS n FROM tagged GROUP BY 1, 2),
+per AS (
+  SELECT split, CAST(SUM(n) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_entities
+  FROM per_ent GROUP BY 1),
+leak AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaked_entities FROM (
+    SELECT ent FROM per_ent GROUP BY ent HAVING COUNT(*) = 2))
+SELECT p.split, p.n_events, p.n_entities, l.n_leaked_entities
+FROM per p CROSS JOIN leak l
+"""
+
+QUERIES["temporal_split_audit"] = q_temporal_split_audit
+ORACLES["temporal_split_audit"] = ORACLE_TEMPORAL_SPLIT
+
+
+def q_event_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m-estimate smoothed target encoding of event_type against the
+    value column (operators.encoding.target_encode, m=10): exact
+    cents-integer sums feed a fixed-shape float expression, so the
+    6dp-rounded code is engine/partitioning-invariant."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.encoding import (
+        target_encode,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return target_encode(e, cat_col="event_type", target_col="value", m=10)
+
+
+ORACLE_TARGET_ENCODING = """
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS N, CAST(SUM(s) AS BIGINT) AS S FROM g)
+SELECT g.event_type, g.n,
+       round((g.s + 10.0 * t.S / t.N) / (g.n + 10) / 100.0, 6) AS encoded
+FROM g CROSS JOIN tot t
+"""
+
+QUERIES["event_target_encoding"] = q_event_target_encoding
+ORACLES["event_target_encoding"] = ORACLE_TARGET_ENCODING
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators.pii.k_anonymity_audit): customer
+    quasi-identifier combos (nation, market segment) with fewer than
+    10 members — the re-identification risk report."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.pii import (
+        k_anonymity_audit,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    return k_anonymity_audit(c, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+ORACLE_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS group_size
+FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 10
+"""
+
+QUERIES["k_anonymity_audit"] = q_k_anonymity_audit
+ORACLES["k_anonymity_audit"] = ORACLE_K_ANONYMITY

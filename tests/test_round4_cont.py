@@ -144,3 +144,57 @@ def test_source_lang_entropy_bounds(spark):
     # uniform over 2 langs -> ln(2) nats
     assert out["b"]["entropy_micro_nats"] == round(math.log(2) * 1e6 / 2) * 2
     assert out["b"]["n_langs"] == 2 and out["b"]["n_docs"] == 2
+
+
+def test_target_encode_shrinks_to_prior(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.encoding import (
+        target_encode,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10.0)] * 90 + [("a", 0.0)] * 10 + [("b", 0.0)],
+        ["cat", "y"],
+    )
+    out = {r["cat"]: r["encoded"] for r in target_encode(df, "cat", "y", m=10).collect()}
+    prior = 900.0 / 101  # global mean
+    # popular category near its own mean (9.0); rare one near the prior
+    assert abs(out["a"] - 9.0) < abs(prior - 9.0)
+    assert abs(out["b"] - prior) < 1.0  # shrunk hard toward prior from 0
+
+
+def test_temporal_leakage_audit_counts(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
+        temporal_leakage_audit,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-09 00:00:00"),  # user 1 leaks across the cutoff
+            (2, "2024-01-02 00:00:00"),
+            (3, "2024-01-10 00:00:00"),
+        ],
+        ["user_id", "ts_str"],
+    ).select("user_id", F.col("ts_str").cast("timestamp").alias("ts"))
+    out = {
+        r["split"]: r
+        for r in temporal_leakage_audit(
+            df, "ts", "user_id", "2024-01-08 00:00:00"
+        ).collect()
+    }
+    assert out["train"]["n_events"] == 2 and out["train"]["n_entities"] == 2
+    assert out["test"]["n_events"] == 2 and out["test"]["n_entities"] == 2
+    assert out["train"]["n_leaked_entities"] == 1
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.pii import (
+        k_anonymity_audit,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "u")] * 5 + [("y", "v")] * 2, ["qi1", "qi2"]
+    )
+    out = k_anonymity_audit(df, ["qi1", "qi2"], k=3).collect()
+    assert len(out) == 1
+    assert out[0]["qi1"] == "y" and out[0]["group_size"] == 2
