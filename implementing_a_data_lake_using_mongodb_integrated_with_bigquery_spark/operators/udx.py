@@ -102,3 +102,45 @@ def udtf_ngram_counts(
         GROUP BY t.ngram
         """
     )
+
+
+def grouped_median_udaf(
+    df: DataFrame, group_col: str, val_col: str
+) -> DataFrame:
+    """Custom aggregate through the GROUPED_AGG pandas-UDF path — the
+    Spark surface for UDAFs Python-side: each group's values arrive as
+    ONE pandas Series (Arrow-batched) and reduce to a scalar. Exact
+    median here: numpy sorts, so the result is a pure function of the
+    group's value multiset — partition-order-independent, unlike a
+    float sum, which is what makes a Python UDAF oracle-safe at all.
+
+    Scale shape: one shuffle on the group key; groups must fit in
+    executor memory (the GROUPED_AGG contract — use the built-in
+    ``percentile_approx`` when they don't). Deliberately off hot
+    paths; the built-in median/approx_percentile is the default.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _median_fn(v):
+        return float(np.median(v.to_numpy()))
+
+    # the Series->scalar signature is what selects the GROUPED_AGG
+    # variant; this module's `from __future__ import annotations`
+    # would stringify inline hints, so attach real types at runtime
+    _median_fn.__annotations__ = {"v": pd.Series, "return": float}
+    _median = pandas_udf(_median_fn, "double")
+
+    def _count_fn(v):
+        return len(v)
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM
+    # aggregates in one agg, so the row count rides the pandas path too
+    _count_fn.__annotations__ = {"v": pd.Series, "return": int}
+    _count = pandas_udf(_count_fn, "long")
+
+    return df.groupBy(group_col).agg(
+        F.round(_median(F.col(val_col)), 6).alias("median_value"),
+        _count(F.col(val_col)).alias("n"),
+    )

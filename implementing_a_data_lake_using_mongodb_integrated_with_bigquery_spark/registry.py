@@ -6435,3 +6435,81 @@ FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 10
 
 QUERIES["k_anonymity_audit"] = q_k_anonymity_audit
 ORACLES["k_anonymity_audit"] = ORACLE_K_ANONYMITY
+
+
+# --------------------- batch: dynamic partition pruning + pandas UDAF
+
+
+def q_dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: orders materialized
+    PARTITIONED BY month, joined to a parquet dim filtered to the
+    peak months — Catalyst injects a runtime DynamicPruning subquery
+    into the fact scan's PartitionFilters, so only the surviving
+    month directories are READ (the decisive 100 TB mechanism: I/O
+    proportional to the filtered dim, not the fact). The plan shape
+    is pinned in tests/test_plans.py; the oracle recomputes from the
+    unpartitioned table with the dim predicate inlined."""
+    import os as _os
+    import tempfile as _tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    root = _tempfile.mkdtemp(prefix="dpp_")
+    fact_dir = _os.path.join(root, "fact")
+    dim_dir = _os.path.join(root, "dim")
+    o.withColumn("order_month", F.month("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("order_month").parquet(fact_dir)
+    spark.createDataFrame(
+        [(m, 1 if m <= 3 else 0) for m in range(1, 13)],
+        "order_month int, peak_flag int",
+    ).write.mode("overwrite").parquet(dim_dir)
+
+    fact = spark.read.parquet(fact_dir)
+    # DPP's benefit check wants a LIKELY-SELECTIVE predicate on the
+    # build side (EqualTo/In/Like against a literal) — a bare boolean
+    # column reference does not qualify and silently skips the rule
+    dim = spark.read.parquet(dim_dir).filter(F.col("peak_flag") == 1)
+    return (
+        fact.join(dim, "order_month")
+        .groupBy(F.col("order_month").cast("long").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _scaled_sum(F.col("o_totalprice"), 100, "revenue"),
+        )
+    )
+
+
+ORACLE_DPP = """
+SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS revenue
+FROM orders WHERE month(o_orderdate) <= 3
+GROUP BY 1
+"""
+
+QUERIES["dpp_pruned_join"] = q_dpp_pruned_join
+ORACLES["dpp_pruned_join"] = ORACLE_DPP
+
+
+def q_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python UDAF surface (operators.udx.grouped_median_udaf):
+    exact per-type median of event values through the GROUPED_AGG
+    pandas-UDF path. Median is order-independent (numpy sorts), which
+    is what makes a Python aggregate hash-oracle-safe."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.udx import (
+        grouped_median_udaf,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return grouped_median_udaf(e, "event_type", "value")
+
+
+ORACLE_PANDAS_UDAF_MEDIAN = """
+SELECT event_type, round(median(value), 6) AS median_value,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+QUERIES["pandas_udaf_median"] = q_pandas_udaf_median
+ORACLES["pandas_udaf_median"] = ORACLE_PANDAS_UDAF_MEDIAN

@@ -123,3 +123,14 @@ def test_token_bucket_single_key_shuffle(spark, sf_dir):
     # one repartition on the key feeds the sorted scan; no second
     # exchange may appear between the sort and the mapInPandas
     assert count_shuffles(df) == 1
+
+
+def test_dpp_injects_dynamic_pruning_into_fact_scan(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["dpp_pruned_join"](spark, sf_dir)
+    plan = physical_plan(df)
+    # the fact scan must carry a runtime DynamicPruning partition
+    # filter (directories skipped at execution time, not a static
+    # month predicate)
+    assert "dynamicpruning" in plan.lower()
