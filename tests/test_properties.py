@@ -57,3 +57,75 @@ def test_dedup_against_target_never_emits_known_or_dup_keys(spark, batch, target
     assert len(out) == len(set(out))                      # no dup keys emitted
     assert not (set(out) & {r[0] for r in target})        # no known keys
     assert set(out) == {r[0] for r in batch} - {r[0] for r in target}
+
+
+PACK_TOKENS = st.lists(st.integers(1, 40), min_size=1, max_size=20)
+
+
+@given(toks=PACK_TOKENS)
+@SLOW
+def test_packing_partitions_every_budget(spark, toks):
+    from pyspark.sql import functions as F
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.packing import (
+        pack_documents,
+    )
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for budget in (7, 64):
+        out = pack_documents(
+            df, "doc_id", F.size(F.split(F.col("text"), " ")), budget=budget
+        ).collect()
+        # exact tiling: starts are a permutation of the exclusive
+        # prefix sums of n_tok in md5 order, regardless of budget
+        assert sorted(r["start"] for r in out) == sorted(
+            s for s in _excl_prefix(sorted((r["start"], r["n_tok"]) for r in out))
+        )
+        total = sum(r["n_tok"] for r in out)
+        assert all(0 <= r["start"] < total for r in out)
+        assert all(r["bin_id"] == r["start"] // budget for r in out)
+
+
+def _excl_prefix(pairs):
+    acc = 0
+    out = []
+    for _start, n in pairs:
+        out.append(acc)
+        acc += n
+    return out
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.sampled_from("wxyz")),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    ),
+    iters=st.integers(1, 3),
+)
+@SLOW
+def test_pagerank_matches_reference_recurrence(spark, edges, iters):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.pagerank import (
+        SCALE,
+        pagerank,
+    )
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["pr_scaled"] for r in pagerank(df, iterations=iters).collect()}
+
+    # plain-python replay of the exact integer recurrence
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (15 * SCALE) // (100 * n)
+    pr = {v: SCALE // n for v in nodes}
+    for _ in range(iters):
+        nxt = {v: base for v in nodes}
+        for s, d in edges:
+            nxt[d] += (pr[s] * 85) // (100 * outdeg[s])
+        pr = nxt
+    assert got == pr
