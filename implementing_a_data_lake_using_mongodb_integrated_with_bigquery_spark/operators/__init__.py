@@ -125,6 +125,12 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     term_table,
     tfidf_topk,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.fuzzy import (
+    fuzz_ratio,
+    fuzzy_best_match,
+    jaro_winkler,
+    similarity_score,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_topk,
@@ -175,12 +181,15 @@ __all__ = [
     "flatten_weather",
     "frame_sample",
     "funnel",
+    "fuzz_ratio",
+    "fuzzy_best_match",
     "grouped_linreg",
     "hard_negatives",
     "hash_split",
     "inactivity_gaps",
     "incremental_dedup",
     "ivf_topk",
+    "jaro_winkler",
     "k_anonymity_audit",
     "keyword_and_search",
     "ks_drift",
@@ -210,15 +219,16 @@ __all__ = [
     "salted_join",
     "scd2_history",
     "sessionize",
+    "similarity_score",
     "sliding_agg",
     "snapshot_diff",
     "source_lang_entropy",
     "split_column",
     "stratified_cap",
     "synthesize_clips",
+    "synthesize_media",
     "target_encode",
     "temporal_leakage_audit",
-    "synthesize_media",
     "term_table",
     "tfidf_topk",
     "top_k_per_group",

@@ -6513,3 +6513,46 @@ FROM events GROUP BY event_type
 
 QUERIES["pandas_udaf_median"] = q_pandas_udaf_median
 ORACLES["pandas_udaf_median"] = ORACLE_PANDAS_UDAF_MEDIAN
+
+
+# ------------------------------------ batch: Jaro-Winkler record linkage
+
+
+def q_jw_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage with the Jaro-Winkler scorer
+    (operators.fuzzy.jaro_winkler — DuckDB-exact conventions, integer
+    transposition halving): argmax-similarity supplier name for each
+    of 50 probe customers, broadcast probe x candidate scan + window
+    argmax; third scorer beside Levenshtein-ratio and fuzz.ratio."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.fuzzy import (
+        fuzzy_best_match,
+        jaro_winkler,
+    )
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    s = load_table(spark, sf_dir, "supplier")
+    out = fuzzy_best_match(
+        c.select("c_name"),
+        s.select("s_name"),
+        "c_name",
+        "s_name",
+        score_fn=jaro_winkler,
+    )
+    return out.select("c_name", "s_name", "similarity")
+
+
+ORACLE_JW_BEST_MATCH = """
+WITH q AS (SELECT c_name FROM customer WHERE c_custkey < 50),
+scored AS (
+  SELECT q.c_name, s.s_name,
+         round(jaro_winkler_similarity(q.c_name, s.s_name), 6) AS similarity
+  FROM q CROSS JOIN supplier s)
+SELECT c_name, s_name, similarity FROM (
+  SELECT c_name, s_name, similarity,
+         row_number() OVER (PARTITION BY c_name
+                            ORDER BY similarity DESC, s_name ASC) AS rn
+  FROM scored) WHERE rn = 1
+"""
+
+QUERIES["jw_best_match"] = q_jw_best_match
+ORACLES["jw_best_match"] = ORACLE_JW_BEST_MATCH

@@ -85,3 +85,29 @@ def test_parity_and_builtin_agree_on_clean_matches(spark):
             ).collect()
         }
         assert best == {"hanoi": "ha noi", "hue": "hue"}
+
+
+def test_jaro_winkler_matches_duckdb_exactly():
+    import random
+
+    import duckdb
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.fuzzy import (
+        _jaro_winkler_one,
+    )
+
+    con = duckdb.connect()
+    random.seed(7)
+    alph = "abcde#0123"
+    tests = [
+        (
+            "".join(random.choice(alph) for _ in range(random.randint(0, 12))),
+            "".join(random.choice(alph) for _ in range(random.randint(0, 12))),
+        )
+        for _ in range(4000)
+    ] + [("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("", ""), ("ab", "ba")]
+    for a, b in tests:
+        exp = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert abs(_jaro_winkler_one(a, b) - exp) < 1e-12, (a, b)
