@@ -114,3 +114,84 @@ def bm25_topk(
     score = F.round(idf * tfc * (F.lit(k1) + F.lit(1.0)) / norm, 6)
     scored = j.select(id_col, "term", "tf", "df", "dl", score.alias("bm25"))
     return _topk(scored, id_col, "bm25", k)
+
+
+def tfidf_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 10_000,
+) -> DataFrame:
+    """(doc, term, w_int): smoothed TF-IDF weights scaled to exact
+    BIGINTs (``round(tf·idf·scale)``) — the sparse document vectors
+    every downstream dot product can sum order-free."""
+    tf = term_table(docs, id_col, text_col)
+    j = _with_df_and_globals(tf, docs, text_col)
+    w = F.col("tf") * (
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+        + F.lit(1.0)
+    )
+    return j.select(
+        id_col, "term", F.round(w * scale).cast("long").alias("w_int")
+    )
+
+
+def tfidf_cosine_topk(
+    docs: DataFrame,
+    probe_max_id: int,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse TF-IDF cosine top-k: for each probe document, the k most
+    similar other documents under the bag-of-words TF-IDF vector space
+    — near-dup/similarity search with NO embedding model, the lexical
+    twin of ``operators.similarity.cosine_topk``.
+
+    Scale shape: candidates come from an INVERTED-INDEX equi-join on
+    the term (probe postings broadcast; pair space is
+    Σ_term df(term)·|probe terms|, never |corpus|²); norms are one
+    corpus aggregate joined back on the doc key.
+
+    Determinism: weights are exact scaled BIGINTs, so the pair dot
+    product and both norm sums are order-free integer aggregations;
+    the only floats are two sqrt's and one division over exact ints —
+    identical on any engine, 6dp-rounded before the ranking window
+    (doc-id tiebreak).
+    """
+    w = tfidf_weights(docs, id_col, text_col)
+    norms = w.groupBy(id_col).agg(
+        F.sum(F.col("w_int") * F.col("w_int")).alias("norm2")
+    )
+    probes = w.filter(F.col(id_col) < probe_max_id).select(
+        F.col(id_col).alias("q_id"), "term", F.col("w_int").alias("q_w")
+    )
+    dots = (
+        w.join(F.broadcast(probes), "term")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .groupBy("q_id", id_col)
+        .agg(F.sum(F.col("w_int") * F.col("q_w")).alias("dot"))
+    )
+    q_norms = norms.select(
+        F.col(id_col).alias("q_id"), F.col("norm2").alias("q_norm2")
+    )
+    scored = (
+        dots.join(norms, id_col)
+        .join(F.broadcast(q_norms), "q_id")
+        .select(
+            "q_id",
+            id_col,
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("norm2")) * F.sqrt(F.col("q_norm2"))),
+                6,
+            ).alias("similarity"),
+        )
+    )
+    win = Window.partitionBy("q_id").orderBy(
+        F.col("similarity").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )

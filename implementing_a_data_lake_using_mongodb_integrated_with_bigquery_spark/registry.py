@@ -6556,3 +6556,58 @@ SELECT c_name, s_name, similarity FROM (
 
 QUERIES["jw_best_match"] = q_jw_best_match
 ORACLES["jw_best_match"] = ORACLE_JW_BEST_MATCH
+
+
+def q_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical similarity search (operators.tfidf.tfidf_cosine_topk):
+    top-5 most-similar documents for 20 probes under sparse TF-IDF
+    cosine — inverted-index candidate join (probe postings broadcast),
+    order-free scaled-integer dot products, exact-integer norms."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.tfidf import (
+        tfidf_cosine_topk,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = tfidf_cosine_topk(d, probe_max_id=20, k=5)
+    return out.select(
+        "q_id", "doc_id", "similarity", F.col("rank").cast("long").alias("rank")
+    )
+
+
+ORACLE_TFIDF_COSINE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(tf.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0) * 10000)
+              AS BIGINT) AS w_int
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN n),
+norms AS (
+  SELECT doc_id, CAST(SUM(w_int * w_int) AS BIGINT) AS norm2 FROM w GROUP BY 1),
+probes AS (
+  SELECT doc_id AS q_id, term, w_int AS q_w FROM w WHERE doc_id < 20),
+dots AS (
+  SELECT p.q_id, w.doc_id, CAST(SUM(w.w_int * p.q_w) AS BIGINT) AS dot
+  FROM w JOIN probes p USING (term)
+  WHERE w.doc_id != p.q_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.q_id, d.doc_id,
+         round(d.dot / (sqrt(na.norm2) * sqrt(nq.norm2)), 6) AS similarity
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.doc_id
+  JOIN norms nq ON nq.doc_id = d.q_id)
+SELECT q_id, doc_id, similarity, rank FROM (
+  SELECT q_id, doc_id, similarity,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY similarity DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+QUERIES["tfidf_cosine_topk"] = q_tfidf_cosine_topk
+ORACLES["tfidf_cosine_topk"] = ORACLE_TFIDF_COSINE
