@@ -159,7 +159,11 @@ def tfidf_cosine_topk(
     identical on any engine, 6dp-rounded before the ranking window
     (doc-id tiebreak).
     """
-    w = tfidf_weights(docs, id_col, text_col)
+    # materialize the weighted postings ONCE: three consumers (norms,
+    # probe postings, candidate join) would otherwise each re-derive
+    # the tokenize+df lineage — triple-scanning the corpus. At scale
+    # this is "build the index once", exactly what a real engine does.
+    w = tfidf_weights(docs, id_col, text_col).localCheckpoint(eager=True)
     norms = w.groupBy(id_col).agg(
         F.sum(F.col("w_int") * F.col("w_int")).alias("norm2")
     )
