@@ -134,3 +134,33 @@ def test_dpp_injects_dynamic_pruning_into_fact_scan(spark, sf_dir):
     # filter (directories skipped at execution time, not a static
     # month predicate)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_hard_negatives_is_equi_join_not_cartesian(spark, sf_dir):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = physical_plan(hard_negatives(emb, k=3, n_planes=4, dim=64))
+    # candidates must come from the LSH bucket equi-join — an
+    # all-pairs fallback would show up as a nested-loop/cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_packing_moves_data_through_one_range_shuffle(spark, sf_dir):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.packing import (
+        pack_documents,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    df = pack_documents(d, "doc_id", F.size(F.split(F.col("text"), " ")), budget=256)
+    # the corpus crosses the wire in the range repartition only: after
+    # execution AQE must show the offsets branch READING THE SAME
+    # exchange (ReusedExchange), and the offsets join-back must be
+    # broadcast, not another full-data exchange
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert uses_broadcast_join(df)
