@@ -6611,3 +6611,97 @@ SELECT q_id, doc_id, similarity, rank FROM (
 
 QUERIES["tfidf_cosine_topk"] = q_tfidf_cosine_topk
 ORACLES["tfidf_cosine_topk"] = ORACLE_TFIDF_COSINE
+
+
+# -------------------------------- batch: Spark 4 SQL-surface completions
+
+
+def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL binding (``spark.sql(..., args=...)``) —
+    the injection-safe form of the reference's f-string DML assembly
+    (``src/process_insert_update_weather_data.py:110-127``): values
+    bind as typed literals, never string concatenation."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_p")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events_p
+        WHERE value >= :min_value AND event_type != :excluded
+        GROUP BY event_type
+        """,
+        args={"min_value": 50.0, "excluded": "error"},
+    )
+
+
+ORACLE_PARAMETERIZED = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE value >= 50.0 AND event_type != 'error'
+GROUP BY event_type
+"""
+
+QUERIES["parameterized_sql"] = q_parameterized_sql
+ORACLES["parameterized_sql"] = ORACLE_PARAMETERIZED
+
+
+_LATERAL_ALIAS_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(round(disc_price * 100) AS BIGINT)) AS BIGINT) AS disc_cents,
+       CAST(SUM(CAST(round(charge * 100) AS BIGINT)) AS BIGINT) AS charge_cents
+FROM (
+  SELECT l_returnflag,
+         l_extendedprice * (1 - l_discount) AS disc_price,
+         disc_price * (1 + l_tax) AS charge
+  FROM lineitem
+)
+GROUP BY l_returnflag
+"""
+
+
+def q_lateral_alias_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+/ANSI): ``charge`` is defined
+    from ``disc_price`` in the SAME select list — the chained derived-
+    column style the reference writes as sequential Python assignments
+    (``src/process_insert_update_weather_data.py:83-93``). Identical
+    SQL runs on both engines; cents-integer sums."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_LATERAL_ALIAS_SQL)
+
+
+QUERIES["lateral_alias_pricing"] = q_lateral_alias_pricing
+ORACLES["lateral_alias_pricing"] = _LATERAL_ALIAS_SQL
+
+
+def q_sql_script_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 ``BEGIN…END``): a WHILE loop accumulates
+    first-half-year order counts via scalar subqueries into a session
+    variable — procedural control flow INSIDE the SQL surface (the
+    reference drives the same month-by-month accumulation from Python,
+    ``src/monitor.sh`` + cron). The oracle is the closed-form
+    predicate; the loop must agree with it."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_s")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE acc BIGINT DEFAULT 0;
+          DECLARE i INT DEFAULT 1;
+          WHILE i <= 6 DO
+            SET acc = acc + (SELECT COUNT(*) FROM orders_s WHERE month(o_orderdate) = i);
+            SET i = i + 1;
+          END WHILE;
+          SELECT acc AS n_first_half;
+        END
+        """
+    )
+
+
+ORACLE_SQL_SCRIPT = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_first_half
+FROM orders WHERE month(o_orderdate) <= 6
+"""
+
+QUERIES["sql_script_rollup"] = q_sql_script_rollup
+ORACLES["sql_script_rollup"] = ORACLE_SQL_SCRIPT
