@@ -6705,3 +6705,79 @@ FROM orders WHERE month(o_orderdate) <= 6
 
 QUERIES["sql_script_rollup"] = q_sql_script_rollup
 ORACLES["sql_script_rollup"] = ORACLE_SQL_SCRIPT
+
+
+def q_observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation API (``df.observe``): audit metrics piggyback on the
+    SAME pass that filters the data — total rows and total cents are
+    captured while only purchase rows are counted downstream. The
+    zero-extra-scan form of the reference's per-batch log counters
+    (``src/ingest_weather_data.py:86-89``); at 100 TB an extra audit
+    scan is the cost being avoided. Driver holds 3 scalars, never
+    rows."""
+    from pyspark.sql import Observation
+
+    e = load_table(spark, sf_dir, "events")
+    obs = Observation("scan_audit")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    n_purchases = observed.filter(F.col("event_type") == "purchase").count()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_total"]), int(m["value_cents"]), int(n_purchases))],
+        "n_total long, value_cents long, n_purchases long",
+    )
+
+
+ORACLE_OBSERVED = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+         AS n_purchases
+FROM events
+"""
+
+QUERIES["observed_scan_metrics"] = q_observed_scan_metrics
+ORACLES["observed_scan_metrics"] = ORACLE_OBSERVED
+
+
+def q_hll_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches HLL surface (Spark 4 ``hll_sketch_agg`` /
+    ``hll_union_agg``): per-type sketches UNION-merge to the same
+    estimate as one direct pass — the mergeability that lets 100 TB
+    pre-aggregate distinct counts per partition/day and combine
+    without rescanning. Emits the exact count plus the two in-engine
+    invariant checks; the oracle pins the exact count and that both
+    invariants hold."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.count_distinct("user_id").cast("long").alias("n_exact"),
+    )
+    return merged.crossJoin(direct).select(
+        "n_exact",
+        (F.col("est_merged") == F.col("est_direct")).alias("merged_equals_direct"),
+        (
+            F.abs(F.col("est_direct") - F.col("n_exact"))
+            <= F.greatest(F.lit(2.0), F.col("n_exact") * 0.05)
+        ).alias("within_error"),
+    )
+
+
+ORACLE_HLL = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS merged_equals_direct, TRUE AS within_error
+FROM events
+"""
+
+QUERIES["hll_sketch_mergeability"] = q_hll_sketch_mergeability
+ORACLES["hll_sketch_mergeability"] = ORACLE_HLL
