@@ -6781,3 +6781,74 @@ FROM events
 
 QUERIES["hll_sketch_mergeability"] = q_hll_sketch_mergeability
 ORACLES["hll_sketch_mergeability"] = ORACLE_HLL
+
+
+def q_corpus_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data materialization: normalize →
+    canonical-fingerprint exact dedup (keep smallest doc_id) →
+    concat-and-chunk sequence packing of the SURVIVORS (256-token
+    context windows) → per-bin fill manifest. Chains
+    operators.text.normalized_docs + a bounded-group ranking window +
+    operators.packing.pack_documents — the pipeline a loader consumes;
+    every stage individually oracled elsewhere, the composite pinned
+    here."""
+    from pyspark.sql import Window as W
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.packing import (
+        pack_documents,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        normalized_docs,
+    )
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    nd = normalized_docs(docs).select(
+        "doc_id", "norm_fingerprint", "n_norm_tokens"
+    )
+    w = W.partitionBy("norm_fingerprint").orderBy(F.col("doc_id").asc())
+    survivors = (
+        nd.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "n_norm_tokens")
+    )
+    packed = pack_documents(
+        survivors, "doc_id", F.col("n_norm_tokens"), budget=256
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.count_if(F.col("spans_boundary")).alias("n_spanning"),
+    )
+
+
+ORACLE_CORPUS_PACK = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents),
+d AS (
+  SELECT doc_id, md5(norm_text) AS fp,
+         CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_tok
+  FROM n),
+keep AS (
+  SELECT doc_id, n_tok FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+    FROM d) WHERE rn = 1),
+c AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           ORDER BY substr(md5('pack' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 16),
+                    doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM keep)
+SELECT CAST(start // 256 AS BIGINT) AS bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(COUNT(CASE WHEN start // 256
+                       != (start + greatest(n_tok - 1, 0)) // 256 THEN 1 END)
+            AS BIGINT) AS n_spanning
+FROM c GROUP BY 1
+"""
+
+QUERIES["corpus_pack_pipeline"] = q_corpus_pack_pipeline
+ORACLES["corpus_pack_pipeline"] = ORACLE_CORPUS_PACK
