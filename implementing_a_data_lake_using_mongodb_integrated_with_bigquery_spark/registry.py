@@ -6852,3 +6852,48 @@ FROM c GROUP BY 1
 
 QUERIES["corpus_pack_pipeline"] = q_corpus_pack_pipeline
 ORACLES["corpus_pack_pipeline"] = ORACLE_CORPUS_PACK
+
+
+def q_nested_rebuild_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-collection surface: each order's lineitems are rebuilt
+    as an array<struct> document (``array_sort(collect_list(...))`` —
+    collect_list alone is partition-order-nondeterministic, the sort
+    canonicalizes it) and every output is then computed FROM the
+    array with higher-order folds — proving the nested rebuild is
+    lossless vs the flat aggregates the oracle computes directly.
+    The document-shape inverse of P5's struct flattening
+    (``src/process_insert_update_weather_data.py:83-93``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.round(F.col("l_quantity") * 100).cast("long").alias("qty_cents"),
+            )
+        )
+    )
+    nested = li.groupBy("l_orderkey").agg(arr.alias("lines"))
+    fold_sum = F.aggregate(
+        F.col("lines"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x["qty_cents"],
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        fold_sum.alias("qty_cents"),
+        F.col("lines")[0]["ln"].cast("long").alias("first_line"),
+        F.element_at("lines", -1)["ln"].cast("long").alias("last_line"),
+    )
+
+
+ORACLE_NESTED_REBUILD = """
+SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       CAST(MIN(l_linenumber) AS BIGINT) AS first_line,
+       CAST(MAX(l_linenumber) AS BIGINT) AS last_line
+FROM lineitem GROUP BY l_orderkey
+"""
+
+QUERIES["nested_rebuild_roundtrip"] = q_nested_rebuild_roundtrip
+ORACLES["nested_rebuild_roundtrip"] = ORACLE_NESTED_REBUILD
