@@ -93,6 +93,7 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     hash_split,
     mixture_weights,
     split_column,
+    resampling_plan,
     stratified_cap,
     temporal_leakage_audit,
 )
@@ -214,6 +215,7 @@ __all__ = [
     "psi_drift",
     "quantize_audit",
     "reconcile_counts",
+    "resampling_plan",
     "redact",
     "resize_media",
     "salted_join",

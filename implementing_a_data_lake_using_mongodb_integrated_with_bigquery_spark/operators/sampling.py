@@ -237,3 +237,39 @@ def temporal_leakage_audit(
         ).alias("_row"),
         F.col("n_leaked_entities"),
     ).select("_row.*", "n_leaked_entities")
+
+
+def resampling_plan(
+    df: DataFrame,
+    group_col: str,
+    size_col: Column | str,
+) -> DataFrame:
+    """Downsample-only resampling plan that moves the corpus toward
+    the sqrt-size target mixture (the APPLY step to
+    ``mixture_weights``): per group, target share ∝ √size, sampling
+    factor ∝ target/actual, normalized so the most under-represented
+    group keeps everything (accept=1) and every other group is
+    down-sampled — no group is ever up-sampled.
+
+    Determinism: sizes aggregate to exact BIGINTs; √ is IEEE
+    correctly-rounded and scaled to an integer weight; the accept
+    ratio divides two floats each computed from exact integers by the
+    same expression on both engines, then rounds to 6dp. One hash
+    aggregate to |groups| rows + a 1-row broadcast maximum.
+    """
+    s = F.col(size_col) if isinstance(size_col, str) else size_col
+    g = df.groupBy(group_col).agg(F.sum(s.cast("long")).alias("n_tokens"))
+    g = g.withColumn(
+        "_w", F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000).cast("long")
+    )
+    ratio = F.col("_w").cast("double") / F.col("n_tokens")
+    mx = g.agg(F.max(ratio).alias("_max_ratio"))
+    out = g.crossJoin(F.broadcast(mx)).select(
+        group_col,
+        "n_tokens",
+        F.round(ratio / F.col("_max_ratio"), 6).alias("accept_prob"),
+    )
+    return out.withColumn(
+        "expected_tokens",
+        F.floor(F.col("n_tokens") * F.col("accept_prob")).cast("long"),
+    )

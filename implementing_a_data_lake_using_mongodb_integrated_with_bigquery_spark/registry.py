@@ -6897,3 +6897,41 @@ FROM lineitem GROUP BY l_orderkey
 
 QUERIES["nested_rebuild_roundtrip"] = q_nested_rebuild_roundtrip
 ORACLES["nested_rebuild_roundtrip"] = ORACLE_NESTED_REBUILD
+
+
+def q_resampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture APPLY step (operators.sampling.resampling_plan):
+    per-source accept probabilities that move the corpus toward the
+    sqrt-size target mixture, downsample-only (the most
+    under-represented source keeps accept=1). Exact-integer sizes and
+    weights; one |groups| aggregate + 1-row broadcast max."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
+        resampling_plan,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return resampling_plan(
+        d, "source", F.size(F.split(F.col("text"), " "))
+    )
+
+
+ORACLE_RESAMPLING = """
+WITH g AS (
+  SELECT source,
+         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1),
+w AS (
+  SELECT source, n_tokens,
+         CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS wi
+  FROM g),
+m AS (SELECT MAX(CAST(wi AS DOUBLE) / n_tokens) AS max_ratio FROM w)
+SELECT w.source, w.n_tokens,
+       round((CAST(w.wi AS DOUBLE) / w.n_tokens) / m.max_ratio, 6) AS accept_prob,
+       CAST(floor(w.n_tokens * round((CAST(w.wi AS DOUBLE) / w.n_tokens) / m.max_ratio, 6))
+            AS BIGINT) AS expected_tokens
+FROM w CROSS JOIN m
+"""
+
+QUERIES["resampling_plan"] = q_resampling_plan
+ORACLES["resampling_plan"] = ORACLE_RESAMPLING
