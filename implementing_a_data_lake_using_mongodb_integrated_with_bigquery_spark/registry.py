@@ -5587,6 +5587,11 @@ def q_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "norm_fingerprint")
+        # materialized ONCE: the LM filter reads this three times
+        # (vocab counts, scoring, globals) and the report joins back —
+        # without the checkpoint the normalize+dedup window re-executes
+        # per consumer (8 shuffles -> 4 in the audit)
+        .localCheckpoint(eager=True)
     )
     lm = unigram_logprob_scores(
         deduped, text_col="norm_text", vocab_size=1000, keep_threshold=-8.0
@@ -6810,6 +6815,9 @@ def q_corpus_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "n_norm_tokens")
+        # pack_documents reads its input twice (cumsum branch +
+        # partition totals); checkpoint so the dedup window runs once
+        .localCheckpoint(eager=True)
     )
     packed = pack_documents(
         survivors, "doc_id", F.col("n_norm_tokens"), budget=256
