@@ -164,3 +164,16 @@ def test_packing_moves_data_through_one_range_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
     assert uses_broadcast_join(df)
+
+
+def test_join_hints_override_strategy_choice(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    # orders is small enough to auto-broadcast; a merge hint must
+    # force the shuffle-sort path anyway (the manual override used
+    # when a "small" side is known to blow up at production scale)
+    merged = li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
+    assert "SortMergeJoin" in physical_plan(merged)
+    # and the broadcast hint must override a statistics miss
+    bcast = li.join(o.hint("broadcast"), li["l_orderkey"] == o["o_orderkey"])
+    assert uses_broadcast_join(bcast)
