@@ -6943,3 +6943,58 @@ FROM w CROSS JOIN m
 
 QUERIES["resampling_plan"] = q_resampling_plan
 ORACLES["resampling_plan"] = ORACLE_RESAMPLING
+
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def q_disjunctive_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — an OR of AND-groups spanning BOTH join sides:
+    the optimizer must split the disjunction into the per-side
+    conjunctions it can push to each scan (CNF extraction) while the
+    cross-side residue stays on the join. The brand/size predicates
+    reach the part scan and the quantity bounds the lineitem scan even
+    though they are written inside one OR."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_Q19_SQL)
+
+
+QUERIES["disjunctive_predicate_join"] = q_disjunctive_predicate_join
+ORACLES["disjunctive_predicate_join"] = _Q19_SQL
+
+
+_Q17_SQL = """
+SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND CAST(round(l.l_quantity * 100) AS BIGINT) * 5
+        * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT SUM(CAST(round(l2.l_quantity * 100) AS BIGINT))
+         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — CORRELATED scalar aggregate subqueries in the
+    WHERE (per-part average quantity): Catalyst decorrelates each into
+    an aggregate joined back on l_partkey, so the fact table is never
+    probed per-row. The 0.2·avg threshold is an exact integer
+    cross-multiplication (qty·5·n < sum) — a float-avg comparison is
+    summation-order-dependent at the boundary (CLAUDE.md rule)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_Q17_SQL)
+
+
+QUERIES["small_quantity_revenue"] = q_small_quantity_revenue
+ORACLES["small_quantity_revenue"] = _Q17_SQL
