@@ -6998,3 +6998,40 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["small_quantity_revenue"] = q_small_quantity_revenue
 ORACLES["small_quantity_revenue"] = _Q17_SQL
+
+
+_Q8_SQL = """
+WITH vol AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS volume_cents,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n1.n_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_cents ELSE 0 END) AS BIGINT)
+         AS nation_cents,
+       CAST(SUM(volume_cents) AS BIGINT) AS total_cents,
+       round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_cents ELSE 0 END) AS DOUBLE)
+             / SUM(volume_cents), 6) AS mkt_share
+FROM vol GROUP BY o_year
+"""
+
+
+def q_market_share_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — six-table star with a conditional-share
+    ratio: one nation's volume over total volume per order year
+    (numerator and denominator in the SAME aggregate pass via CASE,
+    never two scans). All four dims broadcast; the fact shuffles only
+    for the orders join; cents-exact integers under the 6dp ratio."""
+    for t in ("lineitem", "orders", "customer", "nation", "region", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q8_SQL)
+
+
+QUERIES["market_share_ratio"] = q_market_share_ratio
+ORACLES["market_share_ratio"] = _Q8_SQL
