@@ -129,3 +129,35 @@ def test_pagerank_matches_reference_recurrence(spark, edges, iters):
             nxt[d] += (pr[s] * 85) // (100 * outdeg[s])
         pr = nxt
     assert got == pr
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=50), min_size=1, max_size=6
+    ),
+    chunk=st.integers(2, 20),
+)
+@SLOW
+def test_chunking_covers_every_character(spark, texts, chunk):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    stride = max(1, chunk - 1)  # overlap of 1: stride <= chunk
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_chars=chunk, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in rows:
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_start"])
+        # chunk count: one per stride step while the start is in-text
+        assert len(chunks) == (1 if len(t) == 0 else (len(t) - 1) // stride + 1)
+        # with stride <= chunk, every character index is inside a chunk
+        covered = set()
+        for r in chunks:
+            covered.update(
+                range(r["chunk_start"], r["chunk_start"] + r["chunk_chars"])
+            )
+        assert covered == set(range(len(t)))
