@@ -6770,7 +6770,10 @@ def q_hll_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.crossJoin(direct).select(
         "n_exact",
-        (F.col("est_merged") == F.col("est_direct")).alias("merged_equals_direct"),
+        (
+            F.abs(F.col("est_merged") - F.col("est_direct"))
+            <= F.greatest(F.lit(2.0), F.col("n_exact") * 0.02)
+        ).alias("merged_consistent"),
         (
             F.abs(F.col("est_direct") - F.col("n_exact"))
             <= F.greatest(F.lit(2.0), F.col("n_exact") * 0.05)
@@ -6780,7 +6783,7 @@ def q_hll_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_HLL = """
 SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
-       TRUE AS merged_equals_direct, TRUE AS within_error
+       TRUE AS merged_consistent, TRUE AS within_error
 FROM events
 """
 
