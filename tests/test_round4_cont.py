@@ -198,3 +198,35 @@ def test_k_anonymity_flags_small_groups(spark):
     out = k_anonymity_audit(df, ["qi1", "qi2"], k=3).collect()
     assert len(out) == 1
     assert out[0]["qi1"] == "y" and out[0]["group_size"] == 2
+
+
+def test_resampling_plan_downsample_only(spark, sf_dir):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
+        resampling_plan,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = resampling_plan(d, "source", F.size(F.split(F.col("text"), " "))).collect()
+    probs = [r["accept_prob"] for r in out]
+    assert all(0 < p <= 1 for p in probs)
+    assert max(probs) == 1.0  # the scarcest source keeps everything
+    for r in out:
+        assert r["expected_tokens"] <= r["n_tokens"]  # never upsample
+
+
+def test_tfidf_cosine_topk_self_excluded_and_ranked(spark, sf_dir):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.tfidf import (
+        tfidf_cosine_topk,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = tfidf_cosine_topk(d, probe_max_id=5, k=3).collect()
+    per_q = {}
+    for r in rows:
+        assert r["q_id"] != r["doc_id"]  # self never a neighbor
+        assert -1.000001 <= r["similarity"] <= 1.000001
+        per_q.setdefault(r["q_id"], []).append(r)
+    for rs in per_q.values():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        sims = [r["similarity"] for r in rs]
+        assert sims == sorted(sims, reverse=True) and len(rs) <= 3
