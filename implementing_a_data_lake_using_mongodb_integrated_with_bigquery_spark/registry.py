@@ -7038,3 +7038,79 @@ def q_market_share_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["market_share_ratio"] = q_market_share_ratio
 ORACLES["market_share_ratio"] = _Q8_SQL
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the summary table published with a
+    training corpus: volume (docs/tokens), exact-duplicate rate
+    (md5 fingerprints), mean document length, and language mixture
+    (count + entropy, operators.text.source_lang_entropy's integer
+    micro-nat terms). Two source-keyed aggregates over one projected
+    scan + a |sources|-sized join; every ratio derives from exact
+    integers under the 6dp round."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        F.md5(F.col("text")).alias("fp"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    per = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.count_distinct("fp").cast("long").alias("_n_unique"),
+    )
+    sl = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    p = F.col("_n").cast("double") / F.col("n_docs")
+    ent = (
+        sl.join(per.select("source", "n_docs"), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.sum(F.round(-p * F.log(p) * 1_000_000).cast("long"))
+            .cast("long")
+            .alias("entropy_micro_nats"),
+        )
+    )
+    return per.join(ent, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            1.0 - F.col("_n_unique").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("avg_doc_tokens"),
+        "n_langs",
+        "entropy_micro_nats",
+    )
+
+
+ORACLE_DATASET_CARD = """
+WITH base AS (
+  SELECT source, lang, md5(text) AS fp,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique
+  FROM base GROUP BY 1),
+sl AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1, 2),
+ent AS (
+  SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+         CAST(SUM(CAST(round(-(s.n*1.0/p.n_docs) * ln(s.n*1.0/p.n_docs) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS entropy_micro_nats
+  FROM sl s JOIN per p USING (source) GROUP BY 1)
+SELECT p.source, p.n_docs, p.total_tokens,
+       round(1.0 - CAST(p.n_unique AS DOUBLE) / p.n_docs, 6) AS dup_rate,
+       round(CAST(p.total_tokens AS DOUBLE) / p.n_docs, 6) AS avg_doc_tokens,
+       e.n_langs, e.entropy_micro_nats
+FROM per p JOIN ent e USING (source)
+"""
+
+QUERIES["dataset_card"] = q_dataset_card
+ORACLES["dataset_card"] = ORACLE_DATASET_CARD
