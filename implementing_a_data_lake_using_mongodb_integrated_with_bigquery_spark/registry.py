@@ -7114,3 +7114,101 @@ FROM per p JOIN ent e USING (source)
 
 QUERIES["dataset_card"] = q_dataset_card
 ORACLES["dataset_card"] = ORACLE_DATASET_CARD
+
+
+def q_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-spike monitoring (the set-oriented form of the reference's
+    monitor.sh watchdog, ``src/monitor.sh:12-24``): hourly event
+    counts per type z-scored against that type's own distribution;
+    hours with |z| > 2 are the alertable anomalies. Moments come from
+    exact integer power sums (the operators.outliers convention), the
+    z expression is written identically in the oracle, and the
+    threshold compares floats derived from exact ints — deterministic
+    on both engines. Two chained aggregates; the series table is
+    |types × hours|, never the event stream."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mom = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = F.greatest(
+        F.col("s2").cast("double") / F.col("n_hours") - mean * mean,
+        F.lit(1e-12),
+    )
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        hourly.join(mom, "event_type")
+        .filter(F.abs(z) > 2.0)
+        .select(
+            "event_type",
+            epoch_us("hr").alias("hour_us"),
+            "n",
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+ORACLE_EVENT_ANOMALIES = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+mom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n*n) AS BIGINT) AS s2
+  FROM hourly GROUP BY 1)
+SELECT h.event_type, epoch_us(h.hr) AS hour_us, h.n,
+       round((h.n - CAST(m.s1 AS DOUBLE)/m.n_hours)
+             / sqrt(greatest(CAST(m.s2 AS DOUBLE)/m.n_hours
+                    - (CAST(m.s1 AS DOUBLE)/m.n_hours)*(CAST(m.s1 AS DOUBLE)/m.n_hours),
+                    1e-12)), 6) AS z
+FROM hourly h JOIN mom m USING (event_type)
+WHERE abs((h.n - CAST(m.s1 AS DOUBLE)/m.n_hours)
+      / sqrt(greatest(CAST(m.s2 AS DOUBLE)/m.n_hours
+             - (CAST(m.s1 AS DOUBLE)/m.n_hours)*(CAST(m.s1 AS DOUBLE)/m.n_hours),
+             1e-12))) > 2.0
+"""
+
+QUERIES["event_rate_anomalies"] = q_event_rate_anomalies
+ORACLES["event_rate_anomalies"] = ORACLE_EVENT_ANOMALIES
+
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the "how much will dedup
+    save" report (docs in size-k clusters shed k-1 copies each):
+    jaccard-0.5 pairs resolved to components (same pipeline as
+    dedup_clusters), then two tiny aggregates over the |docs| label
+    table. The histogram is what picks the dedup threshold in
+    practice (paired with jaccard_histogram's pair-mass view)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("d1", "d2")
+    clusters = dedup_clusters(docs, pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+
+
+# compose by nesting the verified clustering oracle unchanged
+ORACLE_DEDUP_CLUSTER_STATS = f"""
+WITH sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM ({ORACLE_DEDUP_CLUSTERS}) GROUP BY 1)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
+"""
+
+QUERIES["dedup_cluster_stats"] = q_dedup_cluster_stats
+ORACLES["dedup_cluster_stats"] = ORACLE_DEDUP_CLUSTER_STATS
