@@ -230,3 +230,24 @@ def test_tfidf_cosine_topk_self_excluded_and_ranked(spark, sf_dir):
         rs = sorted(rs, key=lambda r: r["rank"])
         sims = [r["similarity"] for r in rs]
         assert sims == sorted(sims, reverse=True) and len(rs) <= 3
+
+
+def test_dataset_card_internally_consistent(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["dataset_card"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_rate"] < 1.0
+        assert r["n_langs"] >= 1
+        assert r["entropy_micro_nats"] >= 0
+        # mean length consistent with the totals it was derived from
+        assert abs(r["avg_doc_tokens"] * r["n_docs"] - r["total_tokens"]) < 0.01 * r["n_docs"]
+
+
+def test_event_rate_anomalies_flags_are_extreme(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["event_rate_anomalies"](spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r["z"]) > 2.0 - 1e-6  # only beyond-threshold hours emitted
