@@ -7212,3 +7212,37 @@ FROM sizes GROUP BY 1
 
 QUERIES["dedup_cluster_stats"] = q_dedup_cluster_stats
 ORACLES["dedup_cluster_stats"] = ORACLE_DEDUP_CLUSTER_STATS
+
+
+def q_stream_update_merge_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-mode streaming hourly counts per event type, landed
+    through a foreachBatch last-write-wins merge
+    (streaming.windowed.update_merge_counts_once) — the keyed-MERGE
+    sink contract update mode requires; final store == batch
+    aggregation however the replay was micro-batched."""
+    import os as _os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        update_merge_counts_once,
+    )
+
+    out = update_merge_counts_once(
+        spark,
+        _os.path.join(sf_dir, "events.parquet"),
+        group_cols=["event_type"],
+    )
+    return out.select(
+        epoch_us("window_start").alias("window_start_us"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+ORACLE_STREAM_UPDATE_MERGE = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["stream_update_merge_hourly"] = q_stream_update_merge_hourly
+ORACLES["stream_update_merge_hourly"] = ORACLE_STREAM_UPDATE_MERGE

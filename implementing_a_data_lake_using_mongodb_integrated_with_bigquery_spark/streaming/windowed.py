@@ -20,7 +20,10 @@ _SINK_SEQ = itertools.count()
 
 
 def _open_event_stream(
-    spark: SparkSession, events_path: str, ts_col: str
+    spark: SparkSession,
+    events_path: str,
+    ts_col: str,
+    max_files_per_trigger: int | None = None,
 ) -> tuple[DataFrame, bool]:
     """File-stream over a lake parquet table with the event-time column
     normalized to TIMESTAMP. Returns (stream, had_ntz_event_time).
@@ -43,10 +46,11 @@ def _open_event_stream(
     # a glob, and a file-valued basePath is rejected — so feed it a
     # glob for the same file plus an explicit directory basePath
     base = os.path.dirname(events_path.rstrip("/")) or "."
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("basePath", base)
-        .parquet(events_path + "*" if not any(c in events_path for c in "*?[{") else events_path)
+    reader = spark.readStream.schema(raw_schema).option("basePath", base)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(
+        events_path + "*" if not any(c in events_path for c in "*?[{") else events_path
     )
     if isinstance(raw_schema[ts_col].dataType, T.LongType):
         stream = stream.withColumn(
@@ -235,4 +239,64 @@ def session_windows_once(
         result = result.withColumn(
             "session_start", F.col("session_start").cast("timestamp_ntz")
         ).withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
+    return result
+
+
+def update_merge_counts_once(
+    spark: SparkSession,
+    events_path: str,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    lateness: str = "5 minutes",
+    group_cols: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """UPDATE-output-mode windowed aggregation materialized through a
+    ``foreachBatch`` last-write-wins merge — the third output-mode
+    surface beside complete (``windowed_counts_once``) and append
+    (``session_windows_once``). Update mode re-emits a window each
+    micro-batch its count changes; the sink must therefore be a keyed
+    MERGE, not an appender. The final store equals the batch
+    aggregation for any micro-batch split PROVIDED the lateness covers
+    the cross-batch disorder — an event older than the watermark a
+    previous batch advanced is dropped (correct streaming semantics,
+    pinned by the multi-batch unit test, which uses a lateness larger
+    than the replay's disorder; the registry query replays one file =
+    one batch, where 5 minutes suffices).
+
+    The in-driver dict here stands in for the keyed store; its size is
+    |windows × groups| (the aggregated state, never events). At scale
+    the same ``foreachBatch`` body runs the partition-scoped
+    last-write-wins merge of ``streaming/cdc_merge.py`` (K4) against a
+    keyed table instead.
+    """
+    group_cols = group_cols or []
+    stream, ntz_event_time = _open_event_stream(
+        spark, events_path, ts_col, max_files_per_trigger
+    )
+    out = windowed_counts(
+        stream, ts_col, duration, lateness, group_cols, None
+    ).select("window_start", "window_end", *group_cols, "n_events")
+
+    state: dict[tuple, tuple] = {}
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        # |changed windows| rows, not events — bounded by the window
+        # count; a production sink MERGEs these into a keyed table
+        for r in batch_df.collect():
+            key = (r["window_start"], *[r[c] for c in group_cols])
+            state[key] = tuple(r)
+
+    q = (
+        out.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.createDataFrame(list(state.values()), out.schema)
+    if ntz_event_time:
+        result = result.withColumn(
+            "window_start", F.col("window_start").cast("timestamp_ntz")
+        ).withColumn("window_end", F.col("window_end").cast("timestamp_ntz"))
     return result

@@ -251,3 +251,39 @@ def test_event_rate_anomalies_flags_are_extreme(spark, sf_dir):
     rows = entrymod.queries()["event_rate_anomalies"](spark, sf_dir).collect()
     for r in rows:
         assert abs(r["z"]) > 2.0 - 1e-6  # only beyond-threshold hours emitted
+
+
+def test_update_merge_converges_across_micro_batches(spark, sf_dir, tmp_path):
+    """Split the events into several RANDOMLY-ordered files and force
+    one-file micro-batches: update-mode re-emits windows as counts
+    grow and the LWW merge's final store must equal the batch
+    aggregate — with a lateness wider than the cross-batch disorder
+    (a 5-minute watermark WOULD drop events from later files, the
+    correct streaming behavior this test first demonstrated)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        update_merge_counts_once,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    split_dir = str(tmp_path / "events_split")
+    e.repartition(3).write.mode("overwrite").parquet(split_dir)
+
+    out = update_merge_counts_once(
+        spark,
+        split_dir,
+        lateness="60 days",  # wider than the random file split's disorder
+        group_cols=["event_type"],
+        max_files_per_trigger=1,
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in out.collect()
+    }
+    exp = {
+        (r["hr"], r["event_type"]): r["n"]
+        for r in e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
