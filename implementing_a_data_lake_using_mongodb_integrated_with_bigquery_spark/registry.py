@@ -7246,3 +7246,41 @@ FROM events GROUP BY 1, 2
 
 QUERIES["stream_update_merge_hourly"] = q_stream_update_merge_hourly
 ORACLES["stream_update_merge_hourly"] = ORACLE_STREAM_UPDATE_MERGE
+
+
+def q_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` file columns (Spark ≥3.4 file sources):
+    per-file lineage/audit without a manifest table — file name,
+    size, and in-file row index ride along the scan for free. The
+    events table is materialized one file per event_type partition,
+    then audited purely from ``_metadata``: rows per type, distinct
+    files (exactly 1 by construction), and the dense row_index bound
+    (n−1). The modern form of the reference's timestamped-S3-object
+    bookkeeping (``src/ingest_weather_data.py:35-45``)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    root = _tempfile.mkdtemp(prefix="meta_audit_")
+    e.repartition(1).write.partitionBy("event_type").mode("overwrite").parquet(root)
+    m = spark.read.parquet(root).select(
+        "event_type",
+        F.col("_metadata.file_name").alias("_fn"),
+        F.col("_metadata.row_index").alias("_ri"),
+    )
+    return m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("_fn").cast("long").alias("n_files"),
+        F.max("_ri").cast("long").alias("max_row_index"),
+    )
+
+
+ORACLE_FILE_METADATA = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(COUNT(*) - 1 AS BIGINT) AS max_row_index
+FROM events GROUP BY event_type
+"""
+
+QUERIES["file_metadata_audit"] = q_file_metadata_audit
+ORACLES["file_metadata_audit"] = ORACLE_FILE_METADATA
