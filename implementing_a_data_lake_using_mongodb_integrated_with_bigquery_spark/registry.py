@@ -7284,3 +7284,41 @@ FROM events GROUP BY event_type
 
 QUERIES["file_metadata_audit"] = q_file_metadata_audit
 ORACLES["file_metadata_audit"] = ORACLE_FILE_METADATA
+
+
+def q_collated_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): case-insensitive grouping via
+    ``COLLATE(expr, 'UTF8_LCASE')`` — the engine-level answer to the
+    reference's defensive ``.lower()`` normalizations
+    (``src/ingest_places_data.py:58-59``). Brands are deterministically
+    mixed-case first (upper on even keys, lower on odd), then grouped
+    under the case-insensitive collation. The EMITTED key is
+    ``MIN(binary)`` — the collated group's own representative string is
+    whichever variant a partition saw first, i.e.
+    partition-order-dependent, so it must never be output directly."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_cc")
+    return spark.sql(
+        """
+        WITH mixed AS (
+          SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+                      ELSE lower(p_brand) END AS brand_mixed
+          FROM part_cc)
+        SELECT MIN(brand_mixed) AS brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM mixed
+        GROUP BY COLLATE(brand_mixed, 'UTF8_LCASE')
+        """
+    )
+
+
+ORACLE_COLLATED_BRANDS = """
+WITH mixed AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+              ELSE lower(p_brand) END AS brand_mixed
+  FROM part)
+SELECT MIN(brand_mixed) AS brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM mixed
+GROUP BY lower(brand_mixed)
+"""
+
+QUERIES["collated_brand_counts"] = q_collated_brand_counts
+ORACLES["collated_brand_counts"] = ORACLE_COLLATED_BRANDS
