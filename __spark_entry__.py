@@ -54,6 +54,27 @@ _DRIVER_VERIFIED = frozenset(
         "value_moments", "value_histogram", "string_functions",
         "orders_pivot", "ann_ivf_learned", "conditional_aggregates",
         "pattern_filters",
+        # round 4 (50 green rows in CORRECTNESS_r04.json)
+        "ann_lsh_topk", "ann_recall_eval", "approx_quantile_check",
+        "array_functions", "arrow_vector_norms", "brand_exclusion_counts",
+        "brands_listagg", "corpus_curation", "corpus_curation_v2",
+        "cube_revenue", "dedup_keep_best", "doc_chunks",
+        "doc_feature_matrix", "forecast_revenue_delta",
+        "gapfill_hourly_series", "grouping_sets_revenue", "hard_negatives",
+        "incremental_dedup", "jaccard_histogram", "large_quantity_orders",
+        "lateral_top_orders", "lineitem_unpivot", "lm_quality_filter",
+        "min_price_per_type", "multimodal_decode",
+        "multimodal_frame_sample", "multimodal_resize",
+        "nation_pair_volume", "normalized_fingerprints",
+        "pandas_api_counts", "promo_revenue_share", "purchase_pagerank",
+        "python_datasource_scan", "rate_limit_audit", "recursive_doc_tree",
+        "returned_revenue_customers", "safe_arithmetic",
+        "semantic_dedup_keep", "sequence_packing", "shard_manifest",
+        "sole_returning_supplier", "stream_attribution_join",
+        "stream_session_windows", "stream_static_enrich",
+        "token_budget_apportionment", "train_split_stats",
+        "udtf_ngram_counts", "variant_props_extract", "xml_roundtrip",
+        "zorder_keys",
         # round 3 (48 green rows in CORRECTNESS_r03.json)
         "approx_distinct_check", "bm25_top_terms", "boilerplate_flags",
         "bpe_token_budget", "bucketed_join_revenue", "cohort_retention",
