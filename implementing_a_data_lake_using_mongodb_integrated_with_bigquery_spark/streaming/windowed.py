@@ -250,10 +250,11 @@ def update_merge_counts_once(
     lateness: str = "5 minutes",
     group_cols: list[str] | None = None,
     max_files_per_trigger: int | None = None,
+    state_partitions: int | None = 16,
 ) -> DataFrame:
     """UPDATE-output-mode windowed aggregation materialized through a
-    ``foreachBatch`` last-write-wins merge — the third output-mode
-    surface beside complete (``windowed_counts_once``) and append
+    ``foreachBatch`` keyed MERGE — the third output-mode surface beside
+    complete (``windowed_counts_once``) and append
     (``session_windows_once``). Update mode re-emits a window each
     micro-batch its count changes; the sink must therefore be a keyed
     MERGE, not an appender. The final store equals the batch
@@ -264,12 +265,24 @@ def update_merge_counts_once(
     than the replay's disorder; the registry query replays one file =
     one batch, where 5 minutes suffices).
 
-    The in-driver dict here stands in for the keyed store; its size is
-    |windows × groups| (the aggregated state, never events). At scale
-    the same ``foreachBatch`` body runs the partition-scoped
-    last-write-wins merge of ``streaming/cdc_merge.py`` (K4) against a
-    keyed table instead.
+    The sink is the K4 machinery end-to-end: each micro-batch's changed
+    windows (|windows × groups| rows, never events) MERGE into a
+    key-hash-bucket-partitioned parquet store via the partition-scoped
+    last-write-wins merge of ``streaming/cdc_merge.py`` — no rows ever
+    land on the driver. The merge key is (window_start, *group_cols),
+    serialized into one string column so the bucket layout and
+    anti-join machinery apply unchanged. The bounded run reads the
+    store back, eagerly localCheckpoints it (so the temp store can be
+    deleted), and returns the result; a production deployment keeps the
+    store as the serving table.
     """
+    import shutil
+    import tempfile
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming import (
+        cdc_merge,
+    )
+
     group_cols = group_cols or []
     stream, ntz_event_time = _open_event_stream(
         spark, events_path, ts_col, max_files_per_trigger
@@ -277,24 +290,52 @@ def update_merge_counts_once(
     out = windowed_counts(
         stream, ts_col, duration, lateness, group_cols, None
     ).select("window_start", "window_end", *group_cols, "n_events")
+    out_cols = out.columns
 
-    state: dict[tuple, tuple] = {}
+    store = tempfile.mkdtemp(prefix="update_merge_store_")
 
     def merge(batch_df: DataFrame, _batch_id: int) -> None:
-        # |changed windows| rows, not events — bounded by the window
-        # count; a production sink MERGEs these into a keyed table
-        for r in batch_df.collect():
-            key = (r["window_start"], *[r[c] for c in group_cols])
-            state[key] = tuple(r)
+        sp = batch_df.sparkSession
+        keyed = batch_df.withColumn(
+            "_merge_key",
+            F.concat_ws(
+                "\x1f",
+                F.col("window_start").cast("string"),
+                *[F.col(c).cast("string") for c in group_cols],
+            ),
+        )
+        if cdc_merge.read_target(sp, store) is None:
+            # one shuffle on the bucket column → one file per bucket
+            # (without it every task writes into every bucket dir:
+            # tasks × N_BUCKETS tiny files)
+            cdc_merge.with_bucket(keyed, "_merge_key").repartition(
+                F.col(cdc_merge.PART_COL)
+            ).write.mode("overwrite").partitionBy(cdc_merge.PART_COL).parquet(store)
+        else:
+            cdc_merge._merge_touched_partitions(sp, store, keyed, "_merge_key")
 
-    q = (
-        out.writeStream.foreachBatch(merge)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    result = spark.createDataFrame(list(state.values()), out.schema)
+    # state-partition sizing, same reasoning as session_windows_once:
+    # per-partition state-store open/commit cost dominates over a small
+    # keyspace; restored after the bounded run
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            out.writeStream.foreachBatch(merge)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    final = cdc_merge.read_target(spark, store)
+    if final is None:
+        result = spark.createDataFrame([], out.schema)
+    else:
+        result = final.select(*out_cols).localCheckpoint(eager=True)
+    shutil.rmtree(store, ignore_errors=True)
     if ntz_event_time:
         result = result.withColumn(
             "window_start", F.col("window_start").cast("timestamp_ntz")
