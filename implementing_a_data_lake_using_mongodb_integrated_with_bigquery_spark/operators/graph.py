@@ -143,6 +143,7 @@ def partitioned_components(
     src_col: str = "src",
     dst_col: str = "dst",
     num_blocks: int = 32,
+    contracted_edge_bound: int = 5_000_000,
 ) -> DataFrame:
     """Connected components via partition-local contraction: same
     output contract as :func:`connected_components` (cluster_id = min
@@ -233,7 +234,7 @@ def partitioned_components(
     n_label_edges = label_edges.count()
     if n_label_edges == 0:
         edge_incident = per_node.select("node", F.col("lmin").alias("cluster_id"))
-    elif n_label_edges <= 5_000_000:
+    elif n_label_edges <= contracted_edge_bound:
         contracted = blocked_components(
             label_edges.select(F.explode(F.array("src", "dst")).alias("lnode"))
             .distinct()
@@ -245,7 +246,7 @@ def partitioned_components(
         edge_incident = per_node.join(contracted, "lmin", "left").select(
             "node", F.coalesce("cluster_id", "lmin").alias("cluster_id")
         )
-    else:  # pragma: no cover - exercised only at cluster scale
+    else:
         label_nodes = local.select(F.col("label").alias("lnode")).distinct()
         contracted = connected_components(
             label_nodes, label_edges, node_col="lnode"
@@ -253,6 +254,12 @@ def partitioned_components(
         edge_incident = per_node.join(contracted, "lmin").select(
             "node", "cluster_id"
         )
+    # materialize ONCE: edge_incident feeds BOTH the union's main
+    # branch and isolated's anti-join — without the checkpoint the
+    # whole label-resolution subplan executes twice and downstream
+    # aggregations re-shuffle the tiny label structures per consumer
+    # (dedup_cluster_stats audit: 8 shuffles -> 2)
+    edge_incident = edge_incident.localCheckpoint(eager=True)
     isolated = (
         nodes.select(F.col(node_col).alias("node"))
         .join(edge_incident.select("node"), "node", "left_anti")

@@ -164,3 +164,33 @@ def test_partitioned_components_cross_block_chain(spark):
     out = partitioned_components(nodes, edges, num_blocks=16).collect()
     assert all(r["cluster_id"] == 0 for r in out)
     assert len(out) == 64
+
+
+def test_partitioned_components_iterative_fallback_past_bound(spark):
+    from pyspark.sql import Row
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
+        connected_components,
+        partitioned_components,
+    )
+
+    # contracted_edge_bound=0 forces every contracted-label edge past
+    # the single-task budget → the iterative-propagation fallback must
+    # run and produce identical labels (the cluster-scale escape hatch
+    # for a pathologically weak contraction)
+    nodes = spark.createDataFrame([Row(id=i) for i in range(40)])
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(29)]  # chain 0..29, 10 isolated
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in partitioned_components(
+            nodes, edges, num_blocks=8, contracted_edge_bound=0
+        ).collect()
+    }
+    want = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == want
+    assert got[0] == 0 and got[29] == 0 and got[39] == 39
