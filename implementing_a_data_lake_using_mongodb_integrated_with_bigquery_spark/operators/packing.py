@@ -93,8 +93,12 @@ def pack_documents(
                 acc += int(cs[-1])
             yield out
 
+    # the _id field keeps the caller's id type (string doc keys pack
+    # just as well as integer ones — hardcoding 'long' here silently
+    # corrupted non-integer ids)
+    id_type = df.schema[id_col].dataType.simpleString()
     local = sorted_df.mapInPandas(
-        local_cumsum, "_id long, _n_tok long, _pid int, _local_excl long"
+        local_cumsum, f"_id {id_type}, _n_tok long, _pid int, _local_excl long"
     )
     # per-partition token totals from the same exchange (JVM-side);
     # the running-offset window is over |partitions| rows, not data

@@ -206,7 +206,12 @@ def temporal_leakage_audit(
     Conditional aggregation instead of a second grouping keeps the
     fact scan single and the plan to two shuffles total.
     """
-    is_train = F.col(ts_col) < F.lit(cutoff).cast("timestamp")
+    # cast the cutoff to the event column's OWN type: an NTZ event
+    # column compared against a 'timestamp' literal would coerce
+    # NTZ->LTZ through the session timezone, shifting the boundary
+    # across DST transitions; matching the type keeps the comparison
+    # naive, exactly like the oracle's
+    is_train = F.col(ts_col) < F.lit(cutoff).cast(df.schema[ts_col].dataType)
     per_ent = df.groupBy(F.col(entity_col).alias("_ent")).agg(
         F.count_if(is_train).cast("long").alias("_n_train"),
         F.count_if(~is_train).cast("long").alias("_n_test"),

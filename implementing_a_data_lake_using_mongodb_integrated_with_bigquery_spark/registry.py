@@ -60,6 +60,28 @@ def _scaled_sum(col: F.Column, scale: int, alias: str) -> F.Column:
     return (F.sum(F.round(col * scale).cast("long")) / float(scale)).alias(alias)
 
 
+# materialized-layout cache for queries that must rewrite a base table
+# into a specific physical layout (partitioned fact for DPP, one file
+# per partition for _metadata audits): keyed by (tag, sf_dir), written
+# ONCE per process and reused — repeated bench/selfcheck invocations
+# must time the QUERY, not a full re-write of the base table, and must
+# not leak a fresh tempdir per call
+_LAYOUT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _materialized_layout(tag: str, sf_dir: str, write) -> str:
+    """Return the cached root for (tag, sf_dir), invoking ``write(root)``
+    exactly once per process to build it."""
+    import tempfile as _tempfile
+
+    key = (tag, sf_dir)
+    if key not in _LAYOUT_CACHE:
+        root = _tempfile.mkdtemp(prefix=f"{tag}_")
+        write(root)
+        _LAYOUT_CACHE[key] = root
+    return _LAYOUT_CACHE[key]
+
+
 # ---------------------------------------------------------------- queries
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6455,20 +6477,20 @@ def q_dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned in tests/test_plans.py; the oracle recomputes from the
     unpartitioned table with the dim predicate inlined."""
     import os as _os
-    import tempfile as _tempfile
 
-    o = load_table(spark, sf_dir, "orders")
-    root = _tempfile.mkdtemp(prefix="dpp_")
+    def _write(root: str) -> None:
+        o = load_table(spark, sf_dir, "orders")
+        o.withColumn("order_month", F.month("o_orderdate")).write.mode(
+            "overwrite"
+        ).partitionBy("order_month").parquet(_os.path.join(root, "fact"))
+        spark.createDataFrame(
+            [(m, 1 if m <= 3 else 0) for m in range(1, 13)],
+            "order_month int, peak_flag int",
+        ).write.mode("overwrite").parquet(_os.path.join(root, "dim"))
+
+    root = _materialized_layout("dpp", sf_dir, _write)
     fact_dir = _os.path.join(root, "fact")
     dim_dir = _os.path.join(root, "dim")
-    o.withColumn("order_month", F.month("o_orderdate")).write.mode(
-        "overwrite"
-    ).partitionBy("order_month").parquet(fact_dir)
-    spark.createDataFrame(
-        [(m, 1 if m <= 3 else 0) for m in range(1, 13)],
-        "order_month int, peak_flag int",
-    ).write.mode("overwrite").parquet(dim_dir)
-
     fact = spark.read.parquet(fact_dir)
     # DPP's benefit check wants a LIKELY-SELECTIVE predicate on the
     # build side (EqualTo/In/Like against a literal) — a bare boolean
@@ -7257,12 +7279,13 @@ def q_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     files (exactly 1 by construction), and the dense row_index bound
     (n−1). The modern form of the reference's timestamped-S3-object
     bookkeeping (``src/ingest_weather_data.py:35-45``)."""
-    import os as _os
-    import tempfile as _tempfile
+    def _write(root: str) -> None:
+        e = load_table(spark, sf_dir, "events")
+        e.repartition(1).write.partitionBy("event_type").mode(
+            "overwrite"
+        ).parquet(root)
 
-    e = load_table(spark, sf_dir, "events")
-    root = _tempfile.mkdtemp(prefix="meta_audit_")
-    e.repartition(1).write.partitionBy("event_type").mode("overwrite").parquet(root)
+    root = _materialized_layout("meta_audit", sf_dir, _write)
     m = spark.read.parquet(root).select(
         "event_type",
         F.col("_metadata.file_name").alias("_fn"),

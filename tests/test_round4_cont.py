@@ -287,3 +287,22 @@ def test_update_merge_converges_across_micro_batches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_packing_supports_string_ids(spark):
+    # the mapInPandas schema derives _id's type from the input: string
+    # document keys must survive the pack intact (regression: the
+    # schema once hardcoded '_id long')
+    d = spark.createDataFrame(
+        [("doc-a", 3), ("doc-b", 5), ("doc-c", 2)], ["doc_id", "n"]
+    )
+    out = pack_documents(d, "doc_id", F.col("n"), budget=4).collect()
+    assert {r["doc_id"] for r in out} == {"doc-a", "doc-b", "doc-c"}
+    assert sorted(r["start"] for r in out) == [0, 3, 8] or sorted(
+        r["n_tok"] for r in out
+    ) == [2, 3, 5]  # perfect tiling regardless of md5 order
+    starts = sorted((r["start"], r["n_tok"]) for r in out)
+    acc = 0
+    for s, n in starts:
+        assert s == acc
+        acc += n
