@@ -470,3 +470,78 @@ def hard_negatives(
         [F.col("similarity").desc(), F.col("neg_id").asc()],
         k,
     )
+
+
+def semantic_decontamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+    eval_vec_col: str = "eval_emb",
+) -> DataFrame:
+    """Embedding-space train/test decontamination: flag every corpus
+    vector whose cosine similarity to some eval-benchmark vector
+    reaches ``threshold``, and report its BEST eval match — the
+    semantic complement of n-gram decontamination (paraphrased
+    benchmark items share no 8-gram but sit next to the original in
+    embedding space).
+
+    Scale shape: the corpus is sign-LSH-coded in the same map-only
+    scan that reads it; the (small) eval set multi-probes its own +
+    every Hamming-1 bucket and BROADCASTS, so candidates come from a
+    code equi-join — |corpus|·(n_planes+1)/2^n_planes pairs scored,
+    never |corpus|·|eval|. Exact cosine verifies candidates; the
+    per-corpus-vector argmax is a bounded-group ranking window keyed
+    by the corpus id. With the corpus stored partitioned by code the
+    probe side prunes partitions, same as ``lsh_topk``.
+
+    Approximate by design (a contaminated pair whose buckets differ in
+    ≥2 bits is missed — the documented multi-probe recall tradeoff);
+    the DuckDB oracle replays the identical integer-exact probe, so
+    approximate ≠ nondeterministic.
+
+    Determinism: integer hyperplane codes, 6dp-rounded cosine,
+    (similarity desc, eval id asc) total-order tiebreak.
+    """
+    planes = hyperplanes(n_planes, dim)
+    probe = corpus.select(F.size(vec_col).alias("n")).first()
+    if probe is not None and probe["n"] != dim:
+        raise ValueError(
+            f"semantic_decontamination: dim={dim} but {vec_col!r} has "
+            f"length {probe['n']}"
+        )
+    coded = parallelize(corpus).withColumn(
+        "_lsh_code", hyperplane_code(F.col(vec_col), planes)
+    )
+    e_coded = eval_set.withColumn(
+        "_lsh_code0", hyperplane_code(F.col(eval_vec_col), planes)
+    )
+    masks = [0] + [1 << r for r in range(n_planes)]
+    probes = e_coded.select(
+        F.col(eval_id_col),
+        F.col(eval_vec_col),
+        F.explode(
+            F.array(*[F.col("_lsh_code0").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("_lsh_code"),
+    )
+    scored = (
+        coded.join(F.broadcast(probes), on="_lsh_code")
+        .select(
+            F.col(id_col),
+            F.col(eval_id_col),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(eval_vec_col)), 6
+            ).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= threshold)
+    )
+    return top_k_per_group(
+        scored,
+        [id_col],
+        [F.col("similarity").desc(), F.col(eval_id_col).asc()],
+        1,
+    ).drop("rank")

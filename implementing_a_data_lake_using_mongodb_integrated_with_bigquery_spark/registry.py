@@ -7345,3 +7345,150 @@ GROUP BY lower(brand_mixed)
 
 QUERIES["collated_brand_counts"] = q_collated_brand_counts
 ORACLES["collated_brand_counts"] = ORACLE_COLLATED_BRANDS
+
+
+# ----------------- round 5: restart replay + semantic decontamination
+
+
+def q_stream_restart_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode hourly counts across a checkpoint RESTART with a
+    genuinely advancing watermark (streaming.windowed.
+    restart_append_counts): even-user events arrive first and advance
+    the watermark to W1 = floor_ms(max even-ts) − 30 min; odd-user
+    events land in a second file, the query restarts from the
+    checkpoint, rows in windows already closed by W1 are dropped as
+    late, survivors merge into the restored state, and the final
+    watermark W2 emits every window it passes. The oracle replays the
+    full two-phase emission rule in SQL — the multi-batch semantics
+    the single-batch streaming queries deliberately assert away."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        restart_append_counts,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out, _stats = restart_append_counts(
+        spark,
+        phase1=e.filter(F.col("user_id") % 2 == 0),
+        phase2=e.filter(F.col("user_id") % 2 != 0),
+        duration="1 hour",
+        lateness="30 minutes",
+        group_cols=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            _scaled_sum(F.col("value"), 10000, "sum_value"),
+        ],
+    )
+    return out.select(
+        epoch_us("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+# Two-phase emission rule, ms-truncated watermarks (session-oracle
+# convention): phase-2 rows whose window END ≤ W1 are late-dropped;
+# the union of both runs' emissions is every window with end ≤ W2
+# computed over the surviving rows.
+ORACLE_STREAM_RESTART = """
+WITH w1 AS (
+  SELECT (epoch_us(max(ts)) // 1000) * 1000 - 1800000000 AS v
+  FROM events WHERE user_id % 2 = 0),
+w2 AS (
+  SELECT (epoch_us(max(ts)) // 1000) * 1000 - 1800000000 AS v FROM events),
+kept AS (
+  SELECT e.* FROM events e, w1
+  WHERE user_id % 2 = 0
+     OR epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) > w1.v
+)
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0
+         AS sum_value
+FROM kept, w2
+GROUP BY 1, 2, w2.v
+HAVING epoch_us(date_trunc('hour', min(ts)) + INTERVAL 1 HOUR) <= w2.v
+"""
+
+QUERIES["stream_restart_hourly"] = q_stream_restart_hourly
+ORACLES["stream_restart_hourly"] = ORACLE_STREAM_RESTART
+
+
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space train/test decontamination
+    (operators.similarity.semantic_decontamination): every 20th vector
+    plays the held-out eval benchmark; corpus vectors within cosine
+    0.3 of any eval vector — found through the integer-exact sign-LSH
+    multi-probe blocks, never an all-pairs join — are flagged with
+    their best eval match. The semantic complement of the n-gram
+    ``decontamination_flags`` query (paraphrases share no 8-gram but
+    sit next to the benchmark item in embedding space)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eval_set = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eval_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    out = semantic_decontamination(corpus, eval_set, threshold=0.3)
+    return out.select("vec_id", "eval_id", "similarity")
+
+
+def _oracle_semantic_decontamination() -> str:
+    """DuckDB twin: identical integer hyperplanes (inlined literals
+    from the same Python builder — the engine-exact LSH convention),
+    floor(x*1e6) scaling, same multi-probe mask set, same 6dp cosine
+    threshold + (similarity desc, eval_id asc) argmax."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    planes = hyperplanes(4, 64)
+    plane_rows = ",\n    ".join(
+        "({}, [{}])".format(r, ", ".join(str(c) for c in h))
+        for r, h in enumerate(planes)
+    )
+    return f"""
+WITH ei AS (
+  SELECT vec_id, embedding,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS e
+  FROM embeddings
+),
+h(r, hv) AS (VALUES
+    {plane_rows}
+),
+codes AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(ei.e, h.hv) > 0
+                       THEN (1 << h.r) ELSE 0 END) AS BIGINT) AS code
+  FROM ei CROSS JOIN h GROUP BY vec_id
+),
+coded AS (
+  SELECT c.vec_id, e.embedding, c.code
+  FROM codes c JOIN embeddings e USING (vec_id)
+),
+probes AS (
+  SELECT q.vec_id AS eval_id, q.embedding AS eval_emb, xor(q.code, t.m) AS code
+  FROM coded q CROSS JOIN (VALUES (0), (1), (2), (4), (8)) AS t(m)
+  WHERE q.vec_id % 20 = 0
+),
+cand AS (
+  SELECT c.vec_id, p.eval_id,
+         round(list_cosine_similarity(c.embedding::DOUBLE[], p.eval_emb::DOUBLE[]), 6)
+           AS similarity
+  FROM coded c JOIN probes p USING (code)
+  WHERE c.vec_id % 20 != 0
+)
+SELECT vec_id, eval_id, similarity FROM (
+  SELECT vec_id, eval_id, similarity,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY similarity DESC, eval_id ASC) AS rn
+  FROM cand WHERE similarity >= 0.3
+) WHERE rn = 1
+"""
+
+
+QUERIES["semantic_decontamination"] = q_semantic_decontamination
+ORACLES["semantic_decontamination"] = _oracle_semantic_decontamination()

@@ -242,6 +242,124 @@ def session_windows_once(
     return result
 
 
+def restart_append_counts(
+    spark: SparkSession,
+    phase1: DataFrame,
+    phase2: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    lateness: str = "30 minutes",
+    group_cols: list[str] | None = None,
+    aggs: list[Column] | None = None,
+    state_partitions: int | None = 16,
+) -> tuple[DataFrame, dict]:
+    """APPEND-mode windowed aggregation across a REAL advancing
+    watermark: two ``availableNow`` runs over ONE checkpoint.
+
+    Run 1 processes ``phase1``'s file and stops — the checkpoint now
+    holds the file-source offsets, the unemitted open-window state,
+    and watermark W1 = floor_ms(max event time of phase1) − lateness.
+    ``phase2``'s file then lands in the source directory and the query
+    RESTARTS from the checkpoint: phase-2 rows whose window end ≤ W1
+    are dropped as late (``numRowsDroppedByWatermark``), survivors
+    merge into the restored state, and the final watermark W2 emits
+    every window with end ≤ W2. The returned result is the union of
+    both runs' emissions — exactly what a downstream consumer of the
+    append stream would have seen across the restart.
+
+    This is the semantics ``session_windows_once``'s single-batch
+    assert deliberately excludes: here the watermark genuinely
+    advances between arrivals, the state store survives a stop/start,
+    and the oracle must model the per-phase emission rule
+    (phase-2 late drop against W1, final cut against W2 — both
+    ms-truncated, the session-oracle convention).
+
+    Returns (result, stats) where stats carries the per-run progress
+    facts the caller should assert (data-batch counts, late-drop
+    count) — kept out of the operator so data-dependent expectations
+    live with the data that justifies them.
+    """
+    import os as _os
+    import shutil
+    import tempfile
+
+    group_cols = group_cols or []
+    root = tempfile.mkdtemp(prefix="restart_stream_")
+    input_dir = _os.path.join(root, "input")
+    ckpt = _os.path.join(root, "ckpt")
+    out_dir = _os.path.join(root, "out")
+    stage2 = _os.path.join(root, "p2stage")
+    phase1.coalesce(1).write.parquet(input_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+
+    ntz_event_time = False
+
+    def run_phase() -> list:
+        # the memory sink cannot recover from a checkpoint — the
+        # restart needs a fault-tolerant sink, and the parquet file
+        # sink (with its own transactional _spark_metadata log) is
+        # exactly what a production append stream lands in
+        nonlocal ntz_event_time
+        stream, ntz_event_time = _open_event_stream(spark, input_dir, ts_col)
+        out = windowed_counts(
+            stream, ts_col, duration, lateness, group_cols, aggs
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return list(q.recentProgress)
+
+    try:
+        prog1 = run_phase()
+        # phase 2 lands as a NEW file in the same source directory
+        phase2.coalesce(1).write.parquet(stage2)
+        for f in _os.listdir(stage2):
+            if f.endswith(".parquet"):
+                _os.link(
+                    _os.path.join(stage2, f), _os.path.join(input_dir, f"p2-{f}")
+                )
+        prog2 = run_phase()
+        # both runs' emissions accumulate in the file sink's log
+        result = spark.read.parquet(out_dir)
+        if ntz_event_time:
+            result = result.withColumn(
+                "window_start", F.col("window_start").cast("timestamp_ntz")
+            ).withColumn("window_end", F.col("window_end").cast("timestamp_ntz"))
+        result = result.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
+
+    def facts(progress: list) -> dict:
+        data = [p for p in progress if p["numInputRows"] > 0]
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in progress
+            for op in p.get("stateOperators", [])
+        )
+        return {"data_batches": len(data), "rows_dropped": dropped}
+
+    stats = {"phase1": facts(prog1), "phase2": facts(prog2)}
+    for tag in ("phase1", "phase2"):
+        if stats[tag]["data_batches"] != 1:
+            raise RuntimeError(
+                f"restart_append_counts {tag} replayed "
+                f"{stats[tag]['data_batches']} data micro-batches; the "
+                "two-phase oracle models exactly one per run (one file "
+                "per phase by construction)."
+            )
+    return result, stats
+
+
 def update_merge_counts_once(
     spark: SparkSession,
     events_path: str,

@@ -1,0 +1,71 @@
+"""Checkpoint-restart streaming replay: advancing-watermark semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.tables import (
+    load_table,
+)
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+    restart_append_counts,
+)
+
+
+def test_restart_replay_drops_late_rows_and_matches_emission_rule(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    out, stats = restart_append_counts(
+        spark,
+        phase1=e.filter(F.col("user_id") % 2 == 0),
+        phase2=e.filter(F.col("user_id") % 2 != 0),
+        duration="1 hour",
+        lateness="30 minutes",
+        group_cols=["event_type"],
+    )
+    # the restart is only a meaningful test if the watermark genuinely
+    # advanced between phases: phase 2 must have late-dropped rows
+    # (odd-user events in hours already closed by W1)
+    assert stats["phase1"]["data_batches"] == 1
+    assert stats["phase2"]["data_batches"] == 1
+    assert stats["phase1"]["rows_dropped"] == 0
+    assert stats["phase2"]["rows_dropped"] > 0
+
+    rows = {(r["window_start"], r["event_type"]): r["n_events"] for r in out.collect()}
+    # replay the emission rule in batch: W1/W2 ms-truncated
+    mx1 = e.filter(F.col("user_id") % 2 == 0).agg(F.max("ts")).first()[0]
+    mx2 = e.agg(F.max("ts")).first()[0]
+
+    def floor_ms_minus_30m(ts):
+        import datetime
+
+        us = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        return (us // 1000) * 1000 - 30 * 60 * 1_000_000
+
+    w1, w2 = floor_ms_minus_30m(mx1), floor_ms_minus_30m(mx2)
+    import collections
+    import datetime
+
+    exp = collections.Counter()
+    for r in e.select("ts", "user_id", "event_type").collect():
+        us = int(
+            r["ts"].replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+        )
+        hour_start = (us // 3_600_000_000) * 3_600_000_000
+        hour_end = hour_start + 3_600_000_000
+        if r["user_id"] % 2 != 0 and hour_end <= w1:
+            continue  # late-dropped in phase 2
+        if hour_end <= w2:
+            exp[
+                (
+                    datetime.datetime.fromtimestamp(
+                        hour_start / 1_000_000, tz=datetime.timezone.utc
+                    ).replace(tzinfo=None),
+                    r["event_type"],
+                )
+            ] += 1
+    assert rows == dict(exp)
+    # dropped-row accounting closes the books: emitted + withheld
+    # (open windows) + dropped == total
+    n_emitted = sum(rows.values())
+    n_total = e.count()
+    assert n_emitted + stats["phase2"]["rows_dropped"] <= n_total

@@ -435,3 +435,35 @@ def test_incremental_dedup_ignores_within_batch_pairs(spark):
     # both incoming docs duplicate EACH OTHER but nothing in the
     # corpus: incremental scope marks both novel
     assert out == {10: True, 11: True}
+
+
+def test_semantic_decontamination_flags_planted_near_dup(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    dim = 64
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    # corpus vec 10 is a tiny perturbation of eval vec 100 (identical
+    # LSH bucket, cosine ~1); vec 11 is an unrelated random vector
+    other = [rng.uniform(-1, 1) for _ in range(dim)]
+    corpus = spark.createDataFrame(
+        [(10, [x * 1.0001 for x in base]), (11, other)],
+        ["vec_id", "embedding"],
+    )
+    eval_set = spark.createDataFrame(
+        [(100, base)], ["eval_id", "eval_emb"]
+    )
+    out = semantic_decontamination(corpus, eval_set, threshold=0.9, dim=dim)
+    rows = {r["vec_id"]: (r["eval_id"], r["similarity"]) for r in out.collect()}
+    assert 10 in rows and rows[10][0] == 100 and rows[10][1] > 0.99
+    assert 11 not in rows  # random vector: either missed or below 0.9
+
+    # dim mismatch fails fast, same contract as lsh_topk
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim"):
+        semantic_decontamination(corpus, eval_set, threshold=0.9, dim=32)
