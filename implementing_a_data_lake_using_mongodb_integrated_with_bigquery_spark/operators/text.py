@@ -412,3 +412,49 @@ def source_lang_entropy(
         .groupBy(group_col, "n_langs", "n_docs")
         .agg(F.sum(term).cast("long").alias("entropy_micro_nats"))
     )
+
+
+def bpe_merge_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """First iteration of BPE tokenizer training: corpus-weighted
+    adjacent character-pair frequencies — the statistic the merge
+    rule argmaxes over (Sennrich et al. 2016). Words are lowercased
+    whitespace pre-tokens (alphabetic, length ≥2); each word
+    contributes its corpus frequency to every adjacent char pair.
+
+    Scale shape: the corpus collapses to the DISTINCT-word table
+    before any pair is generated — one word-count hash aggregate over
+    the token explode, then the pair explode runs over |vocab| rows,
+    not |corpus| (the decisive reduction: a 100 TB corpus has a
+    ~10⁷-row vocabulary). Pair counts are exact BIGINTs; top-k breaks
+    ties (count desc, pair asc) for a total order. All JVM-side:
+    split/sequence/transform/substring inside whole-stage codegen.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .select(F.lower("w").alias("word"))
+        .filter(F.col("word").rlike("^[a-z]{2,}$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+    )
+    pairs = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+            "wf",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wf").cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )

@@ -7492,3 +7492,242 @@ SELECT vec_id, eval_id, similarity FROM (
 
 QUERIES["semantic_decontamination"] = q_semantic_decontamination
 ORACLES["semantic_decontamination"] = _oracle_semantic_decontamination()
+
+
+def q_product_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp table in the lake, so supply cost
+    is proxied as 1% of p_retailprice per unit): profit by supplier
+    nation × order year for parts whose name carries a marker word.
+    The optimizer exercise is the 5-table star with a LIKE filter on
+    the smallest dim: part (filtered, broadcast) prunes lineitem
+    first, supplier→nation (broadcast) labels the survivors, orders
+    (key join) supplies the year. Profit aggregates as exact cents."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%e%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long") - F.round(
+        F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("long")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            (F.sum(profit_cents) / 100.0).alias("profit"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_Q9_SHAPE = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                - CAST(round(p.p_retailprice * l.l_quantity) AS BIGINT)) AS BIGINT)
+         / 100.0 AS profit,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%a%e%'
+GROUP BY 1, 2
+"""
+
+QUERIES["product_profit_rollup"] = q_product_profit_rollup
+ORACLES["product_profit_rollup"] = ORACLE_Q9_SHAPE
+
+
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier quarterly revenue, then the
+    supplier(s) achieving the MAX — the view-plus-self-aggregate
+    pattern. Revenue is an exact BIGINT cents sum on BOTH the ranking
+    and the max side, so the equality join cannot flake on float
+    summation order (the CLAUDE.md float-threshold rule applied to
+    Q15's revenue = max(revenue) equijoin). The 1-row max broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+        ).alias("_rev_cents")
+    )
+    mx = rev.agg(F.max("_rev_cents").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("_rev_cents") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            (F.col("_rev_cents") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_Q15_SHAPE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1995-04-01'
+  GROUP BY 1)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       rev_cents / 100.0 AS total_revenue
+FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
+"""
+
+QUERIES["top_revenue_suppliers"] = q_top_revenue_suppliers
+ORACLES["top_revenue_suppliers"] = ORACLE_Q15_SHAPE
+
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training prep (operators.text.bpe_merge_pair_counts):
+    the corpus-weighted adjacent character-pair counts BPE's first
+    merge argmaxes over. The corpus collapses to the distinct-word
+    vocabulary before pair generation, so the pair explode is
+    |vocab|-sized, not |corpus|-sized."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        bpe_merge_pair_counts,
+    )
+
+    return bpe_merge_pair_counts(
+        load_table(spark, sf_dir, "documents"), top_k=20
+    )
+
+
+ORACLE_BPE_PAIRS = """
+WITH words AS (
+  SELECT lower(w) AS word, CAST(COUNT(*) AS BIGINT) AS wf
+  FROM documents, unnest(string_split_regex(text, '\\s+')) AS t(w)
+  WHERE regexp_matches(lower(w), '^[a-z]{2,}$')
+  GROUP BY 1),
+pairs AS (
+  SELECT p AS pair, CAST(SUM(wf) AS BIGINT) AS n
+  FROM words, unnest([substr(word, i, 2) FOR i IN range(1, length(word))]) AS t(p)
+  GROUP BY 1)
+SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rank
+FROM pairs QUALIFY rank <= 20
+"""
+
+QUERIES["bpe_merge_pairs"] = q_bpe_merge_pairs
+ORACLES["bpe_merge_pairs"] = ORACLE_BPE_PAIRS
+
+
+def q_user_modal_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE aggregate (Spark 4 ``F.mode(col, True)``):
+    each user's most frequent event type, ties broken toward the
+    lexicographically smallest value. DuckDB's ``mode()`` tiebreak is
+    first-encountered (partition-order-dependent), so the oracle
+    replays the deterministic rule as an argmax over exact counts —
+    the engine-portable formulation of the same aggregate. Single
+    hash aggregate on the user key; a map-side partial fold carries
+    at most |event types| counters per user."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("user_id") < 200)
+        .groupBy("user_id")
+        .agg(
+            F.mode("event_type", True).alias("modal_event"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+ORACLE_USER_MODAL_EVENT = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id < 200 GROUP BY 1, 2),
+r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rn,
+         CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+  FROM c)
+SELECT user_id, event_type AS modal_event, n_events FROM r WHERE rn = 1
+"""
+
+QUERIES["user_modal_event"] = q_user_modal_event
+ORACLES["user_modal_event"] = ORACLE_USER_MODAL_EVENT
+
+
+def q_bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join (Catalyst's InjectRuntimeFilter):
+    when the dim side of a SHUFFLE join carries a selective literal
+    filter, the optimizer builds a bloom filter over the dim's join
+    keys and pushes a ``might_contain`` predicate into the FACT
+    side's scan — rows that cannot match are dropped BEFORE the
+    shuffle, the runtime complement of static predicate pushdown and
+    the shuffle-join analogue of DPP (which needs a partitioned
+    fact). The join is hinted MERGE to model the
+    fact-too-big-to-broadcast regime the filter exists for; the
+    10 GB application-side threshold is lowered for the bounded run
+    (a 100 TB fact clears it on its own), scoped by materializing
+    eagerly under the conf. Plan pinned in tests/test_plans.py."""
+    # two confs scoped to the eager materialization: the 10 GB
+    # application-side floor (a real 100 TB fact clears it on its own)
+    # and the broadcast threshold — InjectRuntimeFilter's
+    # isProbablyShuffleJoin refuses when the dim is broadcast-able by
+    # size, which every dim is at toy SF
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1995-03-01"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01"))
+        )
+        out = (
+            l.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_lines"),
+                _scaled_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    100,
+                    "revenue",
+                ),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+ORACLE_BLOOM_JOIN = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) / 100.0 AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+  AND o.o_orderdate >= TIMESTAMP '1995-03-01'
+  AND o.o_orderdate < TIMESTAMP '1995-04-01'
+GROUP BY 1
+"""
+
+QUERIES["bloom_filtered_join"] = q_bloom_filtered_join
+ORACLES["bloom_filtered_join"] = ORACLE_BLOOM_JOIN

@@ -177,3 +177,32 @@ def test_join_hints_override_strategy_choice(spark, sf_dir):
     # and the broadcast hint must override a statistics miss
     bcast = li.join(o.hint("broadcast"), li["l_orderkey"] == o["o_orderkey"])
     assert uses_broadcast_join(bcast)
+
+
+def test_runtime_bloom_filter_reduces_fact_before_shuffle(spark, sf_dir):
+    # the registry query materializes eagerly (conf scoping), so pin
+    # the plan on an identically-shaped un-checkpointed join: with the
+    # application-side threshold cleared, InjectRuntimeFilter must
+    # push a bloom-filter might_contain predicate into the fact side
+    # of the MERGE-hinted join
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        # isProbablyShuffleJoin refuses when the dim is broadcast-able
+        # by size — at toy SF every dim is, so force the shuffle regime
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = l.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = physical_plan(df)
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
