@@ -7731,3 +7731,71 @@ GROUP BY 1
 
 QUERIES["bloom_filtered_join"] = q_bloom_filtered_join
 ORACLES["bloom_filtered_join"] = ORACLE_BLOOM_JOIN
+
+
+def q_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join executed as a real streaming job
+    (streaming.joins.attribution_outer_join_once): clicks with no
+    purchase inside the 30-minute horizon emit null-padded ONLY once
+    the global watermark proves no match can still arrive — the
+    watermark-gated null-emission semantics inner joins don't have.
+    Aggregated per user into matched/unmatched click counts; the
+    oracle replays the emission rule (batch LEFT interval join +
+    min-of-both-sides ms-truncated watermark cut on eviction time)."""
+    import os as _os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.joins import (
+        attribution_outer_join_once,
+    )
+
+    out = attribution_outer_join_once(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    return (
+        out.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_if(F.col("right_id").isNull())
+            .cast("long")
+            .alias("n_unmatched"),
+            _scaled_sum(F.coalesce(F.col("right_value"), F.lit(0.0)), 10000,
+                        "attributed_value"),
+        )
+        .withColumnRenamed("k", "user_id")
+    )
+
+
+ORACLE_STREAM_OUTER_ATTRIBUTION = """
+WITH l AS (
+  SELECT user_id, event_id AS left_id, ts AS left_ts
+  FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT user_id, event_id AS right_id, ts AS right_ts, value AS right_value
+  FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT least(
+    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+      WHERE event_type = 'click'),
+    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+      WHERE event_type = 'purchase')) - 7200000000 AS v),
+j AS (
+  SELECT l.user_id, l.left_id, l.left_ts,
+         r.right_id, r.right_value
+  FROM l LEFT JOIN r
+    ON l.user_id = r.user_id
+   AND r.right_ts >= l.left_ts
+   AND r.right_ts <= l.left_ts + INTERVAL 30 MINUTE),
+emitted AS (
+  SELECT * FROM j, wm
+  WHERE right_id IS NOT NULL
+     OR epoch_us(left_ts + INTERVAL 30 MINUTE) < wm.v)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(count_if(right_id IS NULL) AS BIGINT) AS n_unmatched,
+       CAST(SUM(CAST(round(coalesce(right_value, 0.0) * 10000) AS BIGINT))
+            AS BIGINT) / 10000.0 AS attributed_value
+FROM emitted GROUP BY 1
+"""
+
+QUERIES["stream_outer_attribution"] = q_stream_outer_attribution
+ORACLES["stream_outer_attribution"] = ORACLE_STREAM_OUTER_ATTRIBUTION

@@ -166,3 +166,79 @@ def stream_static_enrich_once(
         "n_events",
         (F.col("_sv") / 10000.0).alias("sum_value"),
     )
+
+
+def attribution_outer_join_once(
+    spark: SparkSession,
+    events_path: str,
+    key_col: str = "user_id",
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "30 minutes",
+    lateness: str = "2 hours",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """LEFT OUTER stream-stream join on a bounded replay — the
+    semantics inner joins don't have: an unmatched left row emits its
+    null-padded result only when the global watermark proves no
+    matching right event can still arrive (watermark > left_ts +
+    horizon, the row's state-eviction point). Until then the row sits
+    in the state store as a pending candidate; on an unbounded stream
+    this is the click-with-no-purchase feed, emitted with exactly one
+    row per click, attribution horizon honored.
+
+    Bounded-replay emission rule (what the DuckDB oracle models):
+    every co-resident match emits eagerly, plus the null-padded left
+    rows whose eviction point lies strictly below the FINAL global
+    watermark — min of the two sides' (ms-truncated max event time −
+    lateness), Spark's multiple-watermark min policy. Trailing
+    unmatched clicks inside the horizon of the stream's end are
+    withheld: correct streaming behavior, asserted by the oracle cut.
+    """
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    left = (
+        _event_stream(spark, events_path)
+        .filter(F.col("event_type") == left_type)
+        .select(
+            F.col(key_col).alias("k"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", lateness)
+    )
+    right = (
+        _event_stream(spark, events_path)
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col(key_col).alias("k2"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("right_ts"),
+            F.col("value").alias("right_value"),
+        )
+        .withWatermark("right_ts", lateness)
+    )
+    joined = left.join(
+        right,
+        (F.col("k") == F.col("k2"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    )
+    sink = f"attribution_outer_join_once_{next(_SINK_SEQ)}"
+    try:
+        q = (
+            joined.select(
+                "k", "left_id", "right_id", "left_ts", "right_ts", "right_value"
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink)

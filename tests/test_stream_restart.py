@@ -69,3 +69,41 @@ def test_restart_replay_drops_late_rows_and_matches_emission_rule(spark, sf_dir)
     n_emitted = sum(rows.values())
     n_total = e.count()
     assert n_emitted + stats["phase2"]["rows_dropped"] <= n_total
+
+
+def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
+    """The 100 TB streaming-state backend: RocksDB state store
+    (rocksdbjni ships with Spark) must produce byte-identical windowed
+    aggregates to the default HDFS-backed store. At scale RocksDB is
+    the difference between state bounded by executor heap and state
+    bounded by local disk; here we pin provider-swap correctness."""
+    import os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        windowed_counts_once,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    baseline = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in windowed_counts_once(
+            spark, path, group_cols=["event_type"]
+        ).collect()
+    }
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        rocks = {
+            (r["window_start"], r["event_type"]): r["n_events"]
+            for r in windowed_counts_once(
+                spark, path, group_cols=["event_type"]
+            ).collect()
+        }
+    finally:
+        spark.conf.set(key, prev)
+    assert rocks == baseline and len(rocks) > 0
