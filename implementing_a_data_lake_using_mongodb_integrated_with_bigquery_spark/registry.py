@@ -7799,3 +7799,53 @@ FROM emitted GROUP BY 1
 
 QUERIES["stream_outer_attribution"] = q_stream_outer_attribution
 ORACLES["stream_outer_attribution"] = ORACLE_STREAM_OUTER_ATTRIBUTION
+
+
+def q_stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful operators in one streaming query
+    (streaming.joins.chained_join_window_once): stream-stream
+    attribution join → hourly tumbling rollup, two state stores, one
+    checkpoint. The oracle models the propagated watermark: the join
+    can emit event times up to the 30-min horizon older than the
+    global watermark, so the window cut is end ≤ W − horizon (pinned
+    against dense synthetic data; see the operator docstring)."""
+    import os as _os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.joins import (
+        chained_join_window_once,
+    )
+
+    out = chained_join_window_once(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    return out.select(
+        epoch_us("window_start").alias("window_start_us"),
+        "n_attributed",
+        "attributed_value",
+    )
+
+
+ORACLE_STREAM_JOIN_THEN_WINDOW = """
+WITH wm AS (
+  SELECT least(
+    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+      WHERE event_type = 'click'),
+    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+      WHERE event_type = 'purchase')) - 7200000000 - 1800000000 AS v),
+j AS (
+  SELECT p.ts AS right_ts, p.value AS right_value
+  FROM events c JOIN events p
+    ON c.user_id = p.user_id
+   AND c.event_type = 'click' AND p.event_type = 'purchase'
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+SELECT epoch_us(date_trunc('hour', right_ts)) AS window_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n_attributed,
+       CAST(SUM(CAST(round(right_value * 10000) AS BIGINT)) AS BIGINT)
+         / 10000.0 AS attributed_value
+FROM j, wm
+GROUP BY 1, wm.v
+HAVING epoch_us(date_trunc('hour', min(right_ts)) + INTERVAL 1 HOUR) <= wm.v
+"""
+
+QUERIES["stream_join_then_window"] = q_stream_join_then_window
+ORACLES["stream_join_then_window"] = ORACLE_STREAM_JOIN_THEN_WINDOW

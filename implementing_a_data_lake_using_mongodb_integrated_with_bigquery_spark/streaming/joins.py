@@ -242,3 +242,81 @@ def attribution_outer_join_once(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink)
+
+
+def chained_join_window_once(
+    spark: SparkSession,
+    events_path: str,
+    key_col: str = "user_id",
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "30 minutes",
+    lateness: str = "2 hours",
+    duration: str = "1 hour",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """MULTIPLE STATEFUL OPERATORS in one streaming query (Spark ≥3.5
+    watermark propagation, SPARK-42376): a stream-stream interval join
+    feeding a tumbling-window aggregation — attribution followed by
+    hourly attributed-volume rollup, one query, two state stores.
+
+    The semantics the oracle must model: the join's output can carry
+    event times up to ``horizon`` OLDER than the global watermark (a
+    purchase emitted when its click finally arrives), so Spark
+    propagates watermark − horizon to the downstream aggregation. On
+    a bounded replay the emitted set is every window with end ≤
+    W − horizon, W = min over both sides of (ms-truncated max event
+    time − lateness) — pinned empirically with 15-minute windows
+    against a dense synthetic stream (the hour-coarse real replay
+    cannot discriminate W from W − horizon)."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    left = (
+        _event_stream(spark, events_path)
+        .filter(F.col("event_type") == left_type)
+        .select(
+            F.col(key_col).alias("k"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", lateness)
+    )
+    right = (
+        _event_stream(spark, events_path)
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col(key_col).alias("k2"),
+            F.col("ts").alias("right_ts"),
+            F.col("value").alias("right_value"),
+        )
+        .withWatermark("right_ts", lateness)
+    )
+    joined = left.join(
+        right,
+        (F.col("k") == F.col("k2"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    )
+    aggd = joined.groupBy(F.window("right_ts", duration).alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_attributed"),
+        F.sum(F.round(F.col("right_value") * 10000).cast("long")).alias("_sv"),
+    )
+    sink = f"chained_join_window_once_{next(_SINK_SEQ)}"
+    try:
+        q = (
+            aggd.select(
+                F.col("w.start").alias("window_start"),
+                "n_attributed",
+                (F.col("_sv") / 10000.0).alias("attributed_value"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink)

@@ -107,3 +107,38 @@ def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
     finally:
         spark.conf.set(key, prev)
     assert rocks == baseline and len(rocks) > 0
+
+
+def test_chained_stateful_propagates_watermark_minus_horizon(spark, tmp_path):
+    """The SPARK-42376 rule the stream_join_then_window oracle encodes:
+    after a time-interval join, the downstream window aggregation's
+    effective watermark is W − horizon, NOT W. 15-minute windows over
+    a dense synthetic stream discriminate the two cuts (hour-coarse
+    real data cannot)."""
+    import datetime
+    import os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.joins import (
+        chained_join_window_once,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for m in range(0, 24 * 60, 10):
+        t = base + datetime.timedelta(minutes=m)
+        rows.append((eid, t, 1, "click", 1.0))
+        eid += 1
+        rows.append((eid, t + datetime.timedelta(minutes=5), 1, "purchase", 2.0))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    p = os.path.join(str(tmp_path), "ev")
+    df.coalesce(1).write.parquet(p)
+    out = chained_join_window_once(spark, p, duration="15 minutes")
+    last = max(r["window_start"] for r in out.collect())
+    # max ts 23:55 → W = 21:55; cut at W − 30m = 21:25 admits end
+    # 21:15 (start 21:00) and withholds end 21:30 — a plain W cut
+    # would admit start 21:30
+    assert last == datetime.datetime(2024, 1, 1, 21, 0)
