@@ -7849,3 +7849,58 @@ HAVING epoch_us(date_trunc('hour', min(right_ts)) + INTERVAL 1 HOUR) <= wm.v
 
 QUERIES["stream_join_then_window"] = q_stream_join_then_window
 ORACLES["stream_join_then_window"] = ORACLE_STREAM_JOIN_THEN_WINDOW
+
+
+def q_pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (Spark 4 API,
+    sources.pyds.JsonlAuditDataSource): the per-priority order audit
+    written through the two-phase-commit jsonl sink — executors stage
+    part files, the driver's commit() publishes the manifest — then
+    read back trusting ONLY the manifest. The reference's BigQuery
+    insert loop (src/process_insert_places_data.py:30-49) as a
+    planned, partition-parallel, atomically-committed sink. Revenue
+    rides as exact BIGINT cents so the JSON hop is lossless."""
+    import tempfile as _tempfile
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.pyds import (
+        read_jsonl_audit,
+        register_jsonl_audit,
+    )
+
+    register_jsonl_audit(spark)
+    o = load_table(spark, sf_dir, "orders")
+    summary = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
+    path = _tempfile.mkdtemp(prefix="jsonl_audit_")
+    summary.write.format("jsonl_audit").option("path", path).mode(
+        "append"
+    ).save()
+    back = read_jsonl_audit(
+        spark,
+        path,
+        "o_orderpriority string, n_orders long, revenue_cents long",
+    )
+    result = back.select(
+        "o_orderpriority",
+        "n_orders",
+        (F.col("revenue_cents") / 100.0).alias("revenue"),
+    ).localCheckpoint(eager=True)
+    import shutil as _shutil
+
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLE_PYDS_WRITER = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS revenue
+FROM orders GROUP BY 1
+"""
+
+QUERIES["pyds_writer_roundtrip"] = q_pyds_writer_roundtrip
+ORACLES["pyds_writer_roundtrip"] = ORACLE_PYDS_WRITER

@@ -18,8 +18,11 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 # Deterministic stand-in for one observation payload: integer hash
@@ -120,3 +123,141 @@ SELECT obs_id, place_key, obs_hour,
        (obs_id * {_KNUTH}) % 1000 % 100 AS humidity
 FROM ids
 """
+
+
+# --------------------------------------------------------------------------
+# Custom Python DataSource WRITER (Spark 4 API) — the reference's
+# warehouse-load leg (BigQuery insert loop,
+# ``src/process_insert_places_data.py:30-49``) as a first-class sink
+# with a real two-phase commit: executors write staged part files and
+# return commit messages; the DRIVER's commit() publishes a manifest
+# listing exactly the committed parts — readers trust the manifest, so
+# a failed/speculative task's orphan file is never visible. Local-FS
+# paths here; on a cluster the same protocol targets shared storage.
+
+
+class JsonlPartCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class JsonlAuditWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        # staged name: invisible to readers until commit() manifests it
+        fn = os.path.join(
+            self.path, f"_staged-{pid}-{uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(fn, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return JsonlPartCommit(fn, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        files = []
+        total = 0
+        for i, m in enumerate(m for m in messages if m is not None):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.path, final)
+            files.append(os.path.basename(final))
+            total += m.n_rows
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump({"files": sorted(files), "rows": total}, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages or []:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlAuditStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor: each micro-batch commits its own part files
+    plus a per-batch manifest — the exactly-once contract is
+    (batchId, manifest) idempotence, same as the file sink's log."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        return JsonlAuditWriter({"path": self.path}, False).write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        files = []
+        total = 0
+        for i, m in enumerate(m for m in messages if m is not None):
+            final = os.path.join(self.path, f"batch-{batchId:05d}-{i:05d}.jsonl")
+            os.replace(m.path, final)
+            files.append(os.path.basename(final))
+            total += m.n_rows
+        with open(
+            os.path.join(self.path, f"_MANIFEST-{batchId:05d}.json"), "w"
+        ) as f:
+            json.dump({"batch": batchId, "files": sorted(files), "rows": total}, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages or []:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlAuditDataSource(DataSource):
+    """``df.write.format("jsonl_audit").option("path", dir).save()`` —
+    and the same sink streams via ``writeStream.format("jsonl_audit")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_audit"
+
+    def writer(self, schema, overwrite: bool) -> JsonlAuditWriter:
+        return JsonlAuditWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlAuditStreamWriter:
+        return JsonlAuditStreamWriter(self.options, overwrite)
+
+
+def register_jsonl_audit(spark) -> None:
+    """Idempotent registration of the custom sink."""
+    spark.dataSource.register(JsonlAuditDataSource)
+
+
+def read_jsonl_audit(spark, path: str, schema: str):
+    """Manifest-trusting reader for the sink's output: only files the
+    committed manifest(s) list are read — staged orphans stay
+    invisible, which is the point of the two-phase commit."""
+    import json as _json
+    import os as _os
+
+    files: list[str] = []
+    for fn in sorted(_os.listdir(path)):
+        if fn.startswith("_MANIFEST") and fn.endswith(".json"):
+            with open(_os.path.join(path, fn)) as f:
+                files.extend(
+                    _os.path.join(path, p) for p in _json.load(f)["files"]
+                )
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)

@@ -170,3 +170,48 @@ def test_stream_session_windows_match_batch_islands(spark, sf_dir):
         for u, s, e, n in got
     }
     assert got_naive == want
+
+
+def test_pyds_stream_source_to_pyds_stream_sink(spark, tmp_path):
+    """End-to-end custom-Python plumbing: the weather_api stream source
+    (one synthetic hour per micro-batch) lands in the jsonl_audit
+    stream SINK — per-batch two-phase commit, per-batch manifest. The
+    manifest-trusting reader must see exactly places × hours rows and
+    one manifest per data batch."""
+    import os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.pyds import (
+        read_jsonl_audit,
+        register_jsonl_audit,
+        register_weather_api,
+    )
+
+    register_weather_api(spark)
+    register_jsonl_audit(spark)
+    out_dir = str(tmp_path / "sink")
+    os.makedirs(out_dir)
+    q = (
+        spark.readStream.format("weather_api")
+        .option("places", 5)
+        .option("hours", 6)
+        .load()
+        .writeStream.format("jsonl_audit")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = read_jsonl_audit(
+        spark,
+        out_dir,
+        "obs_id long, place_key long, obs_hour long, temp_c double, humidity long",
+    )
+    assert back.count() == 5 * 6
+    assert back.select("obs_hour").distinct().count() == 6
+    manifests = [f for f in os.listdir(out_dir) if f.startswith("_MANIFEST")]
+    assert len(manifests) >= 1
+    # no staged orphans survive a clean run
+    assert not [f for f in os.listdir(out_dir) if f.startswith("_staged")]
