@@ -7904,3 +7904,47 @@ FROM orders GROUP BY 1
 
 QUERIES["pyds_writer_roundtrip"] = q_pyds_writer_roundtrip
 ORACLES["pyds_writer_roundtrip"] = ORACLE_PYDS_WRITER
+
+
+def q_sql_variables_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables + EXECUTE IMMEDIATE (Spark 4): thresholds
+    DECLAREd and SET as typed session state, consumed by a query
+    template run through EXECUTE IMMEDIATE with a USING bind — the
+    engine-level form of the reference's f-string SQL assembly
+    (``src/process_insert_places_data.py:30-41``), with zero string
+    interpolation of values. The rollup itself: per-segment customer
+    counts above an account-balance floor, floor carried in a
+    variable, segment filter bound via USING."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_vars"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE bal_floor DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("SET VAR bal_floor = 1000.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE stmt STRING")
+    spark.sql(
+        """SET VAR stmt =
+        'SELECT c_mktsegment,
+                CAST(COUNT(*) AS BIGINT) AS n_rich,
+                CAST(CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0 AS DOUBLE) AS total_balance
+         FROM customer_vars
+         WHERE c_acctbal > bal_floor AND c_mktsegment != ?
+         GROUP BY 1'
+        """
+    )
+    return spark.sql("EXECUTE IMMEDIATE stmt USING 'MACHINERY'")
+
+
+ORACLE_SQL_VARIABLES = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rich,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_balance
+FROM customer
+WHERE c_acctbal > 1000.0 AND c_mktsegment != 'MACHINERY'
+GROUP BY 1
+"""
+
+QUERIES["sql_variables_rollup"] = q_sql_variables_rollup
+ORACLES["sql_variables_rollup"] = ORACLE_SQL_VARIABLES
