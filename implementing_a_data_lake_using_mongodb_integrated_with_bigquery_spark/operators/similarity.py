@@ -348,6 +348,64 @@ def hyperplane_code(vec_col: Column, planes: list[list[int]]) -> Column:
     return code
 
 
+def _check_dim(df: DataFrame, vec_col: str, dim: int, where: str) -> None:
+    """Fail fast on a dim mismatch: zip_with pads the shorter side with
+    nulls, so a wrong ``dim`` silently nulls every dot product and
+    collapses all vectors into bucket 0 (DuckDB's list_dot_product
+    errors loudly on the same input — keep both sides, and BOTH
+    tables, loud)."""
+    probe = df.select(F.size(vec_col).alias("n")).first()
+    if probe is not None and probe["n"] != dim:
+        raise ValueError(
+            f"{where}: dim={dim} but {vec_col!r} has length {probe['n']}"
+        )
+
+
+def _lsh_candidate_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_planes: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    where: str,
+) -> DataFrame:
+    """Shared multi-probe candidate generator behind ``lsh_topk`` and
+    ``semantic_decontamination``: sign-LSH-code the corpus map-only,
+    explode each (small, broadcast) query vector to its own bucket
+    plus every Hamming-1 neighbor, equi-join on the code, score
+    candidates with the 6dp exact cosine. One implementation so the
+    probing scheme (mask set, integer scaling, rounding) can never
+    diverge between callers — the same single-source rule the
+    ``hyperplanes`` builder enforces for the DuckDB oracles."""
+    planes = hyperplanes(n_planes, dim)
+    _check_dim(corpus, vec_col, dim, where)
+    _check_dim(queries, query_vec_col, dim, where)
+    coded = parallelize(corpus).withColumn(
+        "_lsh_code", hyperplane_code(F.col(vec_col), planes)
+    )
+    q_coded = queries.withColumn(
+        "_lsh_code0", hyperplane_code(F.col(query_vec_col), planes)
+    )
+    masks = [0] + [1 << r for r in range(n_planes)]
+    probes = q_coded.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.explode(
+            F.array(*[F.col("_lsh_code0").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("_lsh_code"),
+    )
+    return coded.join(F.broadcast(probes), on="_lsh_code").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6).alias(
+            "similarity"
+        ),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -372,36 +430,9 @@ def lsh_topk(
     sub-linear in files read. Probe codes are distinct by construction,
     so no candidate dedup is needed.
     """
-    planes = hyperplanes(n_planes, dim)
-    # fail fast on a dim mismatch: zip_with pads the shorter side with
-    # nulls, so a wrong `dim` silently nulls every dot product and
-    # collapses all vectors into bucket 0 (DuckDB's list_dot_product
-    # errors loudly on the same input — keep both sides loud)
-    probe = corpus.select(F.size(vec_col).alias("n")).first()
-    if probe is not None and probe["n"] != dim:
-        raise ValueError(
-            f"lsh_topk: dim={dim} but {vec_col!r} has length {probe['n']}"
-        )
-    coded = parallelize(corpus).withColumn(
-        "_lsh_code", hyperplane_code(F.col(vec_col), planes)
-    )
-    q_coded = queries.withColumn(
-        "_lsh_code0", hyperplane_code(F.col(query_vec_col), planes)
-    )
-    masks = [0] + [1 << r for r in range(n_planes)]
-    probes = q_coded.select(
-        F.col(query_id_col),
-        F.col(query_vec_col),
-        F.explode(
-            F.array(*[F.col("_lsh_code0").bitwiseXOR(F.lit(m)) for m in masks])
-        ).alias("_lsh_code"),
-    )
-    scored = coded.join(F.broadcast(probes), on="_lsh_code").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6).alias(
-            "similarity"
-        ),
+    scored = _lsh_candidate_scores(
+        corpus, queries, n_planes, dim, id_col, vec_col,
+        query_id_col, query_vec_col, "lsh_topk",
     )
     return top_k_per_group(
         scored,
@@ -507,37 +538,11 @@ def semantic_decontamination(
     Determinism: integer hyperplane codes, 6dp-rounded cosine,
     (similarity desc, eval id asc) total-order tiebreak.
     """
-    planes = hyperplanes(n_planes, dim)
-    probe = corpus.select(F.size(vec_col).alias("n")).first()
-    if probe is not None and probe["n"] != dim:
-        raise ValueError(
-            f"semantic_decontamination: dim={dim} but {vec_col!r} has "
-            f"length {probe['n']}"
-        )
-    coded = parallelize(corpus).withColumn(
-        "_lsh_code", hyperplane_code(F.col(vec_col), planes)
-    )
-    e_coded = eval_set.withColumn(
-        "_lsh_code0", hyperplane_code(F.col(eval_vec_col), planes)
-    )
-    masks = [0] + [1 << r for r in range(n_planes)]
-    probes = e_coded.select(
-        F.col(eval_id_col),
-        F.col(eval_vec_col),
-        F.explode(
-            F.array(*[F.col("_lsh_code0").bitwiseXOR(F.lit(m)) for m in masks])
-        ).alias("_lsh_code"),
-    )
-    scored = (
-        coded.join(F.broadcast(probes), on="_lsh_code")
-        .select(
-            F.col(id_col),
-            F.col(eval_id_col),
-            F.round(
-                cosine_similarity(F.col(vec_col), F.col(eval_vec_col)), 6
-            ).alias("similarity"),
-        )
-        .filter(F.col("similarity") >= threshold)
+    scored = _lsh_candidate_scores(
+        corpus, eval_set, n_planes, dim, id_col, vec_col,
+        eval_id_col, eval_vec_col, "semantic_decontamination",
+    ).select(id_col, eval_id_col, "similarity").filter(
+        F.col("similarity") >= threshold
     )
     return top_k_per_group(
         scored,

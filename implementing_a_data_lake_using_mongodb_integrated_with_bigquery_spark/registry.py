@@ -7650,17 +7650,25 @@ def q_user_modal_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NULL handling must match Spark's: mode() is a NULL-ignoring
+# aggregate (a NULL-majority group still yields the most frequent
+# NON-NULL value) while COUNT(*) counts every row — so the argmax CTE
+# excludes NULL keys and the row total is carried separately.
 ORACLE_USER_MODAL_EVENT = """
-WITH c AS (
+WITH tot AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE user_id < 200 GROUP BY 1),
+c AS (
   SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
-  FROM events WHERE user_id < 200 GROUP BY 1, 2),
+  FROM events WHERE user_id < 200 AND event_type IS NOT NULL
+  GROUP BY 1, 2),
 r AS (
-  SELECT user_id, event_type, n,
+  SELECT user_id, event_type,
          row_number() OVER (PARTITION BY user_id
-                            ORDER BY n DESC, event_type ASC) AS rn,
-         CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+                            ORDER BY n DESC, event_type ASC) AS rn
   FROM c)
-SELECT user_id, event_type AS modal_event, n_events FROM r WHERE rn = 1
+SELECT t.user_id, r.event_type AS modal_event, t.n_events
+FROM tot t LEFT JOIN r ON t.user_id = r.user_id AND r.rn = 1
 """
 
 QUERIES["user_modal_event"] = q_user_modal_event

@@ -170,15 +170,28 @@ class JsonlAuditWriter(DataSourceWriter):
     def commit(self, messages):
         import json
         import os
+        import uuid
 
+        if self.overwrite:
+            # overwrite mode clears every previously committed part +
+            # manifest; append mode must leave them untouched
+            for fn in os.listdir(self.path):
+                if fn.startswith(("part-", "_MANIFEST")):
+                    os.remove(os.path.join(self.path, fn))
+        # commit-scoped names: a second append-mode save publishes its
+        # own manifest + parts instead of clobbering the first commit's
+        # (the reader aggregates every _MANIFEST*.json)
+        commit_id = uuid.uuid4().hex[:8]
         files = []
         total = 0
         for i, m in enumerate(m for m in messages if m is not None):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(self.path, f"part-{commit_id}-{i:05d}.jsonl")
             os.replace(m.path, final)
             files.append(os.path.basename(final))
             total += m.n_rows
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+        with open(
+            os.path.join(self.path, f"_MANIFEST-{commit_id}.json"), "w"
+        ) as f:
             json.dump({"files": sorted(files), "rows": total}, f)
 
     def abort(self, messages):

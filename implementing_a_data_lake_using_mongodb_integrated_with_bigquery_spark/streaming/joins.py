@@ -40,6 +40,93 @@ def _event_stream(
     return s
 
 
+def _watermarked_pair(
+    spark: SparkSession,
+    events_path: str,
+    key_col: str,
+    left_type: str,
+    right_type: str,
+    lateness: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The left/right watermarked event streams every stream-stream
+    join here starts from — ONE implementation of the column contract
+    (k/left_id/left_ts vs k2/right_id/right_ts/right_value) and the
+    lateness wiring, so the inner, outer, and chained variants can
+    never drift apart."""
+    left = (
+        _event_stream(spark, events_path)
+        .filter(F.col("event_type") == left_type)
+        .select(
+            F.col(key_col).alias("k"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", lateness)
+    )
+    right = (
+        _event_stream(spark, events_path)
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col(key_col).alias("k2"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("right_ts"),
+            F.col("value").alias("right_value"),
+        )
+        .withWatermark("right_ts", lateness)
+    )
+    return left, right
+
+
+def _interval_join(
+    left: DataFrame, right: DataFrame, horizon: str, how: str
+) -> DataFrame:
+    """Key-equal + right-within-[left, left+horizon] interval join."""
+    return left.join(
+        right,
+        (F.col("k") == F.col("k2"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
+    )
+
+
+def _attribution_once(
+    spark: SparkSession,
+    events_path: str,
+    key_col: str,
+    left_type: str,
+    right_type: str,
+    horizon: str,
+    lateness: str,
+    state_partitions: int | None,
+    how: str,
+    sink_tag: str,
+) -> DataFrame:
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    left, right = _watermarked_pair(
+        spark, events_path, key_col, left_type, right_type, lateness
+    )
+    joined = _interval_join(left, right, horizon, how)
+    sink = f"{sink_tag}_{next(_SINK_SEQ)}"
+    try:
+        q = (
+            joined.select(
+                "k", "left_id", "right_id", "left_ts", "right_ts", "right_value"
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink)
+
+
 def attribution_join_once(
     spark: SparkSession,
     events_path: str,
@@ -73,53 +160,10 @@ def attribution_join_once(
     restored after the run; a production deployment sizes this once
     against its key cardinality since it is pinned by the checkpoint.
     """
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    left = (
-        _event_stream(spark, events_path)
-        .filter(F.col("event_type") == left_type)
-        .select(
-            F.col(key_col).alias("k"),
-            F.col("event_id").alias("left_id"),
-            F.col("ts").alias("left_ts"),
-        )
-        .withWatermark("left_ts", lateness)
+    return _attribution_once(
+        spark, events_path, key_col, left_type, right_type, horizon,
+        lateness, state_partitions, "inner", "attribution_join_once",
     )
-    right = (
-        _event_stream(spark, events_path)
-        .filter(F.col("event_type") == right_type)
-        .select(
-            F.col(key_col).alias("k2"),
-            F.col("event_id").alias("right_id"),
-            F.col("ts").alias("right_ts"),
-            F.col("value").alias("right_value"),
-        )
-        .withWatermark("right_ts", lateness)
-    )
-    joined = left.join(
-        right,
-        (F.col("k") == F.col("k2"))
-        & (F.col("right_ts") >= F.col("left_ts"))
-        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {horizon}")),
-        "inner",
-    )
-    sink = f"attribution_join_once_{next(_SINK_SEQ)}"
-    try:
-        q = (
-            joined.select(
-                "k", "left_id", "right_id", "left_ts", "right_ts", "right_value"
-            )
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(sink)
 
 
 def stream_static_enrich_once(
@@ -195,53 +239,11 @@ def attribution_outer_join_once(
     unmatched clicks inside the horizon of the stream's end are
     withheld: correct streaming behavior, asserted by the oracle cut.
     """
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    left = (
-        _event_stream(spark, events_path)
-        .filter(F.col("event_type") == left_type)
-        .select(
-            F.col(key_col).alias("k"),
-            F.col("event_id").alias("left_id"),
-            F.col("ts").alias("left_ts"),
-        )
-        .withWatermark("left_ts", lateness)
+    return _attribution_once(
+        spark, events_path, key_col, left_type, right_type, horizon,
+        lateness, state_partitions, "left_outer",
+        "attribution_outer_join_once",
     )
-    right = (
-        _event_stream(spark, events_path)
-        .filter(F.col("event_type") == right_type)
-        .select(
-            F.col(key_col).alias("k2"),
-            F.col("event_id").alias("right_id"),
-            F.col("ts").alias("right_ts"),
-            F.col("value").alias("right_value"),
-        )
-        .withWatermark("right_ts", lateness)
-    )
-    joined = left.join(
-        right,
-        (F.col("k") == F.col("k2"))
-        & (F.col("right_ts") >= F.col("left_ts"))
-        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {horizon}")),
-        "left_outer",
-    )
-    sink = f"attribution_outer_join_once_{next(_SINK_SEQ)}"
-    try:
-        q = (
-            joined.select(
-                "k", "left_id", "right_id", "left_ts", "right_ts", "right_value"
-            )
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(sink)
 
 
 def chained_join_window_once(
@@ -272,32 +274,10 @@ def chained_join_window_once(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    left = (
-        _event_stream(spark, events_path)
-        .filter(F.col("event_type") == left_type)
-        .select(
-            F.col(key_col).alias("k"),
-            F.col("ts").alias("left_ts"),
-        )
-        .withWatermark("left_ts", lateness)
+    left, right = _watermarked_pair(
+        spark, events_path, key_col, left_type, right_type, lateness
     )
-    right = (
-        _event_stream(spark, events_path)
-        .filter(F.col("event_type") == right_type)
-        .select(
-            F.col(key_col).alias("k2"),
-            F.col("ts").alias("right_ts"),
-            F.col("value").alias("right_value"),
-        )
-        .withWatermark("right_ts", lateness)
-    )
-    joined = left.join(
-        right,
-        (F.col("k") == F.col("k2"))
-        & (F.col("right_ts") >= F.col("left_ts"))
-        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {horizon}")),
-        "inner",
-    )
+    joined = _interval_join(left, right, horizon, "inner")
     aggd = joined.groupBy(F.window("right_ts", duration).alias("w")).agg(
         F.count(F.lit(1)).cast("long").alias("n_attributed"),
         F.sum(F.round(F.col("right_value") * 10000).cast("long")).alias("_sv"),

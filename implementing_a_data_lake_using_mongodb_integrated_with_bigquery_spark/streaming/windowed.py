@@ -446,14 +446,15 @@ def update_merge_counts_once(
             .start()
         )
         q.awaitTermination()
+        final = cdc_merge.read_target(spark, store)
+        if final is None:
+            result = spark.createDataFrame([], out.schema)
+        else:
+            result = final.select(*out_cols).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    final = cdc_merge.read_target(spark, store)
-    if final is None:
-        result = spark.createDataFrame([], out.schema)
-    else:
-        result = final.select(*out_cols).localCheckpoint(eager=True)
-    shutil.rmtree(store, ignore_errors=True)
+        # in the finally so a failed stream doesn't leak the temp store
+        shutil.rmtree(store, ignore_errors=True)
     if ntz_event_time:
         result = result.withColumn(
             "window_start", F.col("window_start").cast("timestamp_ntz")

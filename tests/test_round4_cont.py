@@ -306,3 +306,45 @@ def test_packing_supports_string_ids(spark):
     for s, n in starts:
         assert s == acc
         acc += n
+
+
+def test_mode_oracle_null_rule(spark):
+    """F.mode is NULL-ignoring while COUNT(*) is not — the
+    user_modal_event oracle encodes exactly this split (regression:
+    an argmax replay that ranks the NULL group wins on NULL-majority
+    data)."""
+    rows = [(1, None)] * 6 + [(1, "click")] * 4 + [(2, "buy")] * 2
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        r["user_id"]: (r["m"], r["n"])
+        for r in df.groupBy("user_id")
+        .agg(
+            F.mode("event_type", True).alias("m"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .collect()
+    }
+    # NULL-majority user: mode ignores the 6 NULLs, count doesn't
+    assert got == {1: ("click", 10), 2: ("buy", 2)}
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("events_arrow", df.toPandas())
+    oracle = """
+    WITH tot AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events_arrow GROUP BY 1),
+    c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events_arrow WHERE event_type IS NOT NULL GROUP BY 1, 2),
+    r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type ASC) AS rn
+      FROM c)
+    SELECT t.user_id, r.event_type AS m, t.n_events AS n
+    FROM tot t LEFT JOIN r ON t.user_id = r.user_id AND r.rn = 1
+    """
+    want = {u: (m, n) for u, m, n in con.sql(oracle).fetchall()}
+    assert got == want

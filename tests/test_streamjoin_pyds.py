@@ -215,3 +215,29 @@ def test_pyds_stream_source_to_pyds_stream_sink(spark, tmp_path):
     assert len(manifests) >= 1
     # no staged orphans survive a clean run
     assert not [f for f in os.listdir(out_dir) if f.startswith("_staged")]
+
+
+def test_pyds_writer_append_and_overwrite_modes(spark, tmp_path):
+    """Second append-mode save must ADD to the sink (own manifest +
+    parts, first commit untouched); overwrite mode must clear prior
+    commits. Regression: commit() once clobbered part-00000.jsonl and
+    _MANIFEST.json on every save."""
+    import os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.pyds import (
+        read_jsonl_audit,
+        register_jsonl_audit,
+    )
+
+    register_jsonl_audit(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    b = spark.createDataFrame([(3, "z")], "id long, v string")
+    a.write.format("jsonl_audit").option("path", out).mode("append").save()
+    b.write.format("jsonl_audit").option("path", out).mode("append").save()
+    back = read_jsonl_audit(spark, out, "id long, v string")
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 3]
+    b.write.format("jsonl_audit").option("path", out).mode("overwrite").save()
+    back2 = read_jsonl_audit(spark, out, "id long, v string")
+    assert sorted(r["id"] for r in back2.collect()) == [3]

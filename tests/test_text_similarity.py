@@ -467,3 +467,11 @@ def test_semantic_decontamination_flags_planted_near_dup(spark):
 
     with _pytest.raises(ValueError, match="dim"):
         semantic_decontamination(corpus, eval_set, threshold=0.9, dim=32)
+
+    # the EVAL side is guarded too: a wrong-length benchmark vector
+    # must error loudly, not silently report "no contamination"
+    bad_eval = spark.createDataFrame(
+        [(100, base[:32])], ["eval_id", "eval_emb"]
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        semantic_decontamination(corpus, bad_eval, threshold=0.9, dim=dim)
