@@ -89,3 +89,27 @@ def k_anonymity_audit(
         .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
         .filter(F.col("group_size") < k)
     )
+
+
+def l_diversity_audit(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int
+) -> DataFrame:
+    """l-diversity: quasi-identifier groups whose SENSITIVE attribute
+    takes fewer than ``l`` distinct values — the homogeneity-attack
+    complement of :func:`k_anonymity_audit` (a k-large group whose
+    members all share one sensitive value still leaks it). One hash
+    aggregate keyed by the quasi-identifier tuple; the distinct count
+    is exact (count_distinct, not approx — audits must not flake).
+    Map-side partials bound the shuffle at |groups × sensitive values|
+    per input partition.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.count_distinct(F.col(sensitive_col))
+            .cast("long")
+            .alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < l)
+    )

@@ -7565,7 +7565,10 @@ def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
             .cast("long")
         ).alias("_rev_cents")
-    )
+        # materialized ONCE: both the max and the equality join read
+        # this |suppliers|-row table — without the checkpoint the
+        # lineitem scan + aggregation execute twice
+    ).localCheckpoint(eager=True)
     mx = rev.agg(F.max("_rev_cents").alias("_mx"))
     return (
         rev.join(F.broadcast(mx), F.col("_rev_cents") == F.col("_mx"))
@@ -7956,3 +7959,87 @@ GROUP BY 1
 
 QUERIES["sql_variables_rollup"] = q_sql_variables_rollup
 ORACLES["sql_variables_rollup"] = ORACLE_SQL_VARIABLES
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators.pii.l_diversity_audit): customer
+    nation groups where the sensitive market-segment attribute shows
+    fewer than 5 distinct values — the homogeneity-attack report
+    k-anonymity misses (a large group that is all one segment still
+    discloses the segment)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.pii import (
+        l_diversity_audit,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    return l_diversity_audit(c, ["c_nationkey"], "c_mktsegment", l=5)
+
+
+ORACLE_L_DIVERSITY = """
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+FROM customer GROUP BY 1 HAVING COUNT(DISTINCT c_mktsegment) < 5
+"""
+
+QUERIES["l_diversity_audit"] = q_l_diversity_audit
+ORACLES["l_diversity_audit"] = ORACLE_L_DIVERSITY
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-yield report over the sequence-packing plan
+    (operators.packing.pack_documents): bins used vs the ideal
+    ceil(total/budget), boundary-spanning doc count, and fill rate in
+    exact per-mille — the waste metric a context-window budget owner
+    watches. Composes the verified pack plan; one extra 1-row
+    aggregate (all-integer arithmetic, no float sums)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.packing import (
+        pack_documents,
+    )
+
+    budget = 512
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    packed = pack_documents(
+        d, "doc_id", F.size(F.split(F.col("text"), " ")), budget=budget
+    )
+    return packed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        (F.max("end_bin_id") + 1).cast("long").alias("bins_used"),
+        (
+            (F.sum("n_tok") + F.lit(budget - 1)) / F.lit(budget)
+        ).cast("long").alias("bins_ideal"),
+        F.count_if("spans_boundary").cast("long").alias("n_spanning"),
+        (F.sum("n_tok") * 1000 / ((F.max("end_bin_id") + 1) * budget))
+        .cast("long")
+        .alias("fill_permille"),
+    )
+
+
+ORACLE_PACKING_EFFICIENCY = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         substr(md5('pack' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 16)
+           AS h
+  FROM documents),
+ordered AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM toks),
+plan AS (
+  SELECT n_tok, start // 512 AS bin_id,
+         (start + greatest(n_tok - 1, 0)) // 512 AS end_bin_id
+  FROM ordered)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(MAX(end_bin_id) + 1 AS BIGINT) AS bins_used,
+       CAST((SUM(n_tok) + 511) // 512 AS BIGINT) AS bins_ideal,
+       CAST(count_if(bin_id != end_bin_id) AS BIGINT) AS n_spanning,
+       CAST(SUM(n_tok) * 1000 // ((MAX(end_bin_id) + 1) * 512) AS BIGINT)
+         AS fill_permille
+FROM plan
+"""
+
+QUERIES["packing_efficiency"] = q_packing_efficiency
+ORACLES["packing_efficiency"] = ORACLE_PACKING_EFFICIENCY

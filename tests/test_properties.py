@@ -161,3 +161,55 @@ def test_chunking_covers_every_character(spark, texts, chunk):
                 range(r["chunk_start"], r["chunk_start"] + r["chunk_chars"])
             )
         assert covered == set(range(len(t)))
+
+
+EDGE_LISTS = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(edges=EDGE_LISTS)
+@SLOW
+def test_partitioned_components_equals_pure_union_find(spark, edges):
+    """Contraction-based components == a pure-Python union-find on any
+    random edge set — the property the whole dedup-cluster family
+    rests on (block-local labels + contracted-graph resolution must
+    lose nothing across hash blocks)."""
+    from pyspark.sql import Row
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
+        partitioned_components,
+    )
+
+    nodes = spark.createDataFrame([Row(id=i) for i in range(31)])
+    edf = (
+        spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+        if edges
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in partitioned_components(nodes, edf, num_blocks=4).collect()
+    }
+
+    parent = list(range(31))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    comp_min = {}
+    for i in range(31):
+        comp_min.setdefault(find(i), i)
+    for i in range(31):
+        want[i] = comp_min[find(i)]
+    assert got == want
