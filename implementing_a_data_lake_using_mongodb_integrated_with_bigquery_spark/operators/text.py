@@ -458,3 +458,47 @@ def bpe_merge_pair_counts(
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 500,
+) -> DataFrame:
+    """Vocabulary-coverage / OOV audit: build the top-``k`` whitespace
+    token vocabulary by global frequency (count desc, token asc — the
+    total-order tiebreak makes the cut deterministic), then report per
+    ``group_col`` the token total, OOV count, exact integer per-mille
+    OOV rate, and distinct-token count.
+
+    The tokenizer-fit feedback loop of a training pipeline: a source
+    whose OOV rate spikes under the corpus vocabulary either needs
+    vocab budget or is contaminating the mix.
+
+    Scale: the vocabulary candidate set is the token *aggregate* (one
+    hash agg over the exploded tokens, map-side combined); top-k over
+    it is a TakeOrdered (no global sort materialization) and the
+    result is broadcast back — the exploded token stream is never
+    shuffled twice and never joined against anything non-broadcast.
+    """
+    toks = df.select(
+        group_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(k)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).cast("long").alias("n_oov"),
+            F.countDistinct("tok").cast("long").alias("n_unique"),
+        )
+        .withColumn("oov_permille", F.expr("(n_oov * 1000) div n_tokens"))
+    )

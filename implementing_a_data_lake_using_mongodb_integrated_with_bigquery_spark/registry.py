@@ -8043,3 +8043,152 @@ FROM plan
 
 QUERIES["packing_efficiency"] = q_packing_efficiency
 ORACLES["packing_efficiency"] = ORACLE_PACKING_EFFICIENCY
+
+
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph — parts are
+    connected when some order contains both (per-order pair fanout is
+    bounded by order size, so edge generation is linear in lineitem).
+    Exercises operators.graph.triangle_count's degree-ordered
+    orientation (hub-proof wedge generation). Graph-shape audits like
+    this are the clustering-coefficient input of recommendation / GNN
+    feature pipelines."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
+        triangle_count,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+    return triangle_count(pairs, "a", "b")
+
+
+ORACLE_COPURCHASE_TRIANGLES = """
+WITH pairs AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+nodes AS (SELECT a AS n FROM pairs UNION SELECT b FROM pairs),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.b
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+       n_triangles
+FROM tri
+"""
+
+QUERIES["copurchase_triangles"] = q_copurchase_triangles
+ORACLES["copurchase_triangles"] = ORACLE_COPURCHASE_TRIANGLES
+
+
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-coverage audit against the corpus top-500
+    token vocabulary (operators.text.vocab_coverage): token totals,
+    OOV count, exact per-mille OOV rate, distinct tokens."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        vocab_coverage,
+    )
+
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    return vocab_coverage(d, "text", "source", k=500)
+
+
+ORACLE_VOCAB_OOV = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+t AS (SELECT source, tok FROM toks WHERE tok != ''),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c FROM t GROUP BY 1
+    ORDER BY c DESC, tok ASC LIMIT 500))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(count_if(tok NOT IN (SELECT tok FROM vocab)) AS BIGINT) AS n_oov,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_unique,
+       CAST(count_if(tok NOT IN (SELECT tok FROM vocab)) * 1000
+            // COUNT(*) AS BIGINT) AS oov_permille
+FROM t GROUP BY 1
+"""
+
+QUERIES["vocab_oov_rate"] = q_vocab_oov_rate
+ORACLES["vocab_oov_rate"] = ORACLE_VOCAB_OOV
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-covariant embedding dimension pairs by exact int64
+    covariance numerator |n·Σxy − Σx·Σy| over floor(x·10⁴)-scaled
+    components (operators.linalg.top_covariant_pairs) — the PCA /
+    whitening step-1 moment computation as a mapInArrow partial-Gram
+    reduce: each partition emits d(d+1)/2 int64 partials, one hash agg
+    combines them; the vectors themselves never shuffle."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.linalg import (
+        top_covariant_pairs,
+    )
+
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
+    return top_covariant_pairs(e, "embedding", dim=64, k=20)
+
+
+ORACLE_EMBEDDING_COVARIANCE = """
+WITH comp AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT)
+           AS q
+  FROM embeddings),
+pairs AS (
+  SELECT a.d AS dim_i, b.d AS dim_j,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(a.q) AS BIGINT) AS sx,
+         CAST(SUM(b.q) AS BIGINT) AS sy,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS sxy
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.d < b.d
+  GROUP BY 1, 2)
+SELECT dim_i, dim_j, n_rows,
+       CAST(n_rows * sxy - sx * sy AS BIGINT) AS cov_num
+FROM pairs
+ORDER BY abs(n_rows * sxy - sx * sy) DESC, dim_i, dim_j
+LIMIT 20
+"""
+
+QUERIES["embedding_covariance"] = q_embedding_covariance
+ORACLES["embedding_covariance"] = ORACLE_EMBEDDING_COVARIANCE
+
+
+def q_label_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label per-dimension exact moments (n, Σx, Σx²) of the
+    scaled embeddings (operators.linalg.grouped_moments) — the
+    within-class scatter diagonal of Fisher-discriminant prep, via
+    applyInArrow (grouped Arrow table in/out, one shuffle on label)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.linalg import (
+        grouped_moments,
+    )
+
+    e = parallelize(load_table(spark, sf_dir, "embeddings"))
+    return grouped_moments(e, "label", "embedding", dim=64)
+
+
+ORACLE_LABEL_SCATTER = """
+SELECT label,
+       CAST(d AS INTEGER) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(q) AS BIGINT) AS sx,
+       CAST(SUM(q * q) AS BIGINT) AS sxx
+FROM (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT)
+           AS q
+  FROM embeddings)
+GROUP BY 1, 2
+"""
+
+QUERIES["label_scatter"] = q_label_scatter
+ORACLES["label_scatter"] = ORACLE_LABEL_SCATTER
