@@ -502,3 +502,54 @@ def vocab_coverage(
         )
         .withColumn("oov_permille", F.expr("(n_oov * 1000) div n_tokens"))
     )
+
+
+# fixed English merge table for tokenizer APPLY (rank order). Merges
+# ship with a trained tokenizer — they are model constants at apply
+# time, not per-query learned state, so a literal table is the honest
+# shape (the learning side is bpe_merge_pair_counts).
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("o", "u"),
+    ("in", "g"),
+)
+
+
+def bpe_apply_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+) -> DataFrame:
+    """Apply a fixed BPE merge table to every lowercase-alpha word and
+    return one row per produced subword token (column ``tok``).
+
+    Engine-exact construction: each character is wrapped in ``|``
+    markers (``the`` → ``|t| |h| |e|``), and each merge (x, y) in rank
+    order is ONE literal ``replace('|x| |y|' → '|xy|')`` pass. The
+    markers make every match self-delimiting — ``|xt| |h|`` can never
+    match the (t, h) pattern, and adjacent occurrences are disjoint —
+    so leftmost non-overlapping replace (the shared semantics of Spark
+    and DuckDB ``replace``) produces identical tokenizations on both
+    engines with zero regex/lookaround dependence. Single-pass-per-
+    merge application in rank order is the standard fast
+    tokenizer-apply; everything is JVM-side string ops on an exploded
+    word stream — map-only, no shuffle until the caller aggregates.
+    """
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+    ).where(F.col("w").rlike("^[a-z]+$"))
+    sym = F.trim(F.regexp_replace(F.col("w"), "(.)", "|$1| "))
+    for x, y in merges:
+        sym = F.replace(sym, F.lit(f"|{x}| |{y}|"), F.lit(f"|{x}{y}|"))
+    return (
+        words.select(F.explode(F.split(sym, " ")).alias("marked"))
+        .select(F.replace(F.col("marked"), F.lit("|"), F.lit("")).alias("tok"))
+        .where(F.col("tok") != "")
+    )

@@ -8192,3 +8192,58 @@ GROUP BY 1, 2
 
 QUERIES["label_scatter"] = q_label_scatter
 ORACLES["label_scatter"] = ORACLE_LABEL_SCATTER
+
+
+def q_bpe_apply_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY over the corpus: run the fixed 10-rule BPE merge
+    table (operators.text.bpe_apply_tokens — engine-exact marker-framed
+    literal replaces) on every alpha word, report the top-30 subword
+    tokens with exact counts (count desc, token asc tiebreak) — the
+    inference-side complement of the bpe_merge_pairs training-prep
+    query."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        bpe_apply_tokens,
+    )
+
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = bpe_apply_tokens(d, "text")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(30)
+    )
+
+
+ORACLE_BPE_APPLY = """
+WITH words AS (
+  SELECT w FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE regexp_full_match(w, '[a-z]+')),
+sym AS (
+  SELECT trim(regexp_replace(w, '(.)', '|\\1| ', 'g')) AS s FROM words),
+merged AS (
+  SELECT replace(replace(replace(replace(replace(replace(replace(replace(
+         replace(replace(s,
+           '|t| |h|', '|th|'),
+           '|th| |e|', '|the|'),
+           '|i| |n|', '|in|'),
+           '|a| |n|', '|an|'),
+           '|an| |d|', '|and|'),
+           '|e| |r|', '|er|'),
+           '|o| |n|', '|on|'),
+           '|r| |e|', '|re|'),
+           '|o| |u|', '|ou|'),
+           '|in| |g|', '|ing|') AS s
+  FROM sym),
+toks AS (
+  SELECT replace(t, '|', '') AS tok
+  FROM (SELECT unnest(string_split(s, ' ')) AS t FROM merged)
+  WHERE replace(t, '|', '') != '')
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks GROUP BY 1
+ORDER BY n DESC, tok ASC LIMIT 30
+"""
+
+QUERIES["bpe_apply_topk"] = q_bpe_apply_topk
+ORACLES["bpe_apply_topk"] = ORACLE_BPE_APPLY

@@ -140,3 +140,35 @@ def test_vocab_coverage_small(spark):
     assert out["s2"].n_tokens == 3 and out["s2"].n_oov == 3
     assert out["s2"].oov_permille == 1000
     assert out["s1"].n_unique == 3 and out["s2"].n_unique == 2
+
+
+def test_bpe_apply_marker_framing(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        bpe_apply_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 'the' chains (t,h) then (th,e); 'thth' has ADJACENT
+            # occurrences and both must merge (disjoint self-delimited
+            # matches); 'Ab1' is filtered (non-alpha)
+            (1, "the thth Ab1"),
+        ],
+        ["doc_id", "text"],
+    )
+    toks = sorted(r.tok for r in bpe_apply_tokens(docs, "text").collect())
+    assert toks == sorted(["the", "th", "th"])
+
+    # the false-boundary hazard the markers exist for: after (a,b)
+    # builds the symbol 'ab', rule (b,c) must NOT match the 'b' that is
+    # now the SUFFIX of 'ab' — an unframed space representation would
+    # rewrite 'ab c' into 'abc' here
+    toks2 = sorted(
+        r.tok
+        for r in bpe_apply_tokens(
+            docs.withColumn("text", F.lit("abc")),
+            "text",
+            merges=(("a", "b"), ("b", "c")),
+        ).collect()
+    )
+    assert toks2 == ["ab", "c"]
