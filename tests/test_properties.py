@@ -213,3 +213,35 @@ def test_partitioned_components_equals_pure_union_find(spark, edges):
     for i in range(31):
         want[i] = comp_min[find(i)]
     assert got == want
+
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (  # noqa: E402
+    triangle_count,
+)
+
+EDGE = st.tuples(st.integers(0, 7), st.integers(0, 7))
+
+
+@given(edges=st.lists(EDGE, min_size=0, max_size=20))
+@SLOW
+def test_triangle_count_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = {n for e in canon for n in e}
+    brute = sum(
+        1
+        for t in combinations(sorted(nodes), 3)
+        if {(t[0], t[1]), (t[0], t[2]), (t[1], t[2])} <= canon
+    )
+    df = (
+        spark.createDataFrame(list(edges), ["s", "d"])
+        if edges
+        else spark.createDataFrame([], "s long, d long")
+    )
+    row = triangle_count(df, "s", "d").collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (
+        len(nodes),
+        len(canon),
+        brute,
+    )
