@@ -408,3 +408,82 @@ def incremental_dedup(
             "jaccard",
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT asymmetric shingle-CONTAINMENT pairs: ordered (src, dst)
+    with C(src→dst) = |S_src ∩ S_dst| / |S_src| ≥ p/q — the
+    subset-duplication detector symmetric Jaccard misses (a short doc
+    pasted inside a long one has high containment but low Jaccard;
+    containment-based dedup is how training pipelines catch quote
+    farms and wrapper pages).
+
+    Exact via ASYMMETRIC prefix filtering: a qualifying pair must
+    share ≥ ⌈p·n_src/q⌉ shingles, so src's rarest-first prefix of
+    size n_src − ⌈p·n_src/q⌉ + 1 must hit dst's FULL inverted index
+    (pigeonhole over any fixed shingle order — lossless). Only
+    prefixes are probed (rare shingles — stop-shingle skew never
+    enters the join); the full postings are the build side; survivors
+    are verified with an exact ``array_intersect``. The threshold is a
+    rational p/q and the gate is the exact-integer cross-multiplication
+    ``shared·q ≥ n_src·p`` — no float boundary to flake on.
+    """
+    docs = _shingle_table(df, id_col, text_col, n)
+    expl = docs.select("doc", F.explode("sh").alias("shingle"))
+    dfreq = expl.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    per_doc = (
+        expl.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dfreq", "shingle"))).alias(
+                "ranked"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_sh"),
+        )
+    )
+    prefix_len = F.expr(
+        f"cast(n_sh - ((n_sh * {threshold_num} + {threshold_den - 1})"
+        f" div {threshold_den}) + 1 as int)"
+    )
+    pre = per_doc.select(
+        F.col("doc").alias("src"),
+        F.explode(
+            F.slice(
+                F.transform(F.col("ranked"), lambda x: x["shingle"]),
+                F.lit(1),
+                prefix_len,
+            )
+        ).alias("shingle"),
+    )
+    cand = (
+        pre.join(expl.select(F.col("doc").alias("dst"), "shingle"), "shingle")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return (
+        cand.join(
+            docs.select(F.col("doc").alias("src"), F.col("sh").alias("_sh1")), "src"
+        )
+        .join(
+            docs.select(F.col("doc").alias("dst"), F.col("sh").alias("_sh2")), "dst"
+        )
+        .select(
+            "src",
+            "dst",
+            F.size(F.array_intersect("_sh1", "_sh2")).cast("long").alias("shared"),
+            F.size("_sh1").cast("long").alias("n_src"),
+            F.size("_sh2").cast("long").alias("n_dst"),
+        )
+        .filter(
+            F.col("shared") * threshold_den >= F.col("n_src") * threshold_num
+        )
+        .withColumn("containment", F.round(F.col("shared") / F.col("n_src"), 6))
+    )

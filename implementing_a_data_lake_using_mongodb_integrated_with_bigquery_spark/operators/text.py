@@ -553,3 +553,79 @@ def bpe_apply_tokens(
         .select(F.replace(F.col("marked"), F.lit("|"), F.lit("")).alias("tok"))
         .where(F.col("tok") != "")
     )
+
+
+def discriminative_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    min_token_total: int = 100,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k (token, group) cells by 2×2 chi-square association — the
+    source-specific-boilerplate detector: a token whose occurrence is
+    wildly over-represented in one source (navigation chrome, license
+    headers, template noise) ranks first, flagging what per-source
+    cleaning rules should strip.
+
+    All four cell counts (a = n(token, group), b = token_total − a,
+    c = group_total − a, d = N − token_total − group_total + a) are
+    exact integer aggregates; χ² = N·(ad−bc)² / (T·(N−T)·S·(N−S)) is
+    then deterministic scalar float math over those exact integers
+    (identical on Spark and DuckDB — no float *aggregation* anywhere),
+    rounded to 6dp with a (token, group) total-order tiebreak. Only
+    observed cells (a > 0) of tokens with total ≥ ``min_token_total``
+    are ranked. Shape: three hash aggs over one exploded token stream,
+    a token-keyed join, a broadcast group-totals join, a 1-row N
+    broadcast, and a TakeOrdered top-k.
+    """
+    toks = df.select(
+        group_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    # cells feeds four consumers (itself + the three marginal
+    # aggregates): materialize the exploded-stream agg ONCE
+    cells = (
+        toks.groupBy("tok", group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+        .localCheckpoint(eager=True)
+    )
+    tok_tot = (
+        cells.groupBy("tok")
+        .agg(F.sum("a").alias("tt"))
+        .filter(F.col("tt") >= min_token_total)
+    )
+    grp_tot = cells.groupBy(group_col).agg(F.sum("a").alias("ss"))
+    total = cells.agg(F.sum("a").alias("nn"))
+    j = (
+        cells.join(tok_tot, "tok")
+        .join(F.broadcast(grp_tot), group_col)
+        .crossJoin(F.broadcast(total))
+    )
+    ad_bc = (
+        F.col("a") * (F.col("nn") - F.col("tt") - F.col("ss") + F.col("a"))
+        - (F.col("tt") - F.col("a")) * (F.col("ss") - F.col("a"))
+    ).cast("double")
+    chi2 = F.round(
+        F.col("nn").cast("double")
+        * ad_bc
+        * ad_bc
+        / (
+            F.col("tt").cast("double")
+            * (F.col("nn") - F.col("tt")).cast("double")
+            * F.col("ss").cast("double")
+            * (F.col("nn") - F.col("ss")).cast("double")
+        ),
+        6,
+    )
+    return (
+        j.select(
+            F.col("tok"),
+            F.col(group_col),
+            F.col("a").alias("n_cell"),
+            F.col("tt").alias("token_total"),
+            F.col("ss").alias("group_total"),
+            chi2.alias("chi2"),
+        )
+        .orderBy(F.col("chi2").desc(), F.col("tok").asc(), F.col(group_col).asc())
+        .limit(k)
+    )

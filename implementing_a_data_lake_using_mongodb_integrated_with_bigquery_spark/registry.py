@@ -8247,3 +8247,88 @@ ORDER BY n DESC, tok ASC LIMIT 30
 
 QUERIES["bpe_apply_topk"] = q_bpe_apply_topk
 ORACLES["bpe_apply_topk"] = ORACLE_BPE_APPLY
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs at C ≥ 4/5
+    (operators.dedup_near.containment_pairs): the subset-duplication
+    detector — exact, asymmetric-prefix-filtered, integer-gated."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        containment_pairs,
+    )
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold_num=4, threshold_den=5
+    )
+
+
+ORACLE_CONTAINMENT = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src, dst, CAST(shared AS BIGINT) AS shared,
+       CAST(s1.n_sh AS BIGINT) AS n_src, CAST(s2.n_sh AS BIGINT) AS n_dst,
+       round(shared / s1.n_sh, 6) AS containment
+FROM shared JOIN sizes s1 ON src = s1.doc_id JOIN sizes s2 ON dst = s2.doc_id
+WHERE shared * 5 >= s1.n_sh * 4
+"""
+
+QUERIES["containment_pairs"] = q_containment_pairs
+ORACLES["containment_pairs"] = ORACLE_CONTAINMENT
+
+
+def q_discriminative_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 (token, source) chi-square association cells
+    (operators.text.discriminative_tokens) — the source-boilerplate
+    detector; exact integer cells, deterministic scalar χ²."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        discriminative_tokens,
+    )
+
+    d = parallelize(load_table(spark, sf_dir, "documents"))
+    return discriminative_tokens(d, "text", "source", min_token_total=100, k=20)
+
+
+ORACLE_DISCRIMINATIVE = """
+WITH toks AS (
+  SELECT source, tok FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok != ''),
+cells AS (
+  SELECT tok, source, CAST(COUNT(*) AS BIGINT) AS a
+  FROM toks GROUP BY 1, 2),
+tok_tot AS (
+  SELECT tok, CAST(SUM(a) AS BIGINT) AS tt FROM cells GROUP BY 1
+  HAVING SUM(a) >= 100),
+grp_tot AS (SELECT source, CAST(SUM(a) AS BIGINT) AS ss FROM cells GROUP BY 1),
+total AS (SELECT CAST(SUM(a) AS BIGINT) AS nn FROM cells),
+scored AS (
+  SELECT c.tok, c.source, c.a AS n_cell, t.tt AS token_total,
+         g.ss AS group_total,
+         round(
+           CAST(nn AS DOUBLE)
+           * CAST(c.a * (nn - t.tt - g.ss + c.a)
+                  - (t.tt - c.a) * (g.ss - c.a) AS DOUBLE)
+           * CAST(c.a * (nn - t.tt - g.ss + c.a)
+                  - (t.tt - c.a) * (g.ss - c.a) AS DOUBLE)
+           / (CAST(t.tt AS DOUBLE) * CAST(nn - t.tt AS DOUBLE)
+              * CAST(g.ss AS DOUBLE) * CAST(nn - g.ss AS DOUBLE)),
+           6) AS chi2
+  FROM cells c JOIN tok_tot t ON c.tok = t.tok
+  JOIN grp_tot g ON c.source = g.source
+  CROSS JOIN total)
+SELECT tok, source, n_cell, token_total, group_total, chi2
+FROM scored
+ORDER BY chi2 DESC, tok ASC, source ASC LIMIT 20
+"""
+
+QUERIES["discriminative_tokens"] = q_discriminative_tokens
+ORACLES["discriminative_tokens"] = ORACLE_DISCRIMINATIVE

@@ -172,3 +172,43 @@ def test_bpe_apply_marker_framing(spark):
         ).collect()
     )
     assert toks2 == ["ab", "c"]
+
+
+def test_containment_catches_subset_dup(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"          # 3 shingles
+    long_ = short + " zeta eta theta iota kappa lam mu nu xi omicron pi"
+    other = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], ["doc_id", "text"]
+    )
+    out = {(r.src, r.dst): r for r in containment_pairs(docs).collect()}
+    # short fully contained in long: C(1→2) = 3/3 = 1.0
+    assert (1, 2) in out and out[(1, 2)].containment == 1.0
+    assert out[(1, 2)].shared == 3 and out[(1, 2)].n_src == 3
+    # the reverse direction fails the 4/5 gate (3/14 shingles)
+    assert (2, 1) not in out
+    # unrelated doc appears in no pair
+    assert not any(3 in p for p in out)
+
+
+def test_discriminative_tokens_flags_group_marker(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        discriminative_tokens,
+    )
+
+    # 'promo' appears ONLY in s1 and often; 'the' is uniform background
+    rows = [(i, "the common promo text", "s1") for i in range(30)]
+    rows += [(100 + i, "the common other text", "s2") for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = discriminative_tokens(
+        docs, "text", "source", min_token_total=10, k=2
+    ).collect()
+    # the two observed perfectly-discriminating cells outrank every
+    # uniform token (whose chi2 is exactly 0)
+    assert {(r.tok, r.source) for r in out} == {("promo", "s1"), ("other", "s2")}
+    # N=240, a=30, tt=30, ss=120: chi2 = 240*3600^2/(30*210*120*120)
+    assert all(r.chi2 == 34.285714 for r in out)
