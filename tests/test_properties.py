@@ -245,3 +245,36 @@ def test_triangle_count_matches_bruteforce(spark, edges):
         len(canon),
         brute,
     )
+
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (  # noqa: E402
+    containment_pairs,
+)
+
+WORDS = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+DOCS = st.lists(
+    st.lists(WORDS, min_size=3, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(texts=DOCS)
+@SLOW
+def test_containment_pairs_match_bruteforce(spark, texts):
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    brute = {
+        (a, b): len(sets[a] & sets[b])
+        for a in sets
+        for b in sets
+        if a != b and 5 * len(sets[a] & sets[b]) >= 4 * len(sets[a])
+    }
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r.src, r.dst): r.shared for r in containment_pairs(df).collect()
+    }
+    assert got == brute
