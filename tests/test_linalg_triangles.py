@@ -212,3 +212,21 @@ def test_discriminative_tokens_flags_group_marker(spark):
     assert {(r.tok, r.source) for r in out} == {("promo", "s1"), ("other", "s2")}
     # N=240, a=30, tt=30, ss=120: chi2 = 240*3600^2/(30*210*120*120)
     assert all(r.chi2 == 34.285714 for r in out)
+
+
+def test_grouped_moments_string_group_key(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 4.0]), ("b", [5.0, 6.0])],
+        ["src", "embedding"],
+    )
+    got = {
+        (r.src, r.dim): (r.n_vecs, r.sx)
+        for r in grouped_moments(df, "src", "embedding", 2).collect()
+    }
+    assert got[("a", 0)] == (2, 40_000) and got[("a", 1)] == (2, 60_000)
+    assert got[("b", 0)] == (1, 50_000) and got[("b", 1)] == (1, 60_000)
+
+
+def test_covariance_pairs_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert covariance_pairs(df, "embedding", 4).count() == 0
