@@ -353,11 +353,18 @@ def _check_dim(df: DataFrame, vec_col: str, dim: int, where: str) -> None:
     nulls, so a wrong ``dim`` silently nulls every dot product and
     collapses all vectors into bucket 0 (DuckDB's list_dot_product
     errors loudly on the same input — keep both sides, and BOTH
-    tables, loud)."""
-    probe = df.select(F.size(vec_col).alias("n")).first()
-    if probe is not None and probe["n"] != dim:
+    tables, loud). Checks EVERY row via one min/max aggregate, not just
+    the first — a corpus with mixed vector lengths past row 1 must be
+    just as loud."""
+    probe = df.agg(
+        F.min(F.size(vec_col)).alias("lo"), F.max(F.size(vec_col)).alias("hi")
+    ).first()
+    if probe is None or probe["lo"] is None:
+        return  # empty table: nothing to validate
+    if probe["lo"] != dim or probe["hi"] != dim:
         raise ValueError(
-            f"{where}: dim={dim} but {vec_col!r} has length {probe['n']}"
+            f"{where}: dim={dim} but {vec_col!r} has lengths in "
+            f"[{probe['lo']}, {probe['hi']}]"
         )
 
 

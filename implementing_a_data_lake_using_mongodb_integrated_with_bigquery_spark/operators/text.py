@@ -601,10 +601,16 @@ def discriminative_tokens(
         .join(F.broadcast(grp_tot), group_col)
         .crossJoin(F.broadcast(total))
     )
+    # each factor is cast to double BEFORE the multiply: a*(nn-tt-ss+a)
+    # is ~N² at corpus scale (N~1e12 tokens → overflows int64 / aborts
+    # under ANSI mode); doubles hold the counts exactly (< 2^53) and the
+    # rounded product is bit-identical on Spark and DuckDB
+    d = F.col("nn") - F.col("tt") - F.col("ss") + F.col("a")
     ad_bc = (
-        F.col("a") * (F.col("nn") - F.col("tt") - F.col("ss") + F.col("a"))
-        - (F.col("tt") - F.col("a")) * (F.col("ss") - F.col("a"))
-    ).cast("double")
+        F.col("a").cast("double") * d.cast("double")
+        - (F.col("tt") - F.col("a")).cast("double")
+        * (F.col("ss") - F.col("a")).cast("double")
+    )
     chi2 = F.round(
         F.col("nn").cast("double")
         * ad_bc

@@ -8315,10 +8315,12 @@ scored AS (
          g.ss AS group_total,
          round(
            CAST(nn AS DOUBLE)
-           * CAST(c.a * (nn - t.tt - g.ss + c.a)
-                  - (t.tt - c.a) * (g.ss - c.a) AS DOUBLE)
-           * CAST(c.a * (nn - t.tt - g.ss + c.a)
-                  - (t.tt - c.a) * (g.ss - c.a) AS DOUBLE)
+           * (CAST(c.a AS DOUBLE)
+                * CAST(nn - t.tt - g.ss + c.a AS DOUBLE)
+              - CAST(t.tt - c.a AS DOUBLE) * CAST(g.ss - c.a AS DOUBLE))
+           * (CAST(c.a AS DOUBLE)
+                * CAST(nn - t.tt - g.ss + c.a AS DOUBLE)
+              - CAST(t.tt - c.a AS DOUBLE) * CAST(g.ss - c.a AS DOUBLE))
            / (CAST(t.tt AS DOUBLE) * CAST(nn - t.tt AS DOUBLE)
               * CAST(g.ss AS DOUBLE) * CAST(nn - g.ss AS DOUBLE)),
            6) AS chi2

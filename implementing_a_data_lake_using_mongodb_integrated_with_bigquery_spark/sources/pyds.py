@@ -174,9 +174,16 @@ class JsonlAuditWriter(DataSourceWriter):
 
         if self.overwrite:
             # overwrite mode clears every previously committed part +
-            # manifest; append mode must leave them untouched
+            # manifest, plus _staged-* orphans from a crashed prior save
+            # (where abort never ran) — but NOT this run's own staged
+            # parts, which are about to be renamed into place
+            live = {
+                os.path.basename(m.path) for m in messages if m is not None
+            }
             for fn in os.listdir(self.path):
-                if fn.startswith(("part-", "_MANIFEST")):
+                if fn.startswith(("part-", "_MANIFEST")) or (
+                    fn.startswith("_staged-") and fn not in live
+                ):
                     os.remove(os.path.join(self.path, fn))
         # commit-scoped names: a second append-mode save publishes its
         # own manifest + parts instead of clobbering the first commit's
