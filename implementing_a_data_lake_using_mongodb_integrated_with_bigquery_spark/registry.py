@@ -7237,22 +7237,40 @@ ORACLES["dedup_cluster_stats"] = ORACLE_DEDUP_CLUSTER_STATS
 
 
 def q_stream_update_merge_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UPDATE-mode streaming hourly counts per event type, landed
-    through a foreachBatch last-write-wins merge
-    (streaming.windowed.update_merge_counts_once) — the keyed-MERGE
-    sink contract update mode requires; final store == batch
-    aggregation however the replay was micro-batched."""
-    import os as _os
-
+    """UPDATE-mode streaming hourly counts per event type across THREE
+    micro-batches with a genuinely advancing watermark
+    (streaming.windowed.update_merge_phased): events split by the
+    engine-portable md5-hex rule into three phase files, replayed
+    oldest-first with maxFilesPerTrigger=1 through the foreachBatch
+    keyed MERGE. Spark's late filter runs one batch BEHIND the
+    watermark (SPARK-24634 — see update_merge_phased's docstring), so
+    phases 1–2 are all counted and phase-3 rows are dropped iff their
+    hourly window END ≤ the watermark phase 1 advanced
+    (floor_ms(max phase-1 ts) − 2 h). The oracle models exactly that
+    per-batch emission rule, pinning cross-batch UPDATE-mode
+    semantics, not the single-batch degenerate case."""
     from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
-        update_merge_counts_once,
+        update_merge_phased,
     )
 
-    out = update_merge_counts_once(
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id").isNotNull())
+    h = F.substring(
+        F.md5(F.concat(F.lit("umh"), F.lit("\x1f"), F.col("event_id").cast("string"))),
+        1,
+        8,
+    )
+    out, stats = update_merge_phased(
         spark,
-        _os.path.join(sf_dir, "events.parquet"),
+        [
+            e.where(h <= "55555555"),
+            e.where((h > "55555555") & (h <= "aaaaaaaa")),
+            e.where(h > "aaaaaaaa"),
+        ],
+        lateness="2 hours",
         group_cols=["event_type"],
     )
+    if stats["data_batches"] != 3:
+        raise RuntimeError(f"expected 3 micro-batches, got {stats}")
     return out.select(
         epoch_us("window_start").alias("window_start_us"),
         "event_type",
@@ -7260,10 +7278,29 @@ def q_stream_update_merge_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Models the three-batch replay: phases 1–2 (md5 prefix ≤ 'aaaaaaaa')
+# all counted — the late filter lags the watermark by one batch, so
+# batch 2 still filters against the pre-run watermark 0; phase 3 is
+# counted only where the hourly window END outlives the watermark
+# phase 1 advanced — floor_ms(max phase-1 ts) − 2 h, the ms-truncation
+# convention (epoch_us // 1000 * 1000).
 ORACLE_STREAM_UPDATE_MERGE = """
+WITH p AS (
+  SELECT ts, event_type,
+         substr(md5('umh' || chr(31) || CAST(event_id AS VARCHAR)), 1, 8) AS h
+  FROM events WHERE event_id IS NOT NULL),
+w1 AS (
+  SELECT (epoch_us(MAX(ts)) // 1000) * 1000 - 7200000000 AS w1_us
+  FROM p WHERE h <= '55555555'),
+kept AS (
+  SELECT ts, event_type FROM p WHERE h <= 'aaaaaaaa'
+  UNION ALL
+  SELECT p.ts, p.event_type FROM p, w1
+  WHERE p.h > 'aaaaaaaa'
+    AND epoch_us(date_trunc('hour', p.ts)) + 3600000000 > w1.w1_us)
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events
-FROM events GROUP BY 1, 2
+FROM kept GROUP BY 1, 2
 """
 
 QUERIES["stream_update_merge_hourly"] = q_stream_update_merge_hourly

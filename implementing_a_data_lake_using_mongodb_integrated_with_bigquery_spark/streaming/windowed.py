@@ -379,9 +379,10 @@ def update_merge_counts_once(
     aggregation for any micro-batch split PROVIDED the lateness covers
     the cross-batch disorder — an event older than the watermark a
     previous batch advanced is dropped (correct streaming semantics,
-    pinned by the multi-batch unit test, which uses a lateness larger
-    than the replay's disorder; the registry query replays one file =
-    one batch, where 5 minutes suffices).
+    pinned by the multi-batch unit test with a lateness larger than
+    the replay's disorder, and oracled with a genuinely advancing
+    watermark by ``update_merge_phased`` / the registry's
+    ``stream_update_merge_hourly``).
 
     The sink is the K4 machinery end-to-end: each micro-batch's changed
     windows (|windows × groups| rows, never events) MERGE into a
@@ -394,6 +395,34 @@ def update_merge_counts_once(
     deleted), and returns the result; a production deployment keeps the
     store as the serving table.
     """
+    result, _progress = _update_merge_run(
+        spark,
+        events_path,
+        ts_col,
+        duration,
+        lateness,
+        group_cols or [],
+        max_files_per_trigger,
+        state_partitions,
+    )
+    return result
+
+
+def _update_merge_run(
+    spark: SparkSession,
+    events_path: str,
+    ts_col: str,
+    duration: str,
+    lateness: str,
+    group_cols: list[str],
+    max_files_per_trigger: int | None,
+    state_partitions: int | None,
+) -> tuple[DataFrame, list]:
+    """Shared run loop behind ``update_merge_counts_once`` and
+    ``update_merge_phased``: open the file stream, aggregate in update
+    mode, land every micro-batch through the keyed K4 MERGE, read the
+    final store back. Returns (result, recentProgress list) so phased
+    callers can assert the micro-batch structure."""
     import shutil
     import tempfile
 
@@ -401,7 +430,6 @@ def update_merge_counts_once(
         cdc_merge,
     )
 
-    group_cols = group_cols or []
     stream, ntz_event_time = _open_event_stream(
         spark, events_path, ts_col, max_files_per_trigger
     )
@@ -459,4 +487,105 @@ def update_merge_counts_once(
         result = result.withColumn(
             "window_start", F.col("window_start").cast("timestamp_ntz")
         ).withColumn("window_end", F.col("window_end").cast("timestamp_ntz"))
-    return result
+    return result, list(q.recentProgress)
+
+
+def update_merge_phased(
+    spark: SparkSession,
+    phases: list[DataFrame],
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    lateness: str = "2 hours",
+    group_cols: list[str] | None = None,
+    state_partitions: int | None = 16,
+) -> tuple[DataFrame, dict]:
+    """UPDATE-mode merge replay across a REAL advancing watermark:
+    each phase lands as its own file (strictly increasing mtimes, so
+    the file source's oldest-first ordering is deterministic) and
+    ``maxFilesPerTrigger=1`` makes one micro-batch per phase in a
+    single ``availableNow`` run.
+
+    Cross-batch semantics this pins (and the caller's oracle must
+    model) — empirically verified against Spark 4.1, see the probe
+    test: the late-data filter for windowed aggregation is
+    window-granular (drops a row iff its ``window.end`` ≤ the filter
+    watermark) and uses the watermark LAGGED BY ONE BATCH —
+    SPARK-24634's two-watermark split makes batch i filter with the
+    watermark that was in effect DURING batch i−1, i.e.
+    ``floor_ms(max event time of batches 0..i−2) − lateness`` — while
+    state EVICTION uses the batch's own in-effect watermark
+    (batches 0..i−1). Consequence: a TWO-phase replay never drops
+    anything (batch 1 filters against the pre-run watermark 0);
+    demonstrating a real cross-batch drop needs ≥3 phases, where
+    batch 2 filters against the phase-0 watermark. Survivors merge
+    into the restored window state and update mode re-emits every
+    changed window into the K4 keyed store, so the final store =
+    aggregate over exactly the never-dropped rows (an evicted window
+    keeps its last emitted count in the store).
+
+    Returns (result, stats): stats holds per-batch input-row and
+    late-drop counts, asserted against the constructed phases (one
+    data batch per phase, arrival in phase order) so a silent
+    file-ordering or admission-control change fails loudly instead of
+    hash-mismatching the oracle. Phase sizes come free from the staged
+    files' parquet footers — no extra Spark jobs.
+    """
+    import os as _os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    root = tempfile.mkdtemp(prefix="update_merge_phased_")
+    input_dir = _os.path.join(root, "input")
+    _os.makedirs(input_dir)
+    phase_counts = []
+    try:
+        for i, ph in enumerate(phases):
+            stage = _os.path.join(root, f"stage{i}")
+            ph.coalesce(1).write.parquet(stage)
+            parts = [f for f in _os.listdir(stage) if f.endswith(".parquet")]
+            if len(parts) != 1:
+                raise RuntimeError(
+                    f"phase {i}: expected 1 part file, got {parts}"
+                )
+            dest = _os.path.join(input_dir, f"phase-{i:03d}.parquet")
+            _os.link(_os.path.join(stage, parts[0]), dest)
+            # fixed, strictly increasing mtimes: the file source sorts
+            # unread files oldest-first, so phase order == batch order
+            t = 1_600_000_000 + 60 * i
+            _os.utime(dest, (t, t))
+            phase_counts.append(pq.ParquetFile(dest).metadata.num_rows)
+        result, progress = _update_merge_run(
+            spark,
+            input_dir,
+            ts_col,
+            duration,
+            lateness,
+            group_cols or [],
+            1,  # one file per micro-batch
+            state_partitions,
+        )  # result is already eagerly checkpointed off the temp store
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    data = [p for p in progress if p["numInputRows"] > 0]
+    got_rows = [p["numInputRows"] for p in data]
+    if got_rows != phase_counts:
+        raise RuntimeError(
+            f"update_merge_phased: batches saw {got_rows} input rows but "
+            f"phases hold {phase_counts} — file ordering or admission "
+            "control diverged from the phase construction."
+        )
+    stats = {
+        "data_batches": len(data),
+        "rows_per_batch": got_rows,
+        "rows_dropped": [
+            sum(
+                op.get("numRowsDroppedByWatermark", 0)
+                for op in p.get("stateOperators", [])
+            )
+            for p in data
+        ],
+    }
+    return result, stats

@@ -1,0 +1,63 @@
+"""Round-6 tests: the one-batch-lag late filter in UPDATE-mode phased
+replays, ranking metrics, IVF index reuse, and streaming near-dup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+    update_merge_phased,
+)
+
+
+def _mk_ts_df(spark, *times):
+    return spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, h, m),) for h, m in times], "ts timestamp"
+    )
+
+
+def test_update_merge_phased_late_filter_lags_one_batch(spark):
+    """Pins SPARK-24634's two-watermark split as update_merge_phased
+    documents it: batch i's LATE filter uses the watermark in effect
+    during batch i-1 (data through batch i-2), while EVICTION uses the
+    batch's own watermark. So a late row in batch 1 (phase 2) is still
+    counted — the filter watermark is the pre-run 0 — and an equally
+    late row in batch 2 (phase 3) is dropped against the phase-1
+    watermark."""
+    # phase 1: 10:00 and 12:00 -> in-effect watermark after batch 0 =
+    # 12:00 - 2h = 10:00
+    p1 = _mk_ts_df(spark, (10, 0), (12, 0))
+    # phase 2: 00:30 (window end 01:00 <= 10:00, yet KEPT: filter
+    # watermark for batch 1 is still 0) + fresh 12:30
+    p2 = _mk_ts_df(spark, (0, 30), (12, 30))
+    # phase 3: 01:30 (end 02:00 <= 10:00 -> DROPPED against the
+    # phase-1 watermark) + fresh 13:00
+    p3 = _mk_ts_df(spark, (1, 30), (13, 0))
+    out, stats = update_merge_phased(
+        spark, [p1, p2, p3], lateness="2 hours", group_cols=[]
+    )
+    got = {
+        r["window_start"].hour: r["n_events"]
+        for r in out.collect()
+    }
+    assert stats["data_batches"] == 3
+    assert stats["rows_per_batch"] == [2, 2, 2]
+    # batch 0 and 1 dropped nothing; batch 2 dropped the 01:30 row
+    assert stats["rows_dropped"][0] == 0 and stats["rows_dropped"][1] == 0
+    assert stats["rows_dropped"][2] > 0
+    # 00:30 survived (lagged filter), 01:30 did not
+    assert got == {0: 1, 10: 1, 12: 2, 13: 1}
+
+
+def test_update_merge_phased_guards_batch_structure(spark):
+    """The phase/batch correspondence is asserted, not assumed: the
+    stats report one data batch per phase with the constructed sizes."""
+    p1 = _mk_ts_df(spark, (1, 0), (2, 0), (3, 0))
+    p2 = _mk_ts_df(spark, (4, 0))
+    out, stats = update_merge_phased(
+        spark, [p1, p2], lateness="10 hours", group_cols=[]
+    )
+    assert stats["rows_per_batch"] == [3, 1]
+    assert sum(r["n_events"] for r in out.collect()) == 4
