@@ -557,3 +557,91 @@ def semantic_decontamination(
         [F.col("similarity").desc(), F.col(eval_id_col).asc()],
         1,
     ).drop("rank")
+
+
+def discount_table(k: int) -> list[int]:
+    """Scaled-integer DCG discounts: round(1e6 / log2(rank+1)) for
+    rank 1..k. Built ONCE in Python and inlined as BIGINT literals
+    into both the Spark plan and the DuckDB oracle, so neither
+    engine's log2 is ever consulted — the engine-exact-LSH convention
+    applied to ranking gains (DCG sums are then exact integer
+    arithmetic; only the final dcg/idcg division is float, a single
+    deterministic IEEE op before the 6dp round)."""
+    import math
+
+    return [round(1_000_000 / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def ranking_metrics(
+    exact_topk: DataFrame,
+    candidate_topk: DataFrame,
+    k: int,
+    query_id_col: str = "q_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query retrieval-quality metrics of a candidate ranking
+    against the exact top-k as the binary-relevance truth set — the
+    evaluation an embedding pipeline runs right after building its ANN
+    index and hard negatives (recall@k answers "how much did we
+    lose?"; NDCG/MRR answer "does what we kept rank correctly?").
+
+    - ``ndcg_at_k`` = DCG@k / IDCG, DCG = Σ 1/log2(rank+1) over the
+      candidate's relevant hits, IDCG = the same sum over the first
+      min(k, n_rel) ranks (n_rel from the exact side, so a truncated
+      truth list can't inflate the score).
+    - ``mrr`` = 1 / rank of the first relevant hit (0 when none).
+
+    Inputs are the engine's own ranked outputs (``cosine_topk`` /
+    ``lsh_topk`` / ``ivf_topk`` — any frame with a deterministic
+    ``rank`` column). Shape: one candidate-set-sized equi-join on
+    (query, id) + two bounded group-bys keyed by query — never touches
+    the corpus, so it costs the same at 100 TB as at test SF.
+
+    Determinism: integer discounts (``discount_table``), exact BIGINT
+    DCG sums, single-division floats rounded to 6dp, queries with no
+    relevant hit pinned to rank 0 / 0.0 on both engines.
+    """
+    disc = discount_table(k)
+    prefix = [sum(disc[: i + 1]) for i in range(k)]
+    disc_arr = F.array(*[F.lit(d).cast("long") for d in disc])
+    prefix_arr = F.array(*[F.lit(p).cast("long") for p in prefix])
+
+    rel = exact_topk.select(query_id_col, id_col)
+    n_rel = rel.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    cand = candidate_topk.select(query_id_col, id_col, "rank").where(
+        F.col("rank") <= k
+    )
+    marked = cand.join(
+        rel.withColumn("_is_rel", F.lit(1)), [query_id_col, id_col], "left"
+    )
+    per_q = marked.groupBy(query_id_col).agg(
+        F.sum(
+            F.when(
+                F.col("_is_rel") == 1,
+                F.element_at(disc_arr, F.col("rank").cast("int")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("dcg_scaled"),
+        F.min(F.when(F.col("_is_rel") == 1, F.col("rank")))
+        .cast("long")
+        .alias("_first_rank"),
+    )
+    # totality from the exact side: a query with zero candidates still
+    # reports (0, 0.0) instead of vanishing
+    out = n_rel.join(per_q, query_id_col, "left")
+    dcg = F.coalesce(F.col("dcg_scaled"), F.lit(0)).cast("long")
+    first = F.coalesce(F.col("_first_rank"), F.lit(0)).cast("long")
+    idcg = F.element_at(prefix_arr, F.least(F.col("n_rel"), F.lit(k)).cast("int"))
+    return out.select(
+        query_id_col,
+        F.col("n_rel"),
+        dcg.alias("dcg_scaled"),
+        first.alias("first_rel_rank"),
+        F.when(first > 0, F.round(F.lit(1.0) / first, 6))
+        .otherwise(F.lit(0.0))
+        .alias("mrr"),
+        F.round(dcg.cast("double") / idcg.cast("double"), 6).alias("ndcg_at_k"),
+    )

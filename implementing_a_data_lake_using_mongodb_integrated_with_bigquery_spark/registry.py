@@ -5019,7 +5019,12 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_ann_recall() -> str:
+def _ann_eval_ctes() -> str:
+    """Shared DuckDB CTE block for the ANN evaluation oracles: exact
+    brute-force top-5 and the integer-exact sign-LSH multi-probe top-5
+    (both with their deterministic rank), for queries vec_id < 8 —
+    mirrors the Spark side's cosine_topk / lsh_topk(n_planes=4,
+    dim=64) exactly."""
     from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
         hyperplanes,
     )
@@ -5037,7 +5042,7 @@ exact_scored AS (
   FROM embeddings e CROSS JOIN q
 ),
 exact_top AS (
-  SELECT q_id, vec_id FROM (
+  SELECT q_id, vec_id, rank FROM (
     SELECT q_id, vec_id,
            row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id ASC) AS rank
     FROM exact_scored
@@ -5073,12 +5078,18 @@ cand AS (
   FROM coded c JOIN probes p USING (code)
 ),
 approx_top AS (
-  SELECT q_id, vec_id FROM (
+  SELECT q_id, vec_id, rank FROM (
     SELECT q_id, vec_id,
            row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id ASC) AS rank
     FROM cand
   ) WHERE rank <= 5
-),
+)"""
+
+
+def _oracle_ann_recall() -> str:
+    return (
+        _ann_eval_ctes()
+        + """,
 hits AS (
   SELECT a.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
   FROM approx_top a JOIN exact_top e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
@@ -5088,10 +5099,78 @@ SELECT q.q_id, COALESCE(h2.n_hits, 0) AS n_hits,
        round(COALESCE(h2.n_hits, 0) / 5.0, 6) AS recall_at_5
 FROM q LEFT JOIN hits h2 ON q.q_id = h2.q_id
 """
+    )
 
 
 QUERIES["ann_recall_eval"] = q_ann_recall_eval
 ORACLES["ann_recall_eval"] = _oracle_ann_recall()
+
+
+def q_ann_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 + MRR of the sign-LSH multi-probe ranking against the
+    exact brute-force top-5 (operators.similarity.ranking_metrics) —
+    the ranking-quality companion to ann_recall_eval's set-overlap
+    recall: same truth set, but graded by WHERE the hits landed.
+    Scaled-integer log2 discounts are built once in Python and inlined
+    into both engines, so DCG is exact BIGINT arithmetic end to end."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+        ranking_metrics,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = cosine_topk(emb, q, k=5)
+    approx = lsh_topk(emb, q, k=5, n_planes=4, dim=64)
+    return ranking_metrics(exact, approx, k=5).withColumnRenamed(
+        "ndcg_at_k", "ndcg_at_5"
+    )
+
+
+def _oracle_ann_ranking() -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        discount_table,
+    )
+
+    disc = discount_table(5)
+    prefix = [sum(disc[: i + 1]) for i in range(5)]
+    disc_lit = "[" + ", ".join(str(d) for d in disc) + "]"
+    prefix_lit = "[" + ", ".join(str(p) for p in prefix) + "]"
+    return (
+        _ann_eval_ctes()
+        + f""",
+n_rel AS (
+  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM exact_top GROUP BY 1),
+marked AS (
+  SELECT a.q_id, a.rank,
+         CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+  FROM approx_top a
+  LEFT JOIN exact_top e ON a.q_id = e.q_id AND a.vec_id = e.vec_id),
+per_q AS (
+  SELECT q_id,
+         CAST(SUM(CASE WHEN is_rel = 1 THEN ({disc_lit})[rank]
+                       ELSE 0 END) AS BIGINT) AS dcg_scaled,
+         MIN(CASE WHEN is_rel = 1 THEN rank END) AS first_rank
+  FROM marked GROUP BY 1)
+SELECT n.q_id, n.n_rel,
+       COALESCE(p.dcg_scaled, 0) AS dcg_scaled,
+       CAST(COALESCE(p.first_rank, 0) AS BIGINT) AS first_rel_rank,
+       CASE WHEN COALESCE(p.first_rank, 0) > 0
+            THEN round(CAST(1.0 AS DOUBLE) / p.first_rank, 6)
+            ELSE 0.0 END AS mrr,
+       round(CAST(COALESCE(p.dcg_scaled, 0) AS DOUBLE)
+             / CAST(({prefix_lit})[LEAST(n.n_rel, 5)] AS DOUBLE), 6)
+         AS ndcg_at_5
+FROM n_rel n LEFT JOIN per_q p ON n.q_id = p.q_id
+"""
+    )
+
+
+QUERIES["ann_ranking_quality"] = q_ann_ranking_quality
+ORACLES["ann_ranking_quality"] = _oracle_ann_ranking()
 
 
 def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

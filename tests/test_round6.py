@@ -61,3 +61,39 @@ def test_update_merge_phased_guards_batch_structure(spark):
     )
     assert stats["rows_per_batch"] == [3, 1]
     assert sum(r["n_events"] for r in out.collect()) == 4
+
+
+def test_ranking_metrics_hand_case(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        discount_table,
+        ranking_metrics,
+    )
+
+    disc = discount_table(3)
+    exact = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+         ("q2", "a", 1), ("q2", "b", 2), ("q2", "c", 3),
+         ("q3", "a", 1), ("q3", "b", 2)],  # truncated truth: n_rel=2
+        ["q_id", "vec_id", "rank"],
+    )
+    cand = spark.createDataFrame(
+        [("q1", "b", 1), ("q1", "x", 2), ("q1", "a", 3),
+         ("q2", "x", 1), ("q2", "y", 2), ("q2", "z", 3),
+         ("q3", "b", 1), ("q3", "a", 2)],
+        ["q_id", "vec_id", "rank"],
+    )
+    out = {r["q_id"]: r for r in ranking_metrics(exact, cand, k=3).collect()}
+    # q1: hits at candidate ranks 1 and 3
+    assert out["q1"]["dcg_scaled"] == disc[0] + disc[2]
+    assert out["q1"]["first_rel_rank"] == 1 and out["q1"]["mrr"] == 1.0
+    assert out["q1"]["ndcg_at_k"] == round(
+        (disc[0] + disc[2]) / sum(disc), 6
+    )
+    # q2: no relevant hit -> zeros
+    assert out["q2"]["dcg_scaled"] == 0
+    assert out["q2"]["first_rel_rank"] == 0
+    assert out["q2"]["mrr"] == 0.0 and out["q2"]["ndcg_at_k"] == 0.0
+    # q3: perfect 2-item ranking against a 2-item truth -> IDCG uses
+    # min(k, n_rel)=2, so ndcg is exactly 1
+    assert out["q3"]["n_rel"] == 2
+    assert out["q3"]["ndcg_at_k"] == 1.0 and out["q3"]["mrr"] == 1.0
