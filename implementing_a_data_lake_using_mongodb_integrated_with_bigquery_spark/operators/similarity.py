@@ -219,6 +219,46 @@ def _sq_euclidean(a, b):
     )
 
 
+def _ivf_probe_topk(
+    assigned: DataFrame,
+    cent: DataFrame,
+    query_ids: list[int],
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared multi-probe search over an assigned corpus + centroid
+    table: rank all centroids per query (|queries| × n_clusters rows),
+    scan the ``nprobe`` nearest inverted lists, exact-rerank
+    candidates. The probe map broadcasts; the corpus side only ever
+    sees an equi-join on its cluster id."""
+    q = assigned.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
+    )
+    ranked = q.crossJoin(F.broadcast(cent)).select(
+        "q_id",
+        "q_emb",
+        F.col("centroid_id"),
+        _sq_euclidean(F.col("q_emb").cast("array<double>"), F.col("centroid")).alias(
+            "_dist"
+        ),
+    )
+    probes = top_k_per_group(
+        ranked, ["q_id"], [F.col("_dist").asc(), F.col("centroid_id").asc()], nprobe
+    ).select("q_id", "q_emb", F.col("centroid_id").alias("ivf_cluster"))
+    scored = assigned.join(F.broadcast(probes), on="ivf_cluster").select(
+        "q_id",
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("q_emb")), 6).alias(
+            "similarity"
+        ),
+    )
+    return top_k_per_group(
+        scored, ["q_id"], [F.col("similarity").desc(), F.col(id_col).asc()], k
+    )
+
+
 def ivf_topk_learned(
     corpus: DataFrame,
     query_ids: list[int],
@@ -236,7 +276,9 @@ def ivf_topk_learned(
     Cost is nprobe/n_clusters of a full scan; recall rises steeply with
     nprobe (a query's true neighbors concentrate in its few nearest
     cells). The returned similarities are EXACT cosine values of the
-    returned neighbors — verification is built into the rerank."""
+    returned neighbors — verification is built into the rerank.
+    For the build-once / probe-many operating mode, use
+    ``persist_ivf_index`` + ``ivf_topk_from_index`` instead."""
     spark = corpus.sparkSession
     assigned, centers = build_ivf_index(
         corpus, n_clusters, id_col, vec_col, sample_fraction=sample_fraction
@@ -247,11 +289,65 @@ def ivf_topk_learned(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "centroid_id int, centroid array<double>",
     )
+    return _ivf_probe_topk(assigned, cent, query_ids, k, nprobe, id_col, vec_col)
+
+
+def persist_ivf_index(
+    corpus: DataFrame,
+    root: str,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> None:
+    """Build the IVF index ONCE and persist it: the assigned corpus is
+    written partitioned by ``ivf_cluster`` (each inverted list is its
+    own partition directory, so probes prune files), the centroid
+    table beside it. This is the 100 TB operating mode — the quantizer
+    trains and the corpus re-writes exactly once; every subsequent
+    query probes the stored layout and never re-runs Lloyd or the
+    assignment scan. Everything written is deterministic
+    (content-defined sample, driver-side float64 Lloyd, literal-argmin
+    assignment), so the index is reproducible byte-for-value."""
+    import os as _os
+
+    assigned, centers = build_ivf_index(
+        corpus, n_clusters, id_col, vec_col, sample_fraction=sample_fraction
+    )
+    assigned.write.partitionBy("ivf_cluster").mode("overwrite").parquet(
+        _os.path.join(root, "assigned")
+    )
+    corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "centroid_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(_os.path.join(root, "centroids"))
+
+
+def ivf_topk_from_index(
+    spark,
+    root: str,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe ANN over a PERSISTED IVF index (``persist_ivf_index``):
+    load the centroid table, pick each query's ``nprobe`` nearest
+    cells, and scan only those inverted-list partitions. The probed
+    cell ids are collected to the driver (≤ |queries|·nprobe ints —
+    bounded probe metadata, not data) and applied as a literal ``isin``
+    filter, so the parquet source STATICALLY prunes every unprobed
+    partition directory — the scan reads nprobe/n_clusters of the
+    corpus files, which is the entire point of the inverted-file
+    layout at scale."""
+    import os as _os
+
+    assigned = spark.read.parquet(_os.path.join(root, "assigned"))
+    cent = spark.read.parquet(_os.path.join(root, "centroids"))
     q = assigned.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
     )
-    # rank all centroids per query (|queries| × n_clusters rows), keep
-    # the nprobe nearest — the probe map (q_id, cluster, q_emb)
     ranked = q.crossJoin(F.broadcast(cent)).select(
         "q_id",
         "q_emb",
@@ -263,7 +359,11 @@ def ivf_topk_learned(
     probes = top_k_per_group(
         ranked, ["q_id"], [F.col("_dist").asc(), F.col("centroid_id").asc()], nprobe
     ).select("q_id", "q_emb", F.col("centroid_id").alias("ivf_cluster"))
-    scored = assigned.join(F.broadcast(probes), on="ivf_cluster").select(
+    probed_cells = sorted(
+        {r["ivf_cluster"] for r in probes.select("ivf_cluster").distinct().collect()}
+    )
+    pruned = assigned.filter(F.col("ivf_cluster").isin(probed_cells))
+    scored = pruned.join(F.broadcast(probes), on="ivf_cluster").select(
         "q_id",
         F.col(id_col),
         F.round(cosine_similarity(F.col(vec_col), F.col("q_emb")), 6).alias(

@@ -97,3 +97,37 @@ def test_ranking_metrics_hand_case(spark):
     # min(k, n_rel)=2, so ndcg is exactly 1
     assert out["q3"]["n_rel"] == 2
     assert out["q3"]["ndcg_at_k"] == 1.0 and out["q3"]["mrr"] == 1.0
+
+
+def test_ivf_index_persist_probe_parity(spark, sf_dir, tmp_path):
+    """The persisted index probes to exactly the same result as the
+    in-memory build, and the probe plan statically prunes unprobed
+    inverted-list partitions."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        ivf_topk_from_index,
+        ivf_topk_learned,
+        persist_ivf_index,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "ivf")
+    persist_ivf_index(emb, root, n_clusters=16, sample_fraction=0.5)
+    live = ivf_topk_learned(
+        emb, query_ids=[0, 1, 2], k=5, nprobe=4, sample_fraction=0.5
+    )
+    stored = ivf_topk_from_index(spark, root, query_ids=[0, 1, 2], k=5, nprobe=4)
+    key = lambda r: (r["q_id"], r["rank"])
+    a = sorted(
+        ((r["q_id"], r["rank"], r["vec_id"], r["similarity"]) for r in live.collect())
+    )
+    b = sorted(
+        ((r["q_id"], r["rank"], r["vec_id"], r["similarity"]) for r in stored.collect())
+    )
+    assert a == b and len(a) == 15
+    # static partition pruning: the literal isin over the partition
+    # column must reach the scan as a partition filter
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan
