@@ -230,6 +230,28 @@ def minhash_exprs(num_hashes: int, sh_col: str = "sh") -> list:
     return [_minhash_expr(j, sh_col) for j in range(num_hashes)]
 
 
+def band_table(
+    docs: DataFrame, num_hashes: int, bands: int, out: str = "doc"
+) -> DataFrame:
+    """(out, band_val) banded-MinHash index rows for a shingle table —
+    the persistable index unit: band key = xxhash64 of each band's r =
+    num_hashes/bands minhashes. Shared by ``incremental_dedup`` and the
+    streaming ``dedup_stream.incremental_dedup_stream`` (which appends
+    admitted documents' band rows to a stored index between
+    micro-batches)."""
+    r = num_hashes // bands
+    assert r * bands == num_hashes, "bands must divide num_hashes"
+    sig = docs.select(
+        "doc", *[e.alias(f"mh{j}") for j, e in enumerate(minhash_exprs(num_hashes))]
+    )
+    keys = [
+        F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]) for b in range(bands)
+    ]
+    return sig.select(
+        F.col("doc").alias(out), F.explode(F.array(*keys)).alias("band_val")
+    )
+
+
 def minhash_banded_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -351,27 +373,11 @@ def incremental_dedup(
     Same r=2/b=16 recall-≈1 banding argument as
     ``minhash_banded_pairs``, so the exact-Jaccard SQL twin is the
     oracle."""
-    r = num_hashes // bands
-    assert r * bands == num_hashes, "bands must divide num_hashes"
     ex = _shingle_table(existing, id_col, text_col, n)
     inc = _shingle_table(incoming, id_col, text_col, n)
-
-    def banded(docs: DataFrame, out: str) -> DataFrame:
-        sig = docs.select(
-            "doc",
-            *[e.alias(f"mh{j}") for j, e in enumerate(minhash_exprs(num_hashes))],
-        )
-        keys = [
-            F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
-            for b in range(bands)
-        ]
-        return sig.select(
-            F.col("doc").alias(out), F.explode(F.array(*keys)).alias("band_val")
-        )
-
     cand = (
-        banded(inc, "d1")
-        .join(banded(ex, "d2"), "band_val")
+        band_table(inc, num_hashes, bands, "d1")
+        .join(band_table(ex, num_hashes, bands, "d2"), "band_val")
         .select("d1", "d2")
         .dropDuplicates(["d1", "d2"])
     )

@@ -4996,6 +4996,86 @@ QUERIES["incremental_dedup"] = q_incremental_dedup
 ORACLES["incremental_dedup"] = ORACLE_INCREMENTAL_DEDUP
 
 
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-native accreting near-dup dedup
+    (streaming.dedup_stream.incremental_dedup_stream): two document
+    micro-batches (doc_id % 10 ∈ {6,7} then {8,9}) replay against a
+    PERSISTED corpus band index (doc_id % 10 < 6); each batch's novel
+    docs join the index before the next batch, so a phase-2 doc can be
+    a dup of a phase-1 NOVEL doc but never of a phase-1 rejected one.
+    The oracle replays the same accretion sequentially in exact-Jaccard
+    SQL (r=2/b=16 recall ≈ 1, the incremental_dedup argument)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.dedup_stream import (
+        incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.pmod("doc_id", F.lit(10))
+    out, stats = incremental_dedup_stream(
+        spark,
+        docs.filter(m < 6),
+        [docs.filter(m.isin(6, 7)), docs.filter(m.isin(8, 9))],
+        threshold=0.5,
+    )
+    if stats["data_batches"] != 2:
+        raise RuntimeError(f"expected 2 micro-batches, got {stats}")
+    return out
+
+
+# Sequential accretion modeled phase by phase: phase 1 (6,7) screens
+# the corpus (<6) only; phase 2 (8,9) screens corpus ∪ phase-1 NOVEL
+# docs. dup_of = smallest matching index id; docs shorter than 3
+# tokens never shingle and never enter the index (both engines).
+ORACLE_STREAM_INCREMENTAL_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 10 >= 6 AND b.doc_id % 10 < 8
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT d1, d2,
+         round(shared / (s1.n_sh + s2.n_sh - shared), 6) AS jaccard
+  FROM shared JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE round(shared / (s1.n_sh + s2.n_sh - shared), 6) >= 0.5
+),
+best1 AS (
+  SELECT d1, MIN(d2) AS dup_of FROM ver
+  WHERE d1 % 10 IN (6, 7) AND d2 % 10 < 6 GROUP BY d1
+),
+novel1 AS (
+  SELECT doc_id FROM toks
+  WHERE len(t) >= 3 AND doc_id % 10 IN (6, 7)
+    AND doc_id NOT IN (SELECT d1 FROM best1)
+),
+best2 AS (
+  SELECT d1, MIN(d2) AS dup_of FROM ver
+  WHERE d1 % 10 IN (8, 9)
+    AND (d2 % 10 < 6 OR d2 IN (SELECT doc_id FROM novel1))
+  GROUP BY d1
+),
+best AS (SELECT * FROM best1 UNION ALL SELECT * FROM best2),
+bestj AS (
+  SELECT b.d1, b.dup_of, v.jaccard
+  FROM best b JOIN ver v ON v.d1 = b.d1 AND v.d2 = b.dup_of
+),
+inc AS (
+  SELECT doc_id FROM toks WHERE len(t) >= 3 AND doc_id % 10 >= 6
+)
+SELECT i.doc_id, bj.dup_of IS NULL AS is_novel, bj.dup_of, bj.jaccard
+FROM inc i LEFT JOIN bestj bj ON bj.d1 = i.doc_id
+"""
+
+QUERIES["stream_incremental_dedup"] = q_stream_incremental_dedup
+ORACLES["stream_incremental_dedup"] = ORACLE_STREAM_INCREMENTAL_DEDUP
+
+
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality-eval harness: recall@5 of the sign-LSH bucketed path
     (operators.similarity.lsh_topk) against the exact brute-force

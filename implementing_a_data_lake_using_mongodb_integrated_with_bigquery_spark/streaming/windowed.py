@@ -534,28 +534,15 @@ def update_merge_phased(
     import shutil
     import tempfile
 
-    import pyarrow.parquet as pq
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.phasing import (
+        check_batch_structure,
+        stage_phase_files,
+    )
 
     root = tempfile.mkdtemp(prefix="update_merge_phased_")
     input_dir = _os.path.join(root, "input")
-    _os.makedirs(input_dir)
-    phase_counts = []
     try:
-        for i, ph in enumerate(phases):
-            stage = _os.path.join(root, f"stage{i}")
-            ph.coalesce(1).write.parquet(stage)
-            parts = [f for f in _os.listdir(stage) if f.endswith(".parquet")]
-            if len(parts) != 1:
-                raise RuntimeError(
-                    f"phase {i}: expected 1 part file, got {parts}"
-                )
-            dest = _os.path.join(input_dir, f"phase-{i:03d}.parquet")
-            _os.link(_os.path.join(stage, parts[0]), dest)
-            # fixed, strictly increasing mtimes: the file source sorts
-            # unread files oldest-first, so phase order == batch order
-            t = 1_600_000_000 + 60 * i
-            _os.utime(dest, (t, t))
-            phase_counts.append(pq.ParquetFile(dest).metadata.num_rows)
+        phase_counts = stage_phase_files(phases, input_dir)
         result, progress = _update_merge_run(
             spark,
             input_dir,
@@ -569,17 +556,10 @@ def update_merge_phased(
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
-    data = [p for p in progress if p["numInputRows"] > 0]
-    got_rows = [p["numInputRows"] for p in data]
-    if got_rows != phase_counts:
-        raise RuntimeError(
-            f"update_merge_phased: batches saw {got_rows} input rows but "
-            f"phases hold {phase_counts} — file ordering or admission "
-            "control diverged from the phase construction."
-        )
+    data = check_batch_structure(progress, phase_counts, "update_merge_phased")
     stats = {
         "data_batches": len(data),
-        "rows_per_batch": got_rows,
+        "rows_per_batch": [p["numInputRows"] for p in data],
         "rows_dropped": [
             sum(
                 op.get("numRowsDroppedByWatermark", 0)

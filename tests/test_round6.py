@@ -131,3 +131,40 @@ def test_ivf_index_persist_probe_parity(spark, sf_dir, tmp_path):
     # column must reach the scan as a partition filter
     plan = stored._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ivf_cluster" in plan
+
+
+def test_incremental_dedup_stream_matches_sequential_batch(spark, sf_dir):
+    """Stream == batch parity: the accreting stream over two
+    micro-batches must equal composing the batch operator sequentially
+    (phase 2 screened against corpus ∪ phase-1 novels)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        incremental_dedup,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.tables import (
+        load_table,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.dedup_stream import (
+        incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.pmod("doc_id", F.lit(10))
+    corpus, p1, p2 = docs.filter(m < 6), docs.filter(m.isin(6, 7)), docs.filter(m.isin(8, 9))
+
+    streamed, stats = incremental_dedup_stream(spark, corpus, [p1, p2])
+    assert stats["data_batches"] == 2
+
+    v1 = incremental_dedup(corpus, p1)
+    novel1 = p1.join(
+        v1.filter("is_novel").select("doc_id"), "doc_id"
+    )
+    v2 = incremental_dedup(corpus.unionByName(novel1), p2)
+    expected = {
+        (r["doc_id"], r["is_novel"], r["dup_of"], r["jaccard"])
+        for r in v1.collect() + v2.collect()
+    }
+    got = {
+        (r["doc_id"], r["is_novel"], r["dup_of"], r["jaccard"])
+        for r in streamed.collect()
+    }
+    assert got == expected and len(got) > 0
