@@ -383,31 +383,45 @@ def triangle_count(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     wedge apex whose closing edge exists in the orientation).
 
     Returns one row: n_nodes, n_edges, n_triangles (all bigint).
-    Plan: 2 shuffles to canonicalize + degree-join, one wedge
-    self-join co-partitioned on src, one closing equi-join on
-    (v, w) — all key-partitioned, nothing driver-side.
+    Plan: canonicalize (1 shuffle), single-pass degree decoration —
+    each edge's two directed copies get their endpoint degree from a
+    window count (no dim join), one regroup by the canonical pair
+    brings both degrees together (2 shuffles where the former
+    agg + join(a) + join(b) formulation needed 3) — then one wedge
+    self-join co-partitioned on src and one closing equi-join on
+    (v, w). All key-partitioned, nothing driver-side.
     """
+    from pyspark.sql import Window
+
     e = edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y")).where(
         F.col("x") != F.col("y")
     )
-    # canon feeds three consumers (degrees, orientation, edge count) and
-    # oriented feeds three more (both wedge sides + the closing join):
-    # materialize each ONCE so the dedup/decorate work isn't re-executed
-    # per consumer (the 2a9cd5e curation-composite lesson)
+    # canon feeds three consumers (decoration via both directed copies,
+    # edge count) and oriented feeds three more (both wedge sides + the
+    # closing join): materialize each ONCE so the dedup/decorate work
+    # isn't re-executed per consumer (the 2a9cd5e curation-composite
+    # lesson)
     canon = (
         e.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = (
-        canon.select(F.col("a").alias("n"))
-        .unionAll(canon.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("deg"))
+    dir_edges = canon.select(
+        F.col("a").alias("n"), F.col("b").alias("other")
+    ).unionAll(canon.select(F.col("b").alias("n"), F.col("a").alias("other")))
+    decorated = dir_edges.withColumn(
+        "deg_n", F.count(F.lit(1)).over(Window.partitionBy("n"))
     )
-    withdeg = canon.join(
-        deg.select(F.col("n").alias("a"), F.col("deg").alias("da")), "a"
-    ).join(deg.select(F.col("n").alias("b"), F.col("deg").alias("db")), "b")
+    withdeg = decorated.groupBy(
+        F.least("n", "other").alias("a"), F.greatest("n", "other").alias("b")
+    ).agg(
+        F.max(
+            F.when(F.col("n") == F.least("n", "other"), F.col("deg_n"))
+        ).alias("da"),
+        F.max(
+            F.when(F.col("n") == F.greatest("n", "other"), F.col("deg_n"))
+        ).alias("db"),
+    )
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
@@ -430,5 +444,7 @@ def triangle_count(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     )
     counts = canon.agg(
         F.count(F.lit(1)).cast("long").alias("n_edges"),
-    ).crossJoin(deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+    ).crossJoin(
+        dir_edges.agg(F.count_distinct("n").cast("long").alias("n_nodes"))
+    )
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
