@@ -690,6 +690,11 @@ def ranking_metrics(
       min(k, n_rel) ranks (n_rel from the exact side, so a truncated
       truth list can't inflate the score).
     - ``mrr`` = 1 / rank of the first relevant hit (0 when none).
+    - ``avg_prec_at_k`` (MAP component) = (1/min(k, n_rel)) ·
+      Σ precision@i over relevant candidate ranks i. Exact by
+      construction: precision@i = hits_i/i is scaled by L = lcm(1..k),
+      so hits_i·(L/i) is an exact BIGINT and only the final division
+      is float.
 
     Inputs are the engine's own ranked outputs (``cosine_topk`` /
     ``lsh_topk`` / ``ivf_topk`` — any frame with a deterministic
@@ -701,10 +706,16 @@ def ranking_metrics(
     DCG sums, single-division floats rounded to 6dp, queries with no
     relevant hit pinned to rank 0 / 0.0 on both engines.
     """
+    import math
+
+    from pyspark.sql import Window
+
     disc = discount_table(k)
     prefix = [sum(disc[: i + 1]) for i in range(k)]
     disc_arr = F.array(*[F.lit(d).cast("long") for d in disc])
     prefix_arr = F.array(*[F.lit(p).cast("long") for p in prefix])
+    ap_lcm = math.lcm(*range(1, k + 1))
+    inv_arr = F.array(*[F.lit(ap_lcm // i).cast("long") for i in range(1, k + 1)])
 
     rel = exact_topk.select(query_id_col, id_col)
     n_rel = rel.groupBy(query_id_col).agg(
@@ -713,9 +724,14 @@ def ranking_metrics(
     cand = candidate_topk.select(query_id_col, id_col, "rank").where(
         F.col("rank") <= k
     )
+    wcum = (
+        Window.partitionBy(query_id_col)
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     marked = cand.join(
         rel.withColumn("_is_rel", F.lit(1)), [query_id_col, id_col], "left"
-    )
+    ).withColumn("_hits", F.sum(F.coalesce("_is_rel", F.lit(0))).over(wcum))
     per_q = marked.groupBy(query_id_col).agg(
         F.sum(
             F.when(
@@ -725,6 +741,14 @@ def ranking_metrics(
         )
         .cast("long")
         .alias("dcg_scaled"),
+        F.sum(
+            F.when(
+                F.col("_is_rel") == 1,
+                F.col("_hits") * F.element_at(inv_arr, F.col("rank").cast("int")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("ap_scaled"),
         F.min(F.when(F.col("_is_rel") == 1, F.col("rank")))
         .cast("long")
         .alias("_first_rank"),
@@ -733,15 +757,19 @@ def ranking_metrics(
     # reports (0, 0.0) instead of vanishing
     out = n_rel.join(per_q, query_id_col, "left")
     dcg = F.coalesce(F.col("dcg_scaled"), F.lit(0)).cast("long")
+    ap = F.coalesce(F.col("ap_scaled"), F.lit(0)).cast("long")
     first = F.coalesce(F.col("_first_rank"), F.lit(0)).cast("long")
     idcg = F.element_at(prefix_arr, F.least(F.col("n_rel"), F.lit(k)).cast("int"))
+    ap_denom = (F.lit(ap_lcm) * F.least(F.col("n_rel"), F.lit(k))).cast("double")
     return out.select(
         query_id_col,
         F.col("n_rel"),
         dcg.alias("dcg_scaled"),
+        ap.alias("ap_scaled"),
         first.alias("first_rel_rank"),
         F.when(first > 0, F.round(F.lit(1.0) / first, 6))
         .otherwise(F.lit(0.0))
         .alias("mrr"),
         F.round(dcg.cast("double") / idcg.cast("double"), 6).alias("ndcg_at_k"),
+        F.round(ap.cast("double") / ap_denom, 6).alias("avg_prec_at_k"),
     )

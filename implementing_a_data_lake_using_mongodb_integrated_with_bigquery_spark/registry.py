@@ -5218,8 +5218,10 @@ def q_ann_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = cosine_topk(emb, q, k=5)
     approx = lsh_topk(emb, q, k=5, n_planes=4, dim=64)
-    return ranking_metrics(exact, approx, k=5).withColumnRenamed(
-        "ndcg_at_k", "ndcg_at_5"
+    return (
+        ranking_metrics(exact, approx, k=5)
+        .withColumnRenamed("ndcg_at_k", "ndcg_at_5")
+        .withColumnRenamed("avg_prec_at_k", "avg_prec_at_5")
     )
 
 
@@ -5228,10 +5230,14 @@ def _oracle_ann_ranking() -> str:
         discount_table,
     )
 
+    import math
+
     disc = discount_table(5)
     prefix = [sum(disc[: i + 1]) for i in range(5)]
+    ap_lcm = math.lcm(1, 2, 3, 4, 5)
     disc_lit = "[" + ", ".join(str(d) for d in disc) + "]"
     prefix_lit = "[" + ", ".join(str(p) for p in prefix) + "]"
+    inv_lit = "[" + ", ".join(str(ap_lcm // i) for i in range(1, 6)) + "]"
     return (
         _ann_eval_ctes()
         + f""",
@@ -5242,21 +5248,32 @@ marked AS (
          CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
   FROM approx_top a
   LEFT JOIN exact_top e ON a.q_id = e.q_id AND a.vec_id = e.vec_id),
+cum AS (
+  SELECT q_id, rank, is_rel,
+         SUM(is_rel) OVER (PARTITION BY q_id ORDER BY rank
+                           ROWS UNBOUNDED PRECEDING) AS hits
+  FROM marked),
 per_q AS (
   SELECT q_id,
          CAST(SUM(CASE WHEN is_rel = 1 THEN ({disc_lit})[rank]
                        ELSE 0 END) AS BIGINT) AS dcg_scaled,
+         CAST(SUM(CASE WHEN is_rel = 1 THEN hits * ({inv_lit})[rank]
+                       ELSE 0 END) AS BIGINT) AS ap_scaled,
          MIN(CASE WHEN is_rel = 1 THEN rank END) AS first_rank
-  FROM marked GROUP BY 1)
+  FROM cum GROUP BY 1)
 SELECT n.q_id, n.n_rel,
        COALESCE(p.dcg_scaled, 0) AS dcg_scaled,
+       COALESCE(p.ap_scaled, 0) AS ap_scaled,
        CAST(COALESCE(p.first_rank, 0) AS BIGINT) AS first_rel_rank,
        CASE WHEN COALESCE(p.first_rank, 0) > 0
             THEN round(CAST(1.0 AS DOUBLE) / p.first_rank, 6)
             ELSE 0.0 END AS mrr,
        round(CAST(COALESCE(p.dcg_scaled, 0) AS DOUBLE)
              / CAST(({prefix_lit})[LEAST(n.n_rel, 5)] AS DOUBLE), 6)
-         AS ndcg_at_5
+         AS ndcg_at_5,
+       round(CAST(COALESCE(p.ap_scaled, 0) AS DOUBLE)
+             / CAST({ap_lcm} * LEAST(n.n_rel, 5) AS DOUBLE), 6)
+         AS avg_prec_at_5
 FROM n_rel n LEFT JOIN per_q p ON n.q_id = p.q_id
 """
     )
@@ -8543,3 +8560,99 @@ ORDER BY chi2 DESC, tok ASC, source ASC LIMIT 20
 
 QUERIES["discriminative_tokens"] = q_discriminative_tokens
 ORACLES["discriminative_tokens"] = ORACLE_DISCRIMINATIVE
+
+
+def q_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape adapted to the lake's schema (no partsupp table):
+    the nested IN chain — suppliers who, for SOME red-prefixed part,
+    shipped more than 50 scaled units in 1996 — lowered the way
+    Catalyst decorrelates it: the part filter broadcast-semi-joins
+    into the lineitem scan, the grouped HAVING aggregate runs once,
+    and the outer IN becomes a left-semi join against the aggregated
+    supplier keys. The HAVING threshold compares a SCALED-BIGINT
+    quantity sum (the float-SUM boundary rule)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    red = p.filter(F.col("p_name").like("red%")).select("p_partkey")
+    hot = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(red), l.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("_q"))
+        .filter(F.col("_q") > 5000)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return s.join(hot, "s_suppkey", "left_semi").select("s_suppkey", "s_name")
+
+
+ORACLE_EXCESS_VOLUME = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 5000
+)
+"""
+
+QUERIES["excess_volume_suppliers"] = q_excess_volume_suppliers
+ORACLES["excess_volume_suppliers"] = ORACLE_EXCESS_VOLUME
+
+
+def q_null_safe_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (`<=>` / IS NOT DISTINCT FROM) through a
+    FULL OUTER join — the reconciliation shape a partially-keyed
+    dimension forces: per-(source, language) document counts of the
+    even and odd corpus halves compared, with 'en' mapped to NULL so
+    missing-key groups must still pair up (plain `=` would orphan
+    every NULL group into two dangling outer rows). Exercises
+    eqNullSafe join keys + full-outer coalesced key projection."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.nullif(F.col("lang"), F.lit("en")).alias("lang_key")
+    halves = [
+        d.filter(F.pmod("doc_id", F.lit(2)) == i)
+        .groupBy(F.col("source").alias(f"src{i}"), key)
+        .agg(F.count(F.lit(1)).cast("long").alias(f"n{i}"))
+        .withColumnRenamed("lang_key", f"lk{i}")
+        for i in (0, 1)
+    ]
+    a, b = halves
+    joined = a.join(
+        b,
+        (F.col("src0") == F.col("src1")) & F.col("lk0").eqNullSafe(F.col("lk1")),
+        "full",
+    )
+    return joined.select(
+        F.coalesce("src0", "src1").alias("source"),
+        F.coalesce("lk0", "lk1").alias("lang_key"),
+        F.coalesce("n0", F.lit(0)).cast("long").alias("n_even"),
+        F.coalesce("n1", F.lit(0)).cast("long").alias("n_odd"),
+    )
+
+
+ORACLE_NULL_SAFE_RECONCILE = """
+WITH a AS (
+  SELECT source AS src0, nullif(lang, 'en') AS lk0,
+         CAST(COUNT(*) AS BIGINT) AS n0
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+b AS (
+  SELECT source AS src1, nullif(lang, 'en') AS lk1,
+         CAST(COUNT(*) AS BIGINT) AS n1
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2)
+SELECT COALESCE(src0, src1) AS source,
+       COALESCE(lk0, lk1) AS lang_key,
+       COALESCE(n0, 0) AS n_even,
+       COALESCE(n1, 0) AS n_odd
+FROM a FULL JOIN b
+  ON a.src0 = b.src1 AND a.lk0 IS NOT DISTINCT FROM b.lk1
+"""
+
+QUERIES["null_safe_reconcile"] = q_null_safe_reconcile
+ORACLES["null_safe_reconcile"] = ORACLE_NULL_SAFE_RECONCILE

@@ -97,6 +97,13 @@ def test_ranking_metrics_hand_case(spark):
     # min(k, n_rel)=2, so ndcg is exactly 1
     assert out["q3"]["n_rel"] == 2
     assert out["q3"]["ndcg_at_k"] == 1.0 and out["q3"]["mrr"] == 1.0
+    # average precision: L = lcm(1..3) = 6; q1 hits at ranks 1 and 3
+    # (hits=1, 2) -> ap_scaled = 1*6 + 2*2 = 10, AP = 10/(6*3)
+    assert out["q1"]["ap_scaled"] == 10
+    assert out["q1"]["avg_prec_at_k"] == round(10 / 18, 6)
+    assert out["q2"]["ap_scaled"] == 0 and out["q2"]["avg_prec_at_k"] == 0.0
+    # q3 perfect ranking -> AP exactly 1
+    assert out["q3"]["avg_prec_at_k"] == 1.0
 
 
 def test_ivf_index_persist_probe_parity(spark, sf_dir, tmp_path):
