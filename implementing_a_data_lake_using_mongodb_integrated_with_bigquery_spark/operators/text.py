@@ -635,3 +635,39 @@ def discriminative_tokens(
         .orderBy(F.col("chi2").desc(), F.col("tok").asc(), F.col(group_col).asc())
         .limit(k)
     )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+) -> DataFrame:
+    """Tokenizer fertility (subword tokens per word) per group — the
+    standard tokenizer-fit metric: a language whose fertility runs hot
+    under a fixed merge table pays more sequence length per word, so
+    its token budget and packing yield degrade; the number teams check
+    before committing a tokenizer to a multilingual mix.
+
+    Same engine-exact marker-framed merge application as
+    ``bpe_apply_tokens``, but the subword COUNT per word is read off
+    the merged symbol string directly (``size(split(...))``) — no
+    second explode, so the whole thing is one map-only pass over the
+    exploded word stream plus a single group aggregate. Fertility is a
+    single integer/integer division rounded to 6dp."""
+    words = df.select(
+        group_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+    ).where(F.col("w").rlike("^[a-z]+$"))
+    sym = F.trim(F.regexp_replace(F.col("w"), "(.)", "|$1| "))
+    for x, y in merges:
+        sym = F.replace(sym, F.lit(f"|{x}| |{y}|"), F.lit(f"|{x}{y}|"))
+    counted = words.select(
+        group_col, F.size(F.split(sym, " ")).cast("long").alias("_n_sub")
+    )
+    return counted.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("_n_sub").cast("long").alias("n_subwords"),
+        F.round(
+            F.sum("_n_sub").cast("double") / F.count(F.lit(1)), 6
+        ).alias("fertility"),
+    )

@@ -8656,3 +8656,45 @@ FROM a FULL JOIN b
 
 QUERIES["null_safe_reconcile"] = q_null_safe_reconcile
 ORACLES["null_safe_reconcile"] = ORACLE_NULL_SAFE_RECONCILE
+
+
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (operators.text.bpe_fertility):
+    subwords-per-word under the fixed 10-rule merge table — the
+    multilingual tokenizer-fit audit beside vocab_oov_rate. Map-only
+    merge application + one group aggregate."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        bpe_fertility,
+    )
+
+    return bpe_fertility(
+        parallelize(load_table(spark, sf_dir, "documents")), "text", "lang"
+    )
+
+
+def _oracle_bpe_fertility() -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        BPE_MERGES,
+    )
+
+    chain = "s"
+    for x, y in BPE_MERGES:
+        chain = f"replace({chain}, '|{x}| |{y}|', '|{x}{y}|')"
+    return f"""
+WITH words AS (
+  SELECT lang, w FROM (
+    SELECT lang, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE regexp_full_match(w, '[a-z]+')),
+sym AS (
+  SELECT lang, trim(regexp_replace(w, '(.)', '|\\1| ', 'g')) AS s FROM words),
+merged AS (SELECT lang, {chain} AS m FROM sym)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(string_split(m, ' '))) AS BIGINT) AS n_subwords,
+       round(CAST(SUM(len(string_split(m, ' '))) AS DOUBLE) / COUNT(*), 6)
+         AS fertility
+FROM merged GROUP BY lang
+"""
+
+
+QUERIES["bpe_fertility_by_lang"] = q_bpe_fertility_by_lang
+ORACLES["bpe_fertility_by_lang"] = _oracle_bpe_fertility()
