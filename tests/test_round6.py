@@ -175,3 +175,74 @@ def test_incremental_dedup_stream_matches_sequential_batch(spark, sf_dir):
         for r in streamed.collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_pyds_overwrite_cleans_stale_staged_orphans(spark, tmp_path):
+    """A crashed prior save (abort never ran) leaves _staged-* orphans;
+    an overwrite commit must remove them along with old parts, without
+    touching its own in-flight staged files."""
+    import os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.pyds import (
+        read_jsonl_audit,
+        register_jsonl_audit,
+    )
+
+    register_jsonl_audit(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    # simulate a crashed save's orphan
+    with open(os.path.join(out, "_staged-0-deadbeef.jsonl"), "w") as f:
+        f.write('{"id": 99, "v": "orphan"}\n')
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    df.write.format("jsonl_audit").option("path", out).mode("overwrite").save()
+    names = os.listdir(out)
+    assert not any(n.startswith("_staged-") for n in names)
+    back = read_jsonl_audit(spark, out, "id long, v string")
+    assert [r["id"] for r in back.collect()] == [1]
+
+
+def test_check_dim_sees_mixed_lengths_past_first_row(spark):
+    """The dim guard must scan every row (min/max agg), not just row 1
+    — a corpus with one short vector buried mid-table fails fast."""
+    import pytest
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        _check_dim,
+    )
+
+    good = spark.createDataFrame(
+        [(1, [0.1] * 4), (2, [0.2] * 4)], "vec_id long, embedding array<double>"
+    )
+    _check_dim(good, "embedding", 4, "test")  # no raise
+    mixed = spark.createDataFrame(
+        [(1, [0.1] * 4), (2, [0.2] * 3), (3, [0.3] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="lengths in"):
+        _check_dim(mixed, "embedding", 4, "test")
+
+
+def test_bench_diff_gate(tmp_path):
+    """bench_diff exits 1 only when a common query regresses >=2x AND
+    >=+0.5s."""
+    import json
+    import subprocess
+    import sys
+
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({"queries": {"a": 1.0, "b": 0.1, "c": 2.0}}))
+    # a regresses 2.5x/+1.5s (gated); b regresses 3x but only +0.2s (not)
+    new.write_text(json.dumps({"queries": {"a": 2.5, "b": 0.3, "c": 2.0}}))
+    r = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(new)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 1 and "REGRESSION a" in r.stdout
+    assert "REGRESSION b" not in r.stdout
+    ok = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(old)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert ok.returncode == 0
