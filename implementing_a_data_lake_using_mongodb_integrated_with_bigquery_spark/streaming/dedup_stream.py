@@ -172,7 +172,18 @@ def incremental_dedup_stream(
         data = check_batch_structure(
             list(q.recentProgress), phase_counts, "incremental_dedup_stream"
         )
-        result = spark.read.parquet(results_dir).localCheckpoint(eager=True)
+        if os.path.isdir(results_dir):
+            result = spark.read.parquet(results_dir).localCheckpoint(eager=True)
+        else:
+            # no phase held a single >= n-token doc: nothing was
+            # screened (id type derived from the caller's schema — the
+            # packing-operator lesson)
+            id_t = corpus.schema[id_col].dataType.simpleString()
+            result = spark.createDataFrame(
+                [],
+                f"{id_col} {id_t}, is_novel boolean, dup_of {id_t}, "
+                "jaccard double",
+            )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     stats = {
