@@ -117,6 +117,11 @@ _DRIVER_VERIFIED = frozenset(
         "stream_restart_hourly", "stream_update_merge_hourly",
         "temporal_split_audit", "tfidf_cosine_topk", "top_revenue_suppliers",
         "user_modal_event", "vocab_oov_rate",
+        # round 6 (50 green rows in CORRECTNESS_r06.json: the 5 new
+        # queries below plus 45 fragile-first re-verifications)
+        "ann_ranking_quality", "bpe_fertility_by_lang",
+        "excess_volume_suppliers", "null_safe_reconcile",
+        "stream_incremental_dedup",
     }
 )
 
@@ -137,7 +142,7 @@ _FRAGILE_FIRST = (
     "stream_attribution_join", "stream_session_windows",
     "stream_dedup_counts", "stream_batch_hourly",
     "stream_sliding_quarters", "stream_static_enrich",
-    "cdc_last_write_wins", "rate_limit_audit",
+    "stream_incremental_dedup", "cdc_last_write_wins", "rate_limit_audit",
     # sketch / float-adjacent
     "hll_sketch_mergeability", "approx_distinct_check",
     "approx_quantile_check", "value_drift_ks", "value_drift_psi",
@@ -155,9 +160,12 @@ def _rotated(mapping: dict) -> dict:
     float-adjacent — see the policy comment above), then the remaining
     verified queries in stable registry order.
     """
+    missing = set(_FRAGILE_FIRST) - set(mapping)
+    if missing:  # fail loudly on typos / renamed queries (list drift)
+        raise KeyError(f"_FRAGILE_FIRST names absent from registry: {sorted(missing)}")
     unverified = {k: v for k, v in mapping.items() if k not in _DRIVER_VERIFIED}
     fragile = {k: mapping[k] for k in _FRAGILE_FIRST
-               if k in mapping and k not in unverified}
+               if k not in unverified}
     rest = {k: v for k, v in mapping.items()
             if k not in unverified and k not in fragile}
     return {**unverified, **fragile, **rest}

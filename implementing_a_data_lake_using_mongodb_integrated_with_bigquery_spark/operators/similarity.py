@@ -448,24 +448,23 @@ def hyperplane_code(vec_col: Column, planes: list[list[int]]) -> Column:
     return code
 
 
-def _check_dim(df: DataFrame, vec_col: str, dim: int, where: str) -> None:
-    """Fail fast on a dim mismatch: zip_with pads the shorter side with
-    nulls, so a wrong ``dim`` silently nulls every dot product and
-    collapses all vectors into bucket 0 (DuckDB's list_dot_product
-    errors loudly on the same input — keep both sides, and BOTH
-    tables, loud). Checks EVERY row via one min/max aggregate, not just
-    the first — a corpus with mixed vector lengths past row 1 must be
-    just as loud."""
-    probe = df.agg(
-        F.min(F.size(vec_col)).alias("lo"), F.max(F.size(vec_col)).alias("hi")
-    ).first()
-    if probe is None or probe["lo"] is None:
-        return  # empty table: nothing to validate
-    if probe["lo"] != dim or probe["hi"] != dim:
-        raise ValueError(
-            f"{where}: dim={dim} but {vec_col!r} has lengths in "
-            f"[{probe['lo']}, {probe['hi']}]"
+def _dim_checked(vec: Column, dim: int, where: str) -> Column:
+    """Per-row dim guard folded into the consuming projection: zip_with
+    pads the shorter side with nulls, so a wrong ``dim`` silently nulls
+    every dot product and collapses all vectors into bucket 0 (DuckDB's
+    list_dot_product errors loudly on the same input — keep both sides,
+    and EVERY row, loud). Returns ``vec`` unchanged when its length is
+    ``dim`` and raises via ``raise_error`` otherwise — validated inside
+    the bucketing pass the operator already makes, not as an extra
+    min/max scan of the whole corpus per invocation."""
+    return F.when(F.size(vec) == dim, vec).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{where}: expected dim={dim} but got vector length "),
+                F.size(vec).cast("string"),
+            )
         )
+    )
 
 
 def _lsh_candidate_scores(
@@ -488,13 +487,12 @@ def _lsh_candidate_scores(
     diverge between callers — the same single-source rule the
     ``hyperplanes`` builder enforces for the DuckDB oracles."""
     planes = hyperplanes(n_planes, dim)
-    _check_dim(corpus, vec_col, dim, where)
-    _check_dim(queries, query_vec_col, dim, where)
     coded = parallelize(corpus).withColumn(
-        "_lsh_code", hyperplane_code(F.col(vec_col), planes)
+        "_lsh_code", hyperplane_code(_dim_checked(F.col(vec_col), dim, where), planes)
     )
     q_coded = queries.withColumn(
-        "_lsh_code0", hyperplane_code(F.col(query_vec_col), planes)
+        "_lsh_code0",
+        hyperplane_code(_dim_checked(F.col(query_vec_col), dim, where), planes),
     )
     masks = [0] + [1 << r for r in range(n_planes)]
     probes = q_coded.select(

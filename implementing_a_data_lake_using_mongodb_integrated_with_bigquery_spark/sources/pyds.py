@@ -176,15 +176,30 @@ class JsonlAuditWriter(DataSourceWriter):
             # overwrite mode clears every previously committed part +
             # manifest, plus _staged-* orphans from a crashed prior save
             # (where abort never ran) — but NOT this run's own staged
-            # parts, which are about to be renamed into place
+            # parts (about to be renamed into place) and NOT fresh
+            # staged parts younger than the reap age: those may belong
+            # to a concurrent append-mode save whose commit() has not
+            # run yet, and removing them mid-write would fail that
+            # writer's os.replace. An orphan from a crash is by
+            # definition old; a concurrent writer's parts are not.
+            import time
+
+            reap_age_s = 3600.0
+            now = time.time()
             live = {
                 os.path.basename(m.path) for m in messages if m is not None
             }
             for fn in os.listdir(self.path):
-                if fn.startswith(("part-", "_MANIFEST")) or (
-                    fn.startswith("_staged-") and fn not in live
-                ):
-                    os.remove(os.path.join(self.path, fn))
+                full = os.path.join(self.path, fn)
+                if fn.startswith(("part-", "_MANIFEST")):
+                    os.remove(full)
+                elif fn.startswith("_staged-") and fn not in live:
+                    try:
+                        stale = now - os.stat(full).st_mtime > reap_age_s
+                    except FileNotFoundError:
+                        continue  # a concurrent commit renamed it away
+                    if stale:
+                        os.remove(full)
         # commit-scoped names: a second append-mode save publishes its
         # own manifest + parts instead of clobbering the first commit's
         # (the reader aggregates every _MANIFEST*.json)

@@ -37,6 +37,7 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     band_table,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.phasing import (
+    check_admission_log,
     check_batch_structure,
     stage_phase_files,
 )
@@ -165,12 +166,18 @@ def incremental_dedup_stream(
             .parquet(input_dir)
             .writeStream.foreachBatch(screen)
             .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
             .queryName(f"incremental_dedup_stream_{next(_SEQ)}")
             .start()
         )
         q.awaitTermination()
         data = check_batch_structure(
             list(q.recentProgress), phase_counts, "incremental_dedup_stream"
+        )
+        # path-exact phase→batch guard (counts can collide across
+        # equal-sized phases; the checkpoint's source log cannot)
+        check_admission_log(
+            os.path.join(root, "ckpt"), len(phase_counts), "incremental_dedup_stream"
         )
         if os.path.isdir(results_dir):
             result = spark.read.parquet(results_dir).localCheckpoint(eager=True)

@@ -37,15 +37,28 @@ def stage_phase_files(phases: list[DataFrame], input_dir: str) -> list[int]:
         os.link(os.path.join(stage, parts[0]), dest)
         t = 1_600_000_000 + 60 * i
         os.utime(dest, (t, t))
-        counts.append(pq.ParquetFile(dest).metadata.num_rows)
+        n = pq.ParquetFile(dest).metadata.num_rows
+        if n == 0:
+            # a 0-row file admits a 0-row micro-batch that the
+            # batch-structure guard filters out of the progress list,
+            # silently desynchronizing phase i ↔ batch i for every
+            # later phase — reject at construction, loudly
+            raise ValueError(
+                f"phase {i} is empty: a 0-row phase produces no data "
+                "micro-batch and cannot participate in a deterministic "
+                "phase-per-batch replay"
+            )
+        counts.append(n)
     return counts
 
 
 def check_batch_structure(progress: list, phase_counts: list[int], where: str) -> list:
     """Assert one data micro-batch per phase, arriving in phase order
     (by input-row counts) — a silent file-ordering or admission-control
-    change must fail loudly, not hash-mismatch the oracle. Returns the
-    data-batch progress entries."""
+    change must fail loudly, not hash-mismatch the oracle. Counts alone
+    cannot distinguish two equal-sized phases swapped in flight; pair
+    with ``check_admission_log`` (path-exact) when the checkpoint is
+    available. Returns the data-batch progress entries."""
     data = [p for p in progress if p["numInputRows"] > 0]
     got = [p["numInputRows"] for p in data]
     if got != phase_counts:
@@ -55,3 +68,31 @@ def check_batch_structure(progress: list, phase_counts: list[int], where: str) -
             "from the phase construction."
         )
     return data
+
+
+def check_admission_log(checkpoint_dir: str, n_phases: int, where: str) -> None:
+    """Path-exact phase→batch guard: read the file source's metadata
+    log under ``<checkpoint>/sources/0/<batchId>`` and assert batch i
+    admitted exactly ``phase-{i:03d}.parquet``. Row counts can collide
+    (two equal-sized phases replayed out of order pass the count
+    guard); file paths cannot. Free — the checkpoint already holds the
+    log; this only parses it."""
+    import json
+
+    src = os.path.join(checkpoint_dir, "sources", "0")
+    for i in range(n_phases):
+        log = os.path.join(src, str(i))
+        if not os.path.isfile(log):
+            raise RuntimeError(
+                f"{where}: checkpoint has no source log for batch {i} "
+                f"(expected {n_phases} batches)"
+            )
+        with open(log) as f:
+            entries = [json.loads(ln) for ln in f if ln.startswith("{")]
+        got = sorted(os.path.basename(e["path"]) for e in entries)
+        want = [f"phase-{i:03d}.parquet"]
+        if got != want:
+            raise RuntimeError(
+                f"{where}: batch {i} admitted {got}, expected {want} — "
+                "phases replayed out of order."
+            )

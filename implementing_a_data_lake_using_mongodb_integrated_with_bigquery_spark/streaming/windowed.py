@@ -417,6 +417,7 @@ def _update_merge_run(
     group_cols: list[str],
     max_files_per_trigger: int | None,
     state_partitions: int | None,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, list]:
     """Shared run loop behind ``update_merge_counts_once`` and
     ``update_merge_phased``: open the file stream, aggregate in update
@@ -467,12 +468,14 @@ def _update_merge_run(
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q = (
+        writer = (
             out.writeStream.foreachBatch(merge)
             .outputMode("update")
             .trigger(availableNow=True)
-            .start()
         )
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        q = writer.start()
         q.awaitTermination()
         final = cdc_merge.read_target(spark, store)
         if final is None:
@@ -535,12 +538,14 @@ def update_merge_phased(
     import tempfile
 
     from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.phasing import (
+        check_admission_log,
         check_batch_structure,
         stage_phase_files,
     )
 
     root = tempfile.mkdtemp(prefix="update_merge_phased_")
     input_dir = _os.path.join(root, "input")
+    ckpt = _os.path.join(root, "ckpt")
     try:
         phase_counts = stage_phase_files(phases, input_dir)
         result, progress = _update_merge_run(
@@ -552,7 +557,11 @@ def update_merge_phased(
             group_cols or [],
             1,  # one file per micro-batch
             state_partitions,
+            ckpt,
         )  # result is already eagerly checkpointed off the temp store
+        # path-exact phase→batch guard (counts can collide across
+        # equal-sized phases; the checkpoint's source log cannot)
+        check_admission_log(ckpt, len(phases), "update_merge_phased")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

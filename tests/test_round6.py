@@ -178,9 +178,10 @@ def test_incremental_dedup_stream_matches_sequential_batch(spark, sf_dir):
 
 
 def test_pyds_overwrite_cleans_stale_staged_orphans(spark, tmp_path):
-    """A crashed prior save (abort never ran) leaves _staged-* orphans;
-    an overwrite commit must remove them along with old parts, without
-    touching its own in-flight staged files."""
+    """A crashed prior save (abort never ran) leaves OLD _staged-*
+    orphans; an overwrite commit must remove those along with old
+    parts, while a FRESH staged file — possibly a concurrent append's
+    in-flight part — must survive the reap (age-threshold rule)."""
     import os
 
     from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.pyds import (
@@ -191,36 +192,47 @@ def test_pyds_overwrite_cleans_stale_staged_orphans(spark, tmp_path):
     register_jsonl_audit(spark)
     out = str(tmp_path / "sink")
     os.makedirs(out)
-    # simulate a crashed save's orphan
-    with open(os.path.join(out, "_staged-0-deadbeef.jsonl"), "w") as f:
+    # crashed save's orphan: hours old
+    stale = os.path.join(out, "_staged-0-deadbeef.jsonl")
+    with open(stale, "w") as f:
         f.write('{"id": 99, "v": "orphan"}\n')
+    os.utime(stale, (1_600_000_000, 1_600_000_000))
+    # concurrent writer's in-flight part: fresh mtime
+    fresh = os.path.join(out, "_staged-1-cafebabe.jsonl")
+    with open(fresh, "w") as f:
+        f.write('{"id": 98, "v": "inflight"}\n')
     df = spark.createDataFrame([(1, "x")], "id long, v string")
     df.write.format("jsonl_audit").option("path", out).mode("overwrite").save()
     names = os.listdir(out)
-    assert not any(n.startswith("_staged-") for n in names)
+    assert not any(n == os.path.basename(stale) for n in names)
+    assert os.path.basename(fresh) in names  # concurrent save survives
     back = read_jsonl_audit(spark, out, "id long, v string")
     assert [r["id"] for r in back.collect()] == [1]
 
 
 def test_check_dim_sees_mixed_lengths_past_first_row(spark):
-    """The dim guard must scan every row (min/max agg), not just row 1
-    — a corpus with one short vector buried mid-table fails fast."""
+    """The inline dim guard covers every row at zero extra scans — a
+    corpus with one short vector buried mid-table fails fast inside the
+    projection that consumes it, without a separate min/max pass."""
     import pytest
+    from pyspark.sql import functions as F
 
     from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
-        _check_dim,
+        _dim_checked,
     )
 
     good = spark.createDataFrame(
         [(1, [0.1] * 4), (2, [0.2] * 4)], "vec_id long, embedding array<double>"
     )
-    _check_dim(good, "embedding", 4, "test")  # no raise
+    assert (
+        good.select(F.size(_dim_checked(F.col("embedding"), 4, "test"))).count() == 2
+    )  # no raise
     mixed = spark.createDataFrame(
         [(1, [0.1] * 4), (2, [0.2] * 3), (3, [0.3] * 4)],
         "vec_id long, embedding array<double>",
     )
-    with pytest.raises(ValueError, match="lengths in"):
-        _check_dim(mixed, "embedding", 4, "test")
+    with pytest.raises(Exception, match="expected dim=4"):
+        mixed.select(F.size(_dim_checked(F.col("embedding"), 4, "test"))).collect()
 
 
 def test_bench_diff_gate(tmp_path):

@@ -1,0 +1,76 @@
+"""Round-7 regression tests: phase-replay guards (empty-phase
+rejection, path-exact admission log) and the fail-loud fragile-first
+rotation check."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+def test_stage_phase_files_rejects_empty_phase(spark, tmp_path):
+    """A 0-row phase produces no data micro-batch and silently
+    desynchronizes phase i ↔ batch i — must fail at construction."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.phasing import (
+        stage_phase_files,
+    )
+
+    full = spark.createDataFrame([(1,)], "id long")
+    empty = spark.createDataFrame([], "id long")
+    with pytest.raises(ValueError, match="phase 1 is empty"):
+        stage_phase_files([full, empty], str(tmp_path / "input"))
+
+
+def _write_source_log(ckpt: str, batch_id: int, paths: list[str]) -> None:
+    src = os.path.join(ckpt, "sources", "0")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, str(batch_id)), "w") as f:
+        f.write("v1\n")
+        for p in paths:
+            f.write(json.dumps({"path": f"file:///in/{p}", "timestamp": 1, "batchId": batch_id}) + "\n")
+
+
+def test_check_admission_log_accepts_in_order_and_rejects_swap(tmp_path):
+    """Counts can collide across equal-sized phases; the checkpoint's
+    source log is path-exact and catches a swap that the count guard
+    would pass."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.phasing import (
+        check_admission_log,
+    )
+
+    good = str(tmp_path / "good")
+    _write_source_log(good, 0, ["phase-000.parquet"])
+    _write_source_log(good, 1, ["phase-001.parquet"])
+    check_admission_log(good, 2, "test")  # no raise
+
+    swapped = str(tmp_path / "swapped")
+    _write_source_log(swapped, 0, ["phase-001.parquet"])
+    _write_source_log(swapped, 1, ["phase-000.parquet"])
+    with pytest.raises(RuntimeError, match="replayed out of order"):
+        check_admission_log(swapped, 2, "test")
+
+    with pytest.raises(RuntimeError, match="no source log for batch 2"):
+        check_admission_log(good, 3, "test")
+
+
+def test_rotation_fails_loudly_on_fragile_list_drift():
+    """A typo or renamed query in _FRAGILE_FIRST must raise, not be
+    silently dropped from the re-verification window."""
+    import __spark_entry__ as entry
+
+    mapping = {k: None for k in entry._FRAGILE_FIRST}
+    entry._rotated(dict(mapping))  # complete mapping: no raise
+    mapping.pop(entry._FRAGILE_FIRST[0])
+    with pytest.raises(KeyError, match="absent from registry"):
+        entry._rotated(mapping)
+
+
+def test_fragile_first_names_all_resolve():
+    """Every _FRAGILE_FIRST name exists in the live registry (queries()
+    itself runs the assertion — calling it is the check)."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    assert set(entry._FRAGILE_FIRST) <= set(q)
