@@ -493,3 +493,157 @@ def containment_pairs(
         )
         .withColumn("containment", F.round(F.col("shared") / F.col("n_src"), 6))
     )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Per-group novel-shingle rate — the memorization/diversity audit
+    run over a crawl snapshot: a shingle is NOVEL for the smallest doc
+    id that contains it (a deterministic, engine-portable attribution
+    of "first seen"), and a group whose docs contribute few novel
+    shingles is mostly re-crawl. Output per group:
+    ``(n_shingles, n_novel, novelty_rate)`` over distinct-per-doc
+    shingles.
+
+    Plan: one shingle explode (the irreducible cost, same as every
+    near-dup operator), a min-aggregate keyed by shingle (map-side
+    combined — the heavy-hitter shingles collapse before the shuffle),
+    per-doc counts, then a join back on the doc id and a final tiny
+    group aggregate. No pair generation anywhere — linear, not
+    quadratic, in the corpus.
+    """
+    ex = _shingle_table(df, id_col, text_col, n)
+    sh = ex.select("doc", F.explode("sh").alias("shingle"))
+    per_doc = sh.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_sh")
+    )
+    novel = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n_novel"))
+    )
+    docs = df.select(F.col(id_col).alias("doc"), group_col)
+    out = (
+        per_doc.join(novel, "doc", "left")
+        .join(docs, "doc")
+        .groupBy(group_col)
+        .agg(
+            F.sum("_n_sh").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_n_novel"), F.lit(0)))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_rate", F.round(F.col("n_novel") / F.col("n_shingles"), 6)
+        )
+    )
+    ex.unpersist()
+    return out
+
+
+def minhash_merge_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signature MERGEABILITY audit (the sketch-algebra
+    property every distributed near-dup pipeline leans on): for each
+    group, the k-slot signature of the group's full shingle set must
+    equal the slotwise MIN of the signatures of its two doc-id-parity
+    halves — sig(A ∪ B) = min(sig(A), sig(B)). Also reports the
+    classic MinHash estimate of J(even-half, odd-half) — the fraction
+    of agreeing slots — beside the EXACT Jaccard of the two halves'
+    shingle sets, so estimate drift is visible.
+
+    Engine-exact hashing: slot j's hash is ``md5('<j>:' || shingle)``
+    compared lexicographically as hex text — identical on Spark and
+    DuckDB with no hex→int parsing (the ``operators.sampling`` trick).
+    The k slot minima are k conditional MIN aggregates over ONE pass
+    of the (group, shingle, parity) table — no ×k row explosion — and
+    the halves' exact Jaccard rides the same scan as two more
+    aggregates. Two shuffles total (distinct shingle-parity grid, then
+    the group rollup), both map-side combined.
+    """
+    ex = _shingle_table(df, id_col, text_col, n)
+    docs = df.select(
+        F.col(id_col).alias("doc"),
+        group_col,
+        F.pmod(F.col(id_col).cast("long"), F.lit(2)).alias("_par"),
+    )
+    sh = (
+        ex.select("doc", F.explode("sh").alias("shingle"))
+        .join(docs, "doc")
+        .select(group_col, "_par", "shingle")
+        .distinct()
+    )
+
+    def slot_hash(j: int):
+        return F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))
+
+    aggs = []
+    for j in range(k):
+        h = slot_hash(j)
+        aggs += [
+            F.min(h).alias(f"_a{j}"),
+            F.min(F.when(F.col("_par") == 0, h)).alias(f"_e{j}"),
+            F.min(F.when(F.col("_par") == 1, h)).alias(f"_o{j}"),
+        ]
+    # exact Jaccard of the halves' shingle sets on the same scan: a
+    # shingle is in the intersection iff both parities saw it
+    per_shingle = sh.groupBy(group_col, "shingle").agg(
+        F.max(F.col("_par") == 0).alias("_he"),
+        F.max(F.col("_par") == 1).alias("_ho"),
+    )
+    exact = per_shingle.groupBy(group_col).agg(
+        F.sum((F.col("_he") & F.col("_ho")).cast("long"))
+        .cast("long")
+        .alias("_inter"),
+        F.count(F.lit(1)).cast("long").alias("_union"),
+    )
+    sig = sh.groupBy(group_col).agg(*aggs)
+    # coalesce each term: a null comparison (one half empty) must count
+    # as 0, not null out the whole Python-level + chain
+    merged_ok = sum(
+        F.coalesce(
+            (
+                F.col(f"_a{j}")
+                == F.least(
+                    F.coalesce(F.col(f"_e{j}"), F.col(f"_o{j}")),
+                    F.coalesce(F.col(f"_o{j}"), F.col(f"_e{j}")),
+                )
+            ).cast("long"),
+            F.lit(0),
+        )
+        for j in range(k)
+    )
+    agree = sum(
+        F.coalesce((F.col(f"_e{j}") == F.col(f"_o{j}")).cast("long"), F.lit(0))
+        for j in range(k)
+    )
+    out = (
+        sig.select(
+            group_col,
+            F.lit(k).cast("long").alias("n_slots"),
+            merged_ok.alias("n_merge_equal"),
+            F.round(agree / float(k), 6).alias("est_jaccard"),
+        )
+        .join(exact, group_col)
+        .select(
+            group_col,
+            "n_slots",
+            "n_merge_equal",
+            "est_jaccard",
+            F.round(F.col("_inter") / F.col("_union"), 6).alias("exact_jaccard"),
+        )
+    )
+    ex.unpersist()
+    return out

@@ -113,3 +113,60 @@ def l_diversity_audit(
         )
         .filter(F.col("n_sensitive") < l)
     )
+
+
+def t_closeness_audit(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, t: float
+) -> DataFrame:
+    """t-closeness: per quasi-identifier group, the total variation
+    distance (the categorical Earth Mover's Distance) between the
+    group's sensitive-attribute distribution and the GLOBAL one — the
+    skewness-attack complement of :func:`l_diversity_audit` (a group
+    can be l-diverse yet still leak because its sensitive mix deviates
+    sharply from the table's).
+
+    Exact by construction: tvd_g = Σ_c |n_gc·N − n_c·N_g| / (2·N·N_g)
+    is computed over the common denominator, so the summed quantity is
+    a BIGINT (integer addition is associative — no float-summation
+    order dependence); the single division happens once per group at
+    the end, 6dp-rounded. Categories missing from a group contribute
+    |0 − n_c·N_g| via the group×category grid (two tiny aggregate
+    outputs cross-joined — bounded by |groups|·|categories|, never the
+    input). Overflow bound: n_gc·N ≤ N², safe in int64 to ~3·10⁹ rows;
+    past that, pre-aggregate to per-group shares scaled by a fixed
+    denominator.
+
+    Plan: three hash aggregates over one scan lineage + broadcast
+    joins of their (small) outputs. The fact table is never joined to
+    itself.
+    """
+    gc = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gc")
+    )
+    g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).cast("long").alias("n_g"))
+    c = df.groupBy(sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    grid = g.crossJoin(F.broadcast(c)).crossJoin(F.broadcast(total))
+    j = grid.join(F.broadcast(gc), [*quasi_cols, sensitive_col], "left").select(
+        *quasi_cols,
+        "n_g",
+        "n_total",
+        (
+            F.abs(
+                F.coalesce(F.col("n_gc"), F.lit(0)) * F.col("n_total")
+                - F.col("n_c") * F.col("n_g")
+            )
+        ).alias("_num"),
+    )
+    return (
+        j.groupBy(*quasi_cols)
+        .agg(
+            F.first("n_g").alias("group_size"),
+            F.round(
+                F.sum("_num") / (2.0 * F.first("n_total") * F.first("n_g")), 6
+            ).alias("tvd"),
+        )
+        .withColumn("violates_t", F.col("tvd") > t)
+    )

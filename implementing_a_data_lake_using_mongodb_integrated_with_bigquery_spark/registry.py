@@ -8698,3 +8698,237 @@ FROM merged GROUP BY lang
 
 QUERIES["bpe_fertility_by_lang"] = q_bpe_fertility_by_lang
 ORACLES["bpe_fertility_by_lang"] = _oracle_bpe_fertility()
+
+
+# ------------------------------------------------------------- round 7
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape adapted to the lake's schema (no commitdate): order
+    counts per priority for a quarter, restricted to orders with at
+    least one SLOW lineitem (shipped > 60 days after the order date) —
+    the correlated EXISTS lowered as a left-semi join whose condition
+    mixes an equi-key with a cross-table inequality. Catalyst keeps
+    the equi-part as the shuffle key and evaluates the inequality as a
+    post-join residual; the quarter filter prunes the probe side
+    before the exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    win = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    slow = win.join(
+        l,
+        (l.l_orderkey == win.o_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+QUERIES["order_priority_counts"] = q_order_priority_counts
+ORACLES["order_priority_counts"] = ORACLE_ORDER_PRIORITY
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: revenue by nation where the CUSTOMER and the SUPPLIER
+    sit in the same nation (the two-sided nation-key equality that
+    makes Q5 distinctive — it rides the supplier join as an extra
+    conjunct, not a separate shuffle), region- and date-filtered.
+    Dims (region⋈nation broadcast into customer; supplier broadcast
+    into the fact) never shuffle the fact table beyond the two
+    key joins. Revenue is the scaled-BIGINT sum."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(_scaled_sum(rev, 10000, "revenue"))
+    )
+
+
+ORACLE_LOCAL_SUPPLIER = """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+QUERIES["local_supplier_volume"] = q_local_supplier_volume
+ORACLES["local_supplier_volume"] = ORACLE_LOCAL_SUPPLIER
+
+
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness over orders (quasi-identifier: priority; sensitive:
+    status) — exact-integer total-variation distance per group vs the
+    global sensitive distribution (operators.pii.t_closeness_audit),
+    6dp-rounded only at the final per-group division. t=0.005 splits
+    the flag at both test scales."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.pii import (
+        t_closeness_audit,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return t_closeness_audit(o, ["o_orderpriority"], "o_orderstatus", 0.005)
+
+
+ORACLE_T_CLOSENESS = """
+WITH gc AS (SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_gc
+            FROM orders GROUP BY 1, 2),
+g AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_g FROM orders GROUP BY 1),
+c AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_c FROM orders GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM orders)
+SELECT o_orderpriority,
+       n_g AS group_size,
+       round(CAST(SUM(ABS(COALESCE(n_gc, 0) * n_total - n_c * n_g)) AS DOUBLE)
+             / (2.0 * n_total * n_g), 6) AS tvd,
+       round(CAST(SUM(ABS(COALESCE(n_gc, 0) * n_total - n_c * n_g)) AS DOUBLE)
+             / (2.0 * n_total * n_g), 6) > 0.005 AS violates_t
+FROM g CROSS JOIN c CROSS JOIN t
+LEFT JOIN gc USING (o_orderpriority, o_orderstatus)
+GROUP BY o_orderpriority, n_g, n_total
+"""
+
+QUERIES["t_closeness_audit"] = q_t_closeness_audit
+ORACLES["t_closeness_audit"] = ORACLE_T_CLOSENESS
+
+
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novel-shingle rate over the documents corpus
+    (operators.dedup_near.shingle_novelty): first-seen attribution by
+    min doc id, linear plan (explode → min-agg → per-doc counts →
+    per-source rollup), no pair generation."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        shingle_novelty,
+    )
+
+    return shingle_novelty(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_SHINGLE_NOVELTY = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+),
+per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+novel AS (
+  SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+  FROM (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+  GROUP BY first_doc
+)
+SELECT d.source,
+       CAST(SUM(p.n_sh) AS BIGINT) AS n_shingles,
+       CAST(SUM(COALESCE(v.n_novel, 0)) AS BIGINT) AS n_novel,
+       round(CAST(SUM(COALESCE(v.n_novel, 0)) AS DOUBLE) / SUM(p.n_sh), 6) AS novelty_rate
+FROM per_doc p
+LEFT JOIN novel v USING (doc_id)
+JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+QUERIES["shingle_novelty"] = q_shingle_novelty
+ORACLES["shingle_novelty"] = ORACLE_SHINGLE_NOVELTY
+
+
+def q_minhash_signature_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature mergeability audit per source
+    (operators.dedup_near.minhash_merge_audit): sig(A∪B) must equal
+    the slotwise min of the halves' signatures, with the slot-agreement
+    Jaccard estimate reported beside the exact Jaccard of the halves.
+    md5-hex lexicographic minima — engine-exact on both sides."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        minhash_merge_audit,
+    )
+
+    return minhash_merge_audit(load_table(spark, sf_dir, "documents"), k=8)
+
+
+def _oracle_minhash_merge(k: int = 8) -> str:
+    mins = ",\n       ".join(
+        f"MIN(md5('{j}:' || shingle)) AS a{j}, "
+        f"MIN(CASE WHEN par = 0 THEN md5('{j}:' || shingle) END) AS e{j}, "
+        f"MIN(CASE WHEN par = 1 THEN md5('{j}:' || shingle) END) AS o{j}"
+        for j in range(k)
+    )
+    merged = " + ".join(
+        f"COALESCE(CAST(a{j} = least(COALESCE(e{j}, o{j}), COALESCE(o{j}, e{j})) AS BIGINT), 0)"
+        for j in range(k)
+    )
+    agree = " + ".join(
+        f"COALESCE(CAST(e{j} = o{j} AS BIGINT), 0)" for j in range(k)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+),
+shp AS (
+  SELECT DISTINCT d.source, doc_id % 2 AS par, shingle
+  FROM sh0 JOIN documents d USING (doc_id)
+),
+sig AS (SELECT source, {mins} FROM shp GROUP BY source),
+persh AS (
+  SELECT source, shingle,
+         MAX(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS he,
+         MAX(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS ho
+  FROM shp GROUP BY source, shingle
+),
+exact AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN he = 1 AND ho = 1 THEN 1 ELSE 0 END) AS BIGINT) AS inter,
+         CAST(COUNT(*) AS BIGINT) AS un
+  FROM persh GROUP BY source
+)
+SELECT s.source,
+       CAST({k} AS BIGINT) AS n_slots,
+       CAST({merged} AS BIGINT) AS n_merge_equal,
+       round(({agree}) / {k}.0, 6) AS est_jaccard,
+       round(CAST(inter AS DOUBLE) / un, 6) AS exact_jaccard
+FROM sig s JOIN exact USING (source)
+"""
+
+
+QUERIES["minhash_signature_merge"] = q_minhash_signature_merge
+ORACLES["minhash_signature_merge"] = _oracle_minhash_merge()

@@ -74,3 +74,59 @@ def test_fragile_first_names_all_resolve():
 
     q = entry.queries()
     assert set(entry._FRAGILE_FIRST) <= set(q)
+
+
+def test_t_closeness_hand_case(spark):
+    """Hand-checked TVD: group A is all-x (skewed), group B mixed."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.pii import (
+        t_closeness_audit,
+    )
+
+    df = spark.createDataFrame(
+        [("A", "x"), ("A", "x"), ("B", "x"), ("B", "y")], "g string, s string"
+    )
+    out = {
+        r["g"]: r.asDict()
+        for r in t_closeness_audit(df, ["g"], "s", 0.2).collect()
+    }
+    # global: x=3/4, y=1/4. A: x=1 → tvd = (|1-3/4| + |0-1/4|)/2 = 0.25
+    assert out["A"]["tvd"] == 0.25 and out["A"]["violates_t"]
+    # B: x=1/2,y=1/2 → tvd = (1/4 + 1/4)/2 = 0.25
+    assert out["B"]["tvd"] == 0.25
+
+
+def test_minhash_merge_audit_single_parity_group(spark):
+    """A group whose docs are all one parity: merged signature equals
+    the present half's; est_jaccard counts zero agreeing slots (no
+    null poisoning of the sums)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        minhash_merge_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(2, "a b c d e", "only_even"), (4, "a b c f g", "only_even")],
+        "doc_id long, text string, source string",
+    )
+    row = minhash_merge_audit(df, k=4).collect()[0]
+    assert row["n_merge_equal"] == 4  # sig(all) == coalesced even-half sig
+    assert row["est_jaccard"] == 0.0  # no slot has both halves
+
+
+def test_shingle_novelty_hand_case(spark):
+    """doc 1 owns all its shingles; doc 2 (same text) owns none; a
+    short doc (<3 tokens) is excluded entirely."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        shingle_novelty,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),   # shingles: 'a b c', 'b c d'
+            (2, "a b c d", "s2"),   # same two, both first seen at doc 1
+            (3, "x y", "s2"),       # too short: no shingles
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r.asDict() for r in shingle_novelty(df).collect()}
+    assert out["s1"] == {"source": "s1", "n_shingles": 2, "n_novel": 2, "novelty_rate": 1.0}
+    assert out["s2"] == {"source": "s2", "n_shingles": 2, "n_novel": 0, "novelty_rate": 0.0}
