@@ -771,3 +771,134 @@ def ranking_metrics(
         F.round(dcg.cast("double") / idcg.cast("double"), 6).alias("ndcg_at_k"),
         F.round(ap.cast("double") / ap_denom, 6).alias("avg_prec_at_k"),
     )
+
+
+def pq_codebooks(
+    m: int, k: int, dsub: int, span: int = 300000
+) -> list[list[list[int]]]:
+    """Deterministic integer product-quantization codebooks: ``m``
+    subspaces × ``k`` codes × ``dsub`` dims, coefficients md5-mixed in
+    ±``span`` of the floor(x·10⁶) embedding space (the corpus values
+    live in roughly ±0.53 → ±530 000).
+
+    Same single-source rule as :func:`hyperplanes`: the codebook is
+    FROZEN integer literals inlined into both the Spark expression and
+    the DuckDB oracle, so assignment and reconstruction error are
+    exact int64 arithmetic — bit-identical across engines, no float
+    distance hazard. That frozen-codebook shape is also the honest
+    100 TB operating mode: PQ codebooks are trained once offline (the
+    bounded-sample Lloyd path ``build_ivf_index`` already demonstrates)
+    and every ingest/scan thereafter assigns against the frozen book.
+    """
+    import hashlib
+
+    def coeff(s: int, j: int, i: int) -> int:
+        digest = hashlib.md5(f"pq:{s}:{j}:{i}".encode()).digest()
+        return (int.from_bytes(digest[:4], "big") % (2 * span + 1)) - span
+
+    return [
+        [[coeff(s, j, i) for i in range(dsub)] for j in range(k)]
+        for s in range(m)
+    ]
+
+
+def pq_assign_audit(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization assignment audit: each vector is split into
+    ``m`` subvectors, each assigned its nearest code (exact integer
+    squared distance, argmin with first-index tiebreak), and the audit
+    reports per-(subspace, code) population and mean reconstruction
+    error — the codebook-balance / quantization-loss report run before
+    shipping a PQ-compressed ANN index.
+
+    Map-only until one hash aggregate keyed by (subspace, code) —
+    ``m``×|corpus| rows into a map-side-combined agg of ``m·k`` groups.
+    Int64 error sums are safe to ~800k vectors per cell at this dim and
+    span (per-row subspace error ≤ ~1.1·10¹³); larger cells should
+    switch the total to a mean-of-means or decimal accumulator.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    books = pq_codebooks(m, k, dsub)
+    e = F.transform(
+        _dim_checked(F.col(vec_col), dim, "pq_assign_audit"),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+
+    def sq_dist(sub, cent: list[int]):
+        carr = F.array(*[F.lit(int(c)).cast("long") for c in cent])
+        return F.aggregate(
+            F.zip_with(sub, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    per_sub = []
+    for s in range(m):
+        sub = F.slice(e, s * dsub + 1, dsub)
+        dists = F.array(*[sq_dist(sub, books[s][j]) for j in range(k)])
+        per_sub.append(
+            F.struct(
+                F.lit(s).cast("long").alias("subspace"),
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("long")
+                .alias("code"),
+                F.array_min(dists).alias("err"),
+            )
+        )
+    exploded = parallelize(corpus).select(
+        F.explode(F.array(*per_sub)).alias("pq")
+    )
+    return (
+        exploded.groupBy(
+            F.col("pq.subspace").alias("subspace"),
+            F.col("pq.code").alias("code"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("pq.err").cast("long").alias("total_sq_err"),
+        )
+        .withColumn(
+            "avg_err",
+            F.round(
+                F.col("total_sq_err") / F.col("n_vecs") / F.lit(1e12), 6
+            ),
+        )
+    )
+
+
+def int_centroid_assign(
+    vec: Column, cents: list[list[int]], dim: int, where: str
+) -> Column:
+    """Nearest-centroid assignment against a FROZEN integer codebook:
+    exact int64 squared distances over the floor(x·10⁶)-scaled vector,
+    argmin with first-index tiebreak — bit-identical on Spark and
+    DuckDB (the :func:`pq_codebooks` / :func:`hyperplanes` engine-exact
+    convention). Map-only; used by the streaming IVF ingest path where
+    the quantizer is trained offline and every micro-batch assigns
+    against the frozen book."""
+    e = F.transform(
+        _dim_checked(vec, dim, where),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    e,
+                    F.array(*[F.lit(int(v)).cast("long") for v in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")

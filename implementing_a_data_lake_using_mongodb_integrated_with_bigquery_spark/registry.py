@@ -8932,3 +8932,196 @@ FROM sig s JOIN exact USING (source)
 
 QUERIES["minhash_signature_merge"] = q_minhash_signature_merge
 ORACLES["minhash_signature_merge"] = _oracle_minhash_merge()
+
+
+def q_pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization assignment audit over the embeddings
+    corpus (operators.similarity.pq_assign_audit): 4 subspaces × 4
+    codes from the frozen integer codebook, per-cell population and
+    mean reconstruction error — exact int64 distances on both
+    engines."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        pq_assign_audit,
+    )
+
+    return pq_assign_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+def _oracle_pq(m: int = 4, k: int = 4, dim: int = 64) -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    dsub = dim // m
+    books = pq_codebooks(m, k, dsub)
+    subs = []
+    for s in range(m):
+        dists = []
+        for j in range(k):
+            terms = " + ".join(
+                f"(e[{s * dsub + i + 1}] - ({books[s][j][i]})) * "
+                f"(e[{s * dsub + i + 1}] - ({books[s][j][i]}))"
+                for i in range(dsub)
+            )
+            dists.append(f"({terms}) AS d{j}")
+        whens = " ".join(
+            f"WHEN {' AND '.join(f'd{j} <= d{jj}' for jj in range(j + 1, k))} THEN {j}"
+            for j in range(k - 1)
+        )
+        least = ", ".join(f"d{j}" for j in range(k))
+        subs.append(
+            f"SELECT CAST({s} AS BIGINT) AS subspace, "
+            f"CAST(CASE {whens} ELSE {k - 1} END AS BIGINT) AS code, "
+            f"least({least}) AS err "
+            f"FROM (SELECT {', '.join(dists)} FROM ints)"
+        )
+    union = "\nUNION ALL\n".join(subs)
+    return f"""
+WITH ints AS (
+  SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e
+  FROM embeddings
+),
+assigned AS (
+{union}
+)
+SELECT subspace, code,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(err) AS BIGINT) AS total_sq_err,
+       round(CAST(SUM(err) AS BIGINT) / COUNT(*) / 1000000000000.0, 6) AS avg_err
+FROM assigned GROUP BY subspace, code
+"""
+
+
+QUERIES["pq_codebook_audit"] = q_pq_codebook_audit
+ORACLES["pq_codebook_audit"] = _oracle_pq()
+
+
+def q_stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming: dropDuplicatesWithinWatermark →
+    APPEND-mode hourly counts in ONE query (two state stores), replayed
+    across three time-monotone micro-batches
+    (streaming.windowed.dedup_then_window_phased). Phase 1 carries
+    in-batch duplicate copies (event_id % 17), phase 2 carries
+    CROSS-batch copies of phase-1's final hour (event_id % 3) — close
+    enough to their originals that the dedup state must still hold
+    them, so every copy dies in the dedup store and the emitted windows
+    equal the distinct-row hourly counts cut at the final watermark
+    (floor_ms(max ts) − 1 h)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        dedup_then_window_phased,
+    )
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id").isNotNull())
+        .select("event_id", "ts", "event_type")
+    )
+    p1 = e.where(F.col("ts") < F.lit("2024-01-11"))
+    p2 = e.where(
+        (F.col("ts") >= F.lit("2024-01-11")) & (F.col("ts") < F.lit("2024-01-21"))
+    )
+    p3 = e.where(F.col("ts") >= F.lit("2024-01-21"))
+    dup_in = p1.where(F.pmod("event_id", F.lit(17)) == 0)
+    dup_x = p1.where(
+        (F.col("ts") >= F.lit("2024-01-10 23:00:00"))
+        & (F.pmod("event_id", F.lit(3)) == 0)
+    )
+    out, stats = dedup_then_window_phased(
+        spark,
+        [p1.unionAll(dup_in), p2.unionAll(dup_x), p3],
+        ["event_id"],
+        lateness="1 hour",
+        group_cols=["event_type"],
+    )
+    if stats["data_batches"] != 3:
+        raise RuntimeError(f"expected 3 micro-batches, got {stats}")
+    return out.select(
+        epoch_us("window_start").alias("window_start_us"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+# Distinct-row hourly counts cut at the final watermark: every
+# duplicate copy (in-batch and cross-batch) dies in the dedup store,
+# nothing is ever late (phases are time-monotone), and append mode
+# emits exactly the windows whose end ≤ floor_ms(max ts) − 1 h.
+ORACLE_STREAM_DEDUP_WINDOW = """
+WITH base AS (
+  SELECT event_id, ts, event_type FROM events WHERE event_id IS NOT NULL),
+wm AS (
+  SELECT (epoch_us(MAX(ts)) // 1000) * 1000 - 3600000000 AS wm_us FROM base)
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM base, wm
+WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= wm.wm_us
+GROUP BY 1, 2
+"""
+
+QUERIES["stream_dedup_then_window"] = q_stream_dedup_then_window
+ORACLES["stream_dedup_then_window"] = ORACLE_STREAM_DEDUP_WINDOW
+
+
+def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index ingest (streaming.ivf_ingest): three
+    micro-batches of embeddings (vec_id mod 3) assigned map-only to a
+    FROZEN 8-cell integer codebook and appended to the cell-keyed
+    store; the audit reports per-cell population and id bounds. The
+    frozen-codebook ingest is the build-once / ingest-forever operating
+    mode of a production vector index."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        pq_codebooks,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.ivf_ingest import (
+        ivf_ingest_phased,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    phases = [emb.where(F.pmod("vec_id", F.lit(3)) == i) for i in range(3)]
+    cents = pq_codebooks(1, 8, 64)[0]
+    audit, stats = ivf_ingest_phased(spark, phases, cents, dim=64)
+    if stats["data_batches"] != 3:
+        raise RuntimeError(f"expected 3 micro-batches, got {stats}")
+    return audit.select(
+        "cell",
+        "n_vecs",
+        F.col("min_id").cast("long").alias("min_id"),
+        F.col("max_id").cast("long").alias("max_id"),
+    )
+
+
+def _oracle_ivf_ingest(k: int = 8, dim: int = 64) -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    cents = pq_codebooks(1, k, dim)[0]
+    dists = []
+    for j in range(k):
+        terms = " + ".join(
+            f"(e[{i + 1}] - ({cents[j][i]})) * (e[{i + 1}] - ({cents[j][i]}))"
+            for i in range(dim)
+        )
+        dists.append(f"({terms}) AS d{j}")
+    whens = " ".join(
+        f"WHEN {' AND '.join(f'd{j} <= d{jj}' for jj in range(j + 1, k))} THEN {j}"
+        for j in range(k - 1)
+    )
+    return f"""
+WITH ints AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e
+  FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, CAST(CASE {whens} ELSE {k - 1} END AS BIGINT) AS cell
+  FROM (SELECT vec_id, {", ".join(dists)} FROM ints)
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(vec_id) AS BIGINT) AS min_id,
+       CAST(MAX(vec_id) AS BIGINT) AS max_id
+FROM assigned GROUP BY cell
+"""
+
+
+QUERIES["stream_ivf_ingest"] = q_stream_ivf_ingest
+ORACLES["stream_ivf_ingest"] = _oracle_ivf_ingest()

@@ -578,3 +578,108 @@ def update_merge_phased(
         ],
     }
     return result, stats
+
+
+def dedup_then_window_phased(
+    spark: SparkSession,
+    phases: list[DataFrame],
+    dedup_keys: list[str],
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    lateness: str = "1 hour",
+    group_cols: list[str] | None = None,
+    state_partitions: int | None = 16,
+) -> tuple[DataFrame, dict]:
+    """CHAINED stateful streaming — ``dropDuplicatesWithinWatermark``
+    feeding an APPEND-mode windowed aggregation in one query (two
+    state stores, Spark ≥3.5 multiple-stateful-operator support) —
+    replayed deterministically phase-per-micro-batch.
+
+    Semantics the caller's oracle can rely on, PROVIDED the phases are
+    event-time-monotone (every phase's non-duplicate rows ≥ all
+    earlier phases') and duplicate copies arrive within ``lateness``
+    of their original: (1) an in-batch duplicate dies in the dedup
+    store the batch it arrives; (2) a CROSS-batch duplicate still dies
+    because its original's dedup state outlives the eviction watermark
+    (original ts > max(prev phase) − lateness by the monotonicity
+    assumption); (3) nothing is ever late at either operator, so the
+    lagged-filter trap (SPARK-24634, see ``update_merge_phased``)
+    never fires; (4) append mode emits exactly the windows whose end ≤
+    the final watermark, floor_ms(global max ts) − lateness. Net
+    oracle: windowed counts over the DISTINCT row set, cut at the
+    final watermark.
+
+    Returns (result, stats); stats carries the count and path-exact
+    batch-structure guards.
+    """
+    import shutil
+    import tempfile
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.phasing import (
+        check_admission_log,
+        check_batch_structure,
+        stage_phase_files,
+    )
+
+    group_cols = group_cols or []
+    root = tempfile.mkdtemp(prefix="dedup_then_window_")
+    input_dir = os.path.join(root, "input")
+    ckpt = os.path.join(root, "ckpt")
+    sink = f"dedup_then_window_{next(_SINK_SEQ)}"
+    try:
+        phase_counts = stage_phase_files(phases, input_dir)
+        stream, ntz_event_time = _open_event_stream(
+            spark, input_dir, ts_col, max_files_per_trigger=1
+        )
+        deduped = stream.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(
+            dedup_keys
+        )
+        out = (
+            deduped.groupBy(F.window(ts_col, duration).alias("w"), *group_cols)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                *group_cols,
+                "n_events",
+            )
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = (
+                out.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        data = check_batch_structure(
+            list(q.recentProgress), phase_counts, "dedup_then_window_phased"
+        )
+        check_admission_log(ckpt, len(phase_counts), "dedup_then_window_phased")
+        # the memory sink's rows survive the temp-dir cleanup; pin them
+        result = spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    if ntz_event_time:
+        result = result.withColumn(
+            "window_start", F.col("window_start").cast("timestamp_ntz")
+        ).withColumn("window_end", F.col("window_end").cast("timestamp_ntz"))
+    stats = {
+        "data_batches": len(data),
+        "rows_per_batch": [p["numInputRows"] for p in data],
+        "dedup_dropped": [
+            sum(
+                op.get("numRowsDroppedByWatermark", 0)
+                for op in p.get("stateOperators", [])
+            )
+            for p in data
+        ],
+    }
+    return result, stats

@@ -130,3 +130,57 @@ def test_shingle_novelty_hand_case(spark):
     out = {r["source"]: r.asDict() for r in shingle_novelty(df).collect()}
     assert out["s1"] == {"source": "s1", "n_shingles": 2, "n_novel": 2, "novelty_rate": 1.0}
     assert out["s2"] == {"source": "s2", "n_shingles": 2, "n_novel": 0, "novelty_rate": 0.0}
+
+
+def test_dedup_then_window_drops_cross_batch_duplicate(spark):
+    """A copy of a phase-1 row replayed in phase 2 must die in the
+    dedup store (its original's state outlives the eviction watermark),
+    so the emitted hourly counts equal the distinct-row counts."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        dedup_then_window_phased,
+    )
+
+    rows1 = [(i, f"2024-01-01 00:{i:02d}:00", "a") for i in range(10)]
+    rows2 = [(i + 10, f"2024-01-01 03:{i:02d}:00", "a") for i in range(10)]
+    rows3 = [(i + 20, f"2024-01-01 06:{i:02d}:00", "a") for i in range(10)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    p1 = mk(rows1)
+    p2 = mk(rows2 + [rows1[9]])  # cross-batch dup: 00:09, within 1h of 03:xx? No —
+    # 00:09 is hours older than phase 2; but the eviction watermark during
+    # batch 2 is max(phase-1)−1h = 23:09 of the PREVIOUS day → original
+    # state (00:00–00:09) is still live, so the copy is deduplicated.
+    p3 = mk(rows3)
+    out, stats = dedup_then_window_phased(
+        spark, [p1, p2, p3], ["event_id"], lateness="1 hour",
+        group_cols=["event_type"],
+    )
+    # final watermark = 06:09 − 1h = 05:09 → hours 00 and 03 emitted
+    got = {
+        (r["window_start"].hour, r["n_events"]) for r in out.collect()
+    }
+    assert got == {(0, 10), (3, 10)}
+    assert stats["data_batches"] == 3
+
+
+def test_ivf_ingest_covers_corpus_once(spark, tmp_path):
+    """Every vector lands in exactly one cell across the phased ingest:
+    cell populations sum to the corpus size."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        pq_codebooks,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.ivf_ingest import (
+        ivf_ingest_phased,
+    )
+
+    dim = 8
+    rows = [(i, [((i * 7 + j) % 13 - 6) / 10.0 for j in range(dim)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    phases = [df.filter(f"vec_id % 3 = {i}") for i in range(3)]
+    audit, stats = ivf_ingest_phased(
+        spark, phases, pq_codebooks(1, 4, dim)[0], dim=dim
+    )
+    rowsA = audit.collect()
+    assert sum(r["n_vecs"] for r in rowsA) == 30
+    assert stats["data_batches"] == 3
