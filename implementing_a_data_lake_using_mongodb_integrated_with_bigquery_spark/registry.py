@@ -9125,3 +9125,121 @@ FROM assigned GROUP BY cell
 
 QUERIES["stream_ivf_ingest"] = q_stream_ivf_ingest
 ORACLES["stream_ivf_ingest"] = _oracle_ivf_ingest()
+
+
+def q_hilbert_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key (sources.layout.with_hilbert_key)
+    over two quantized event dimensions — the locality-tighter sibling
+    of zorder_keys (no Morton diagonal jumps, so key-contiguous file
+    ranges cover tighter 2-D tiles). The oracle replays the per-level
+    rotation walk arithmetically; bijectivity on the full grid is
+    pinned in tests. Map-only integer arithmetic, one projection per
+    level."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        with_hilbert_key,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(64))
+    y = F.pmod(F.round(F.col("value") * 10).cast("long"), F.lit(64))
+    return with_hilbert_key(e, x, y, bits=6).select("event_id", "hkey")
+
+
+def _oracle_hilbert() -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        hilbert_oracle_sql,
+    )
+
+    hx = "((user_id % 64) + 64) % 64"
+    hy = "((CAST(round(value * 10) AS BIGINT) % 64) + 64) % 64"
+    return hilbert_oracle_sql("events", "event_id", hx, hy, bits=6)
+
+
+QUERIES["hilbert_layout_keys"] = q_hilbert_layout_keys
+ORACLES["hilbert_layout_keys"] = _oracle_hilbert()
+
+
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard map over the documents
+    corpus plus the RESHARDING-DELTA audit: per 8-shard cell, how many
+    keys move when a 9th shard joins. HRW's defining guarantee — only
+    keys the NEW shard wins relocate, an expected 1/9 of the corpus,
+    versus ~8/9 under naive mod-N — is exactly what the moved_rate
+    column exhibits. Map-only hashing + one hash aggregate."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        rendezvous_shard,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        rendezvous_shard(F.col("doc_id"), 8).alias("shard"),
+        rendezvous_shard(F.col("doc_id"), 9).alias("_s9"),
+    )
+    return (
+        keyed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("shard") != F.col("_s9")).cast("long"))
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .withColumn("moved_rate", F.round(F.col("n_moved") / F.col("n_docs"), 6))
+    )
+
+
+def _oracle_rendezvous() -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        rendezvous_oracle_sql,
+    )
+
+    r8 = rendezvous_oracle_sql("doc_id", 8)
+    r9 = rendezvous_oracle_sql("doc_id", 9)
+    return f"""
+WITH a AS (SELECT {r8} AS shard, {r9} AS s9 FROM documents)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN shard <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       round(CAST(SUM(CASE WHEN shard <> s9 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*), 6) AS moved_rate
+FROM a GROUP BY shard
+"""
+
+
+QUERIES["rendezvous_shards"] = q_rendezvous_shards
+ORACLES["rendezvous_shards"] = _oracle_rendezvous()
+
+
+def q_stream_semi_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join executed as a real streaming job
+    (streaming.joins.attribution_semi_join_once) — the existence-only
+    member of the stream-join family beside the inner and left-outer
+    queries: clicks followed by SOME purchase within 30 minutes, each
+    click emitted at most once regardless of how many purchases match
+    (state dropped on first match). Row-level output so a double
+    emission — the failure mode semi must rule out — hash-mismatches
+    immediately; oracled against batch EXISTS."""
+    import os as _os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.joins import (
+        attribution_semi_join_once,
+    )
+
+    out = attribution_semi_join_once(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    return out.select(
+        F.col("k").alias("user_id"),
+        F.col("left_id").alias("click_id"),
+        F.unix_micros(F.col("left_ts")).alias("click_ts_us"),
+    )
+
+
+ORACLE_STREAM_SEMI = """
+SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us
+FROM events c
+WHERE c.event_type = 'click'
+  AND EXISTS (SELECT 1 FROM events p
+              WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+"""
+
+QUERIES["stream_semi_attribution"] = q_stream_semi_attribution
+ORACLES["stream_semi_attribution"] = ORACLE_STREAM_SEMI

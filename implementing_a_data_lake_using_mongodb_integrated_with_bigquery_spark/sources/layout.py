@@ -161,3 +161,133 @@ def write_sharded(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    bits: int = 6,
+    out_col: str = "hkey",
+) -> DataFrame:
+    """Hilbert-curve clustering key over two pre-quantized non-negative
+    integer columns — the locality-tighter alternative to
+    :func:`zorder_key`: the Hilbert curve never takes the long
+    diagonal jumps Morton order does, so consecutive key ranges map to
+    tighter 2-D tiles and per-file min/max stats prune better on both
+    predicate columns (why newer table formats offer OPTIMIZE ... BY
+    HILBERT beside ZORDER).
+
+    Standard xy→d walk, one projection per level over NAMED columns
+    (``withColumn`` chain, not a nested expression — the rotation
+    state references each prior column ~3×, so inlining would grow the
+    tree 3^bits). All shift/xor/subtract integer arithmetic:
+    whole-stage codegen, engine-portable, exactly mirrored by
+    :func:`hilbert_oracle_sql`.
+    """
+    mask = (1 << bits) - 1
+    df = (
+        df.withColumn("_hx", x.cast("long").bitwiseAND(F.lit(mask)))
+        .withColumn("_hy", y.cast("long").bitwiseAND(F.lit(mask)))
+        .withColumn(out_col, F.lit(0).cast("long"))
+    )
+    for i in reversed(range(bits)):
+        s = 1 << i
+        rx = (
+            F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        ry = (
+            F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        df = df.withColumn(
+            out_col, F.col(out_col) + F.lit(s * s) * (rx * 3).bitwiseXOR(ry)
+        )
+        # rotate the frame: ry==0 → (reflect if rx==1, then swap axes)
+        nx = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - F.col("_hy")).otherwise(F.col("_hy")),
+        ).otherwise(F.col("_hx"))
+        ny = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - F.col("_hx")).otherwise(F.col("_hx")),
+        ).otherwise(F.col("_hy"))
+        df = (
+            df.withColumn("_nhx", nx)
+            .withColumn("_nhy", ny)
+            .drop("_hx", "_hy")
+            .withColumnRenamed("_nhx", "_hx")
+            .withColumnRenamed("_nhy", "_hy")
+        )
+    return df.drop("_hx", "_hy")
+
+
+def hilbert_oracle_sql(
+    from_sql: str, keep_cols: str, x_expr: str, y_expr: str, bits: int = 6,
+    out_col: str = "hkey",
+) -> str:
+    """DuckDB twin of :func:`with_hilbert_key`: one nested subquery per
+    level carrying the (hx, hy, hd) walk state as named columns."""
+    mask = (1 << bits) - 1
+    q = (
+        f"SELECT {keep_cols}, CAST(({x_expr}) & {mask} AS BIGINT) AS hx, "
+        f"CAST(({y_expr}) & {mask} AS BIGINT) AS hy, "
+        f"CAST(0 AS BIGINT) AS hd FROM {from_sql}"
+    )
+    for i in reversed(range(bits)):
+        s = 1 << i
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        q = (
+            f"SELECT {keep_cols}, "
+            f"hd + {s * s} * CAST(xor(3 * {rx}, {ry}) AS BIGINT) AS hd, "
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END) ELSE hx END AS hx, "
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END) ELSE hy END AS hy "
+            f"FROM ({q})"
+        )
+    return f"SELECT {keep_cols}, hd AS {out_col} FROM ({q})"
+
+
+def rendezvous_shard(key: Column, n: int, salt: str = "v1") -> Column:
+    """Highest-random-weight (rendezvous) shard assignment: shard s
+    wins the key iff ``md5('<salt>|<s>|' || key)`` is the
+    lexicographic maximum over all shards (first-max tiebreak —
+    smallest winning index, same CASE-chain rule the PQ argmin uses).
+
+    The property that matters at fleet scale: growing the shard set
+    from n to n+1 moves EXACTLY the keys the new shard wins (an
+    expected 1/(n+1) of them) and nothing else — no ring segments to
+    rebalance, no modulo reshuffle of the whole corpus. Hex-text
+    comparison is the engine-portable ``operators.sampling`` trick; n
+    hashes per row, map-only, codegen'd.
+    """
+    hs = [
+        F.md5(F.concat(F.lit(f"{salt}|{s}|"), key.cast("string")))
+        for s in range(n)
+    ]
+    expr = None
+    for s in range(n - 1):
+        cond = None
+        for t in range(s + 1, n):
+            c = hs[s] >= hs[t]
+            cond = c if cond is None else (cond & c)
+        expr = (
+            F.when(cond, F.lit(s)) if expr is None else expr.when(cond, F.lit(s))
+        )
+    return expr.otherwise(F.lit(n - 1)).cast("long")
+
+
+def rendezvous_oracle_sql(key_expr: str, n: int, salt: str = "v1") -> str:
+    """DuckDB twin of :func:`rendezvous_shard` (first-max CASE chain
+    over the same md5 hex strings)."""
+    def h(s: int) -> str:
+        return f"md5('{salt}|{s}|' || CAST({key_expr} AS VARCHAR))"
+
+    whens = []
+    for s in range(n - 1):
+        cond = " AND ".join(f"{h(s)} >= {h(t)}" for t in range(s + 1, n))
+        whens.append(f"WHEN {cond} THEN {s}")
+    return f"CAST(CASE {' '.join(whens)} ELSE {n - 1} END AS BIGINT)"

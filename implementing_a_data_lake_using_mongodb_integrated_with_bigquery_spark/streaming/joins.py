@@ -300,3 +300,50 @@ def chained_join_window_once(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink)
+
+
+def attribution_semi_join_once(
+    spark: SparkSession,
+    events_path: str,
+    key_col: str = "user_id",
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "30 minutes",
+    lateness: str = "2 hours",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """LEFT SEMI stream-stream join on a bounded replay — the
+    existence-only member of the join family (inner:
+    ``attribution_join_once``, outer: ``attribution_outer_join_once``):
+    each left event is emitted AT MOST ONCE, when a matching right
+    event within ``[left_ts, left_ts + horizon]`` is first seen, and
+    its state is dropped immediately on emission — the semi join's
+    state advantage over inner (a matched left row never lingers
+    waiting for more matches it would only duplicate).
+
+    Bounded-replay emission (single data micro-batch here — the lake
+    table is one file): every left row with ≥1 co-resident match
+    emits, i.e. exactly the batch EXISTS semantics the oracle runs.
+    Output carries only left columns, the semi contract.
+    """
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    left, right = _watermarked_pair(
+        spark, events_path, key_col, left_type, right_type, lateness
+    )
+    joined = _interval_join(left, right, horizon, "left_semi")
+    sink = f"attribution_semi_{next(_SINK_SEQ)}"
+    try:
+        q = (
+            joined.select("k", "left_id", "left_ts")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink)

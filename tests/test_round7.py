@@ -184,3 +184,83 @@ def test_ivf_ingest_covers_corpus_once(spark, tmp_path):
     rowsA = audit.collect()
     assert sum(r["n_vecs"] for r in rowsA) == 30
     assert stats["data_batches"] == 3
+
+
+def _xy2d_ref(order: int, x: int, y: int) -> int:
+    """Reference Hilbert xy→d (textbook iterative form)."""
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_bijection(spark):
+    """All 256 cells of a 16x16 grid map to the textbook Hilbert index
+    — a full bijection, adjacent d values in adjacent cells."""
+    from pyspark.sql import functions as F
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        with_hilbert_key,
+    )
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["hkey"]
+        for r in with_hilbert_key(df, F.col("x"), F.col("y"), bits=4).collect()
+    }
+    assert got == {(x, y): _xy2d_ref(16, x, y) for x, y in rows}
+    assert sorted(got.values()) == list(range(256))
+
+
+def test_rendezvous_shard_minimal_movement(spark):
+    """Growing 4 -> 5 shards moves exactly the keys shard 4 wins —
+    every moved key lands on the new shard, none shuffle among old
+    ones."""
+    from pyspark.sql import functions as F
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        rendezvous_shard,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    out = df.select(
+        rendezvous_shard(F.col("k"), 4).alias("s4"),
+        rendezvous_shard(F.col("k"), 5).alias("s5"),
+    ).collect()
+    moved = [r for r in out if r["s4"] != r["s5"]]
+    assert all(r["s5"] == 4 for r in moved)
+    assert 0 < len(moved) < 250  # ~1/5 expected, never a mass reshuffle
+
+
+def test_stream_semi_join_emits_each_click_once(spark, tmp_path):
+    """A click matched by THREE purchases emits exactly one row."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.joins import (
+        attribution_semi_join_once,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "click", 0.0),
+        (2, "2024-01-01 10:05:00", 7, "purchase", 5.0),
+        (3, "2024-01-01 10:10:00", 7, "purchase", 6.0),
+        (4, "2024-01-01 10:15:00", 7, "purchase", 7.0),
+        (5, "2024-01-01 10:00:00", 8, "click", 0.0),  # never purchases
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+    out = attribution_semi_join_once(spark, path).collect()
+    assert [(r["k"], r["left_id"]) for r in out] == [(7, 1)]
