@@ -63,3 +63,40 @@ def finalize(state: DataFrame, scale: int = 10000) -> DataFrame:
         (F.col("sum_scaled") / float(scale)).alias("vsum"),
         F.round(F.col("sum_scaled") / F.col("n") / float(scale), 6).alias("vavg"),
     )
+
+
+def delta_state(
+    df: DataFrame,
+    keys: list[str],
+    value: Column | str,
+    scale: int = 10000,
+    sign: int = 1,
+) -> DataFrame:
+    """Count/scaled-sum state with a retraction sign: ``sign=-1``
+    builds the DELETE delta of a CDC feed. Count and integer sum form
+    an abelian GROUP (every state has an inverse), so a maintained
+    rollup can apply deletes as negated inserts — unlike min/max,
+    which are only monoids (no inverse: retracting the current max
+    needs the runner-up) and must be recomputed or kept in an aux
+    structure when deletes exist. That distinction is why this state
+    carries fewer pieces than :func:`agg_state`."""
+    v = F.col(value) if isinstance(value, str) else value
+    s = F.lit(sign).cast("long")
+    return df.groupBy(*keys).agg(
+        (s * F.count(F.lit(1))).alias("n"),
+        (s * F.sum(F.round(v * scale).cast("long"))).alias("sum_scaled"),
+    )
+
+
+def merge_delta_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Fold insert/delete delta states; keys whose live count reaches 0
+    drop out of the rollup (fully retracted)."""
+    unioned = reduce(lambda a, b: a.unionByName(b), states)
+    return (
+        unioned.groupBy(*keys)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_scaled").cast("long").alias("sum_scaled"),
+        )
+        .filter(F.col("n") > 0)
+    )

@@ -9243,3 +9243,153 @@ WHERE c.event_type = 'click'
 
 QUERIES["stream_semi_attribution"] = q_stream_semi_attribution
 ORACLES["stream_semi_attribution"] = ORACLE_STREAM_SEMI
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: block suppliers by nation,
+    score in-block name pairs with the DuckDB-exact Jaro-Winkler
+    (operators.fuzzy), keep pairs ≥ 0.96, and resolve transitive
+    clusters with the one-shuffle block-local union-find
+    (operators.graph.blocked_components — edges are block-internal by
+    construction, the layout where it is exact). Output is the cluster
+    SIZE HISTOGRAM — the dedup-yield summary an ER pipeline reports.
+    The oracle resolves the same pair graph with a recursive-CTE
+    transitive closure."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.fuzzy import (
+        jaro_winkler,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
+        blocked_components,
+    )
+
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_nationkey").alias("blk"),
+        F.col("s_suppkey").alias("src"),
+        F.col("s_name").alias("_na"),
+    )
+    b = s.select(
+        F.col("s_nationkey").alias("blk"),
+        F.col("s_suppkey").alias("dst"),
+        F.col("s_name").alias("_nb"),
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("src") < F.col("dst"))
+        .withColumn("_sim", jaro_winkler(F.col("_na"), F.col("_nb")))
+        .filter(F.col("_sim") >= 0.96)
+        .select("blk", "src", "dst")
+    )
+    nodes = s.select(F.col("s_nationkey").alias("blk"), F.col("s_suppkey").alias("id"))
+    comp = blocked_components(nodes, pairs, "blk")
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+
+
+ORACLE_ENTITY_RESOLUTION = """
+WITH RECURSIVE pairs AS (
+  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+  FROM supplier a JOIN supplier b
+    ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+  WHERE round(jaro_winkler_similarity(a.s_name, b.s_name), 6) >= 0.96
+),
+edges AS (SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs),
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+lab AS (
+  SELECT s.s_suppkey AS id,
+         LEAST(s.s_suppkey, COALESCE(MIN(r.b), s.s_suppkey)) AS cluster_id
+  FROM supplier s LEFT JOIN reach r ON r.a = s.s_suppkey
+  GROUP BY s.s_suppkey
+),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size
+"""
+
+QUERIES["entity_resolution"] = q_entity_resolution
+ORACLES["entity_resolution"] = ORACLE_ENTITY_RESOLUTION
+
+
+def q_incremental_rollup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance WITH RETRACTIONS
+    (operators.incremental.delta_state): base state (even event ids)
+    ⊕ an insert delta (odd ids) ⊖ a delete delta (ids ≡ 0 mod 10) —
+    counts and scaled-integer sums form an abelian group, so applying
+    the CDC feed as signed states equals the direct recompute over the
+    surviving rows, which is exactly what the oracle runs. min/max are
+    deliberately absent: they cannot retract (no inverse) — the honest
+    contract of delete-capable materialized aggregates."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.incremental import (
+        delta_state,
+        finalize,
+        merge_delta_states,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    base = delta_state(e.filter(F.col("event_id") % 2 == 0), ["event_type"], "value")
+    ins = delta_state(e.filter(F.col("event_id") % 2 == 1), ["event_type"], "value")
+    dels = delta_state(
+        e.filter(F.col("event_id") % 10 == 0), ["event_type"], "value", sign=-1
+    )
+    return finalize(merge_delta_states([base, ins, dels], ["event_type"])).select(
+        "event_type", "n", "vsum", "vavg"
+    )
+
+
+ORACLE_INCREMENTAL_CDC = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS vsum,
+       round(CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 10000.0, 6) AS vavg
+FROM events
+WHERE NOT (event_id % 2 = 0 AND event_id % 10 = 0)
+GROUP BY event_type
+"""
+
+QUERIES["incremental_rollup_cdc"] = q_incremental_rollup_cdc
+ORACLES["incremental_rollup_cdc"] = ORACLE_INCREMENTAL_CDC
+
+
+def q_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion: median absolute deviation per event type —
+    the outlier-resistant sibling of value_moments' stddev (one wild
+    value moves stddev arbitrarily, moves MAD not at all). Exact
+    two-pass plan: exact interpolated median per group (F.percentile /
+    quantile_cont parity, the value_percentiles convention), broadcast
+    back, exact median of |v − med|. Rounding happens only at the
+    output; the deviation uses the UNROUNDED median on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("_med")
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("_med"), 6).alias("median"),
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("_med")), F.lit(0.5)), 6
+            ).alias("mad"),
+        )
+    )
+
+
+ORACLE_MAD = """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY 1)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       round(MIN(m), 6) AS median,
+       round(quantile_cont(abs(e.value - m), 0.5), 6) AS mad
+FROM events e JOIN med USING (event_type)
+GROUP BY e.event_type
+"""
+
+QUERIES["mad_by_type"] = q_mad_by_type
+ORACLES["mad_by_type"] = ORACLE_MAD

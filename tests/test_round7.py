@@ -264,3 +264,34 @@ def test_stream_semi_join_emits_each_click_once(spark, tmp_path):
     df.coalesce(1).write.parquet(path)
     out = attribution_semi_join_once(spark, path).collect()
     assert [(r["k"], r["left_id"]) for r in out] == [(7, 1)]
+
+
+def test_delta_state_retraction_equals_recompute(spark):
+    """base ⊕ insert ⊖ delete == direct aggregation over survivors;
+    fully-retracted keys drop out of the rollup."""
+    from pyspark.sql import functions as F
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.incremental import (
+        delta_state,
+        finalize,
+        merge_delta_states,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, v double"
+    )
+    ins = spark.createDataFrame([("a", 3.0)], "k string, v double")
+    dels = spark.createDataFrame(
+        [("a", 2.0), ("b", 5.0)], "k string, v double"
+    )  # b fully retracted
+    out = finalize(
+        merge_delta_states(
+            [
+                delta_state(base, ["k"], "v"),
+                delta_state(ins, ["k"], "v"),
+                delta_state(dels, ["k"], "v", sign=-1),
+            ],
+            ["k"],
+        )
+    ).collect()
+    assert [(r["k"], r["n"], r["vsum"]) for r in out] == [("a", 2, 4.0)]
