@@ -170,3 +170,53 @@ def t_closeness_audit(
         )
         .withColumn("violates_t", F.col("tvd") > t)
     )
+
+
+def generalization_ladder(
+    df: DataFrame,
+    levels: list[tuple[str, Column]],
+    k: int,
+) -> DataFrame:
+    """The REPAIR step after :func:`k_anonymity_audit`: walk a
+    generalization ladder (each level a coarser quasi-identifier —
+    hour → day → week …) and report, per level, how many groups exist,
+    how many violate k, and whether the level satisfies k-anonymity;
+    ``is_chosen`` marks the FIRST satisfying level — the minimal
+    generalization that makes the release safe, i.e. the one that
+    destroys the least utility.
+
+    One hash aggregate per level over the same scan lineage (the
+    levels are a handful — hour/day/week — so this is a few cheap
+    passes, each map-side combined), then a single-partition flag pass
+    over ≤ |levels| rows.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    per_level = []
+    for i, (name, col) in enumerate(levels):
+        g = df.groupBy(col.alias("_q")).agg(
+            F.count(F.lit(1)).cast("long").alias("_n")
+        )
+        per_level.append(
+            g.agg(
+                F.lit(i).cast("long").alias("_rung"),
+                F.lit(name).alias("level"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum((F.col("_n") < k).cast("long"))
+                .cast("long")
+                .alias("n_violations"),
+            )
+        )
+    ladder = reduce(lambda a, b: a.unionByName(b), per_level).withColumn(
+        "satisfies_k", F.col("n_violations") == 0
+    )
+    # first satisfying rung wins; every finer level is marked not-chosen
+    w = Window.orderBy("_rung").rowsBetween(Window.unboundedPreceding, -1)
+    prior_ok = F.coalesce(
+        F.max(F.col("satisfies_k").cast("long")).over(w), F.lit(0)
+    )
+    return ladder.withColumn(
+        "is_chosen", F.col("satisfies_k") & (prior_ok == 0)
+    ).drop("_rung")

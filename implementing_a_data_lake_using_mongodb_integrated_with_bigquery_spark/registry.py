@@ -9393,3 +9393,139 @@ GROUP BY e.event_type
 
 QUERIES["mad_by_type"] = q_mad_by_type
 ORACLES["mad_by_type"] = ORACLE_MAD
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('slow hash batch') over the documents
+    corpus: positional trigram match counted per document — the
+    adjacency-constrained sibling of keyword_and_search's AND
+    semantics. MAP-ONLY: a higher-order filter over token positions
+    inside the scan projection, no explode, no shuffle beyond the
+    final tiny filter — the shape a phrase scan must have at corpus
+    scale (a positional inverted index would trade this scan for
+    index lookups; the predicate itself is identical)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    w1, w2, w3 = "slow", "hash", "batch"
+    occ = F.when(F.size(toks) < 3, F.lit(0)).otherwise(
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: (F.element_at(toks, i) == w1)
+                & (F.element_at(toks, (i + 1).cast("int")) == w2)
+                & (F.element_at(toks, (i + 2).cast("int")) == w3),
+            )
+        )
+    )
+    return (
+        d.select("doc_id", occ.cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
+ORACLE_PHRASE_SEARCH = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+WHERE t[i] = 'slow' AND t[i+1] = 'hash' AND t[i+2] = 'batch'
+GROUP BY doc_id
+"""
+
+QUERIES["phrase_search"] = q_phrase_search
+ORACLES["phrase_search"] = ORACLE_PHRASE_SEARCH
+
+
+def q_stream_union_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source streaming fan-in
+    (streaming.windowed.union_windowed_once): click and purchase
+    events land as two SEPARATE file feeds, one streaming query unions
+    them and aggregates hourly per type — each source advances its own
+    checkpoint offsets; the union watermark is the min across feeds.
+    Oracled against the batch union, pinning fan-in == single-source
+    semantics."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        union_windowed_once,
+    )
+
+    def _write(root: str) -> None:
+        import os as _os
+
+        e = load_table(spark, sf_dir, "events").select("ts", "event_type")
+        for t in ("click", "purchase"):
+            e.filter(F.col("event_type") == t).coalesce(1).write.parquet(
+                _os.path.join(root, t)
+            )
+
+    import os as _os
+
+    root = _materialized_layout("stream_union_feeds", sf_dir, _write)
+    out = union_windowed_once(
+        spark,
+        [_os.path.join(root, "click"), _os.path.join(root, "purchase")],
+        group_cols=["event_type"],
+    )
+    return out.select(
+        epoch_us("window_start").alias("window_start_us"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+ORACLE_STREAM_UNION = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY 1, 2
+"""
+
+QUERIES["stream_union_hourly"] = q_stream_union_hourly
+ORACLES["stream_union_hourly"] = ORACLE_STREAM_UNION
+
+
+def q_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity REPAIR (operators.pii.generalization_ladder): walk
+    the (event_type × hour) → (× day) → (× week) quasi-identifier
+    ladder and mark the first level where every group reaches k=5 —
+    the minimal generalization that makes the release safe. One cheap
+    aggregate per rung; exact counts."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.pii import (
+        generalization_ladder,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    mk = lambda unit: F.concat_ws(
+        "|", F.col("event_type"), F.date_trunc(unit, F.col("ts")).cast("string")
+    )
+    return generalization_ladder(
+        e,
+        [("hour", mk("hour")), ("day", mk("day")), ("week", mk("week"))],
+        k=5,
+    )
+
+
+ORACLE_GENERALIZATION = """
+WITH lv AS (
+  SELECT 0 AS rung, 'hour' AS level,
+         event_type || '|' || CAST(date_trunc('hour', ts) AS VARCHAR) AS q
+  FROM events
+  UNION ALL
+  SELECT 1, 'day', event_type || '|' || CAST(date_trunc('day', ts) AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 2, 'week', event_type || '|' || CAST(date_trunc('week', ts) AS VARCHAR) FROM events),
+g AS (
+  SELECT rung, level, q, COUNT(*) AS n FROM lv GROUP BY 1, 2, 3),
+ladder AS (
+  SELECT rung, level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM g GROUP BY 1, 2)
+SELECT level, n_groups, n_violations,
+       n_violations = 0 AS satisfies_k,
+       (n_violations = 0) AND COALESCE(MAX(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END)
+         OVER (ORDER BY rung ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 0
+         AS is_chosen
+FROM ladder
+"""
+
+QUERIES["generalization_ladder"] = q_generalization_ladder
+ORACLES["generalization_ladder"] = ORACLE_GENERALIZATION

@@ -683,3 +683,42 @@ def dedup_then_window_phased(
         ],
     }
     return result, stats
+
+
+def union_windowed_once(
+    spark: SparkSession,
+    paths: list[str],
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    lateness: str = "5 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Windowed aggregation over the UNION of several file-stream
+    sources in one streaming query — the fan-in topology (N landing
+    feeds, one rollup). Each source keeps its own offset log in the
+    checkpoint and advances independently; the union'd watermark is
+    the MIN across sources, so one stalled feed correctly holds back
+    finalization for all (the semantics a multi-feed pipeline must
+    have). Bounded replay into a complete-mode memory sink, same
+    equivalence argument as ``windowed_counts_once``."""
+    from functools import reduce
+
+    opened = [_open_event_stream(spark, p, ts_col) for p in paths]
+    ntz_event_time = any(flag for _, flag in opened)
+    stream = reduce(lambda a, b: a.unionByName(b), [s for s, _ in opened])
+    out = windowed_counts(stream, ts_col, duration, lateness, group_cols)
+    sink = f"union_windowed_once_{next(_SINK_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(sink)
+    if ntz_event_time:
+        result = result.withColumn(
+            "window_start", F.col("window_start").cast("timestamp_ntz")
+        ).withColumn("window_end", F.col("window_end").cast("timestamp_ntz"))
+    return result
