@@ -543,7 +543,10 @@ def shingle_novelty(
             "novelty_rate", F.round(F.col("n_novel") / F.col("n_shingles"), 6)
         )
     )
-    ex.unpersist()
+    # the cached shingle table stays cached: both aggregate branches of
+    # the RETURNED lazy plan read it, so unpersisting here (before any
+    # action) would force the explode to run twice (module precedent:
+    # the near-dup operators leave _shingle_table's cache to LRU)
     return out
 
 
@@ -645,5 +648,5 @@ def minhash_merge_audit(
             F.round(F.col("_inter") / F.col("_union"), 6).alias("exact_jaccard"),
         )
     )
-    ex.unpersist()
+    # cache stays live for the two aggregate branches (see shingle_novelty)
     return out

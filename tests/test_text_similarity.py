@@ -462,16 +462,18 @@ def test_semantic_decontamination_flags_planted_near_dup(spark):
     assert 10 in rows and rows[10][0] == 100 and rows[10][1] > 0.99
     assert 11 not in rows  # random vector: either missed or below 0.9
 
-    # dim mismatch fails fast, same contract as lsh_topk
+    # dim mismatch fails loudly at execution, same contract as
+    # lsh_topk (the guard rides the bucketing projection — zero extra
+    # scans — so it surfaces when the plan runs, not at build time)
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="dim"):
-        semantic_decontamination(corpus, eval_set, threshold=0.9, dim=32)
+    with _pytest.raises(Exception, match="expected dim=32"):
+        semantic_decontamination(corpus, eval_set, threshold=0.9, dim=32).collect()
 
     # the EVAL side is guarded too: a wrong-length benchmark vector
     # must error loudly, not silently report "no contamination"
     bad_eval = spark.createDataFrame(
         [(100, base[:32])], ["eval_id", "eval_emb"]
     )
-    with _pytest.raises(ValueError, match="dim"):
-        semantic_decontamination(corpus, bad_eval, threshold=0.9, dim=dim)
+    with _pytest.raises(Exception, match="expected dim="):
+        semantic_decontamination(corpus, bad_eval, threshold=0.9, dim=dim).collect()
