@@ -278,3 +278,38 @@ def resampling_plan(
         "expected_tokens",
         F.floor(F.col("n_tokens") * F.col("accept_prob")).cast("long"),
     )
+
+
+def resampling_execute(
+    df: DataFrame,
+    plan: DataFrame,
+    group_col: str,
+    key_col: str,
+    salt: str = "rs1",
+) -> DataFrame:
+    """APPLY a :func:`resampling_plan`: accept each row iff the 16-bit
+    value of its salted md5 falls under ``floor(accept_prob · 65536)``
+    — the same engine-portable bits the shard writer uses, so the
+    realized sample is a pure function of row content (reproducible
+    across reruns, engines, and cluster layouts; achieved rate within
+    1/65536 of the plan). The plan is |groups| rows → broadcast join;
+    the hash filter is map-only."""
+    from pyspark.sql import functions as F
+
+    h16 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt), F.lit("\x1f"), F.col(key_col).cast("string")
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    thr = F.floor(F.col("accept_prob") * 65536.0).cast("long")
+    return df.join(
+        F.broadcast(plan.select(group_col, "accept_prob")), group_col
+    ).filter(h16 < thr)

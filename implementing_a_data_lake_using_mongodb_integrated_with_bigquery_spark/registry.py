@@ -9529,3 +9529,182 @@ FROM ladder
 
 QUERIES["generalization_ladder"] = q_generalization_ladder
 ORACLES["generalization_ladder"] = ORACLE_GENERALIZATION
+
+
+def q_resampling_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED mixture resample (operators.sampling.resampling_execute
+    applying resampling_plan): each document kept iff its salted-md5
+    16-bit value clears the group's accept threshold — content-defined,
+    so the realized corpus is byte-reproducible. Output per source:
+    plan probability beside achieved counts/tokens (the drift report a
+    resample job logs). Broadcast plan join + map-only filter."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
+        resampling_execute,
+        resampling_plan,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    plan = resampling_plan(d, "source", n_tok)
+    kept = resampling_execute(d, plan, "source", "doc_id")
+    return kept.groupBy("source").agg(
+        F.round(F.min("accept_prob"), 6).alias("accept_prob"),
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long"))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+
+
+ORACLE_RESAMPLING_EXECUTED = """
+WITH g AS (
+  SELECT source,
+         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+w AS (
+  SELECT source, n_tokens,
+         CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS wi
+  FROM g),
+m AS (SELECT MAX(CAST(wi AS DOUBLE) / n_tokens) AS max_ratio FROM w),
+plan AS (
+  SELECT w.source,
+         round((CAST(w.wi AS DOUBLE) / w.n_tokens) / m.max_ratio, 6) AS accept_prob
+  FROM w CROSS JOIN m),
+kept AS (
+  SELECT d.source, d.text, p.accept_prob
+  FROM documents d JOIN plan p USING (source)
+  WHERE ('0x' || substr(md5('rs1' || chr(31) || CAST(d.doc_id AS VARCHAR)), 1, 4))::INTEGER
+        < CAST(floor(p.accept_prob * 65536.0) AS BIGINT))
+SELECT source, round(MIN(accept_prob), 6) AS accept_prob,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tokens_kept
+FROM kept GROUP BY source
+"""
+
+QUERIES["resampling_executed"] = q_resampling_executed
+ORACLES["resampling_executed"] = ORACLE_RESAMPLING_EXECUTED
+
+
+def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day WITHOUT sliding-distinct
+    state: a user's contribution collapses to their FIRST-SEEN day
+    (one min-aggregate), daily first-timer counts then prefix-sum under
+    a running window — the exact growth curve (new vs returning) that
+    a naive per-day distinct-over-history recompute pays O(days·|users|)
+    for. One user-keyed aggregate + a |days|-row window."""
+    e = load_table(spark, sf_dir, "events")
+    first_day = (
+        e.groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", F.col("ts"))).alias("_day"))
+        .groupBy("_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_users"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, 0)
+    return first_day.select(
+        epoch_us("_day").alias("day_us"),
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+ORACLE_CUMULATIVE_USERS = """
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS d FROM events GROUP BY 1),
+byday AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_new_users FROM f GROUP BY 1)
+SELECT epoch_us(d) AS day_us, n_new_users,
+       CAST(SUM(n_new_users) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM byday
+"""
+
+QUERIES["cumulative_unique_users"] = q_cumulative_unique_users
+ORACLES["cumulative_unique_users"] = ORACLE_CUMULATIVE_USERS
+
+
+def q_layout_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measures WHY the clustering keys exist: events sorted by each
+    candidate layout key (linear x, Z-order, Hilbert) are cut into 16
+    equal key-ranges ('files'); the audit reports the mean per-file
+    span of BOTH dimensions — the quantity per-file min/max pruning
+    actually depends on. Linear order leaves the y-span at full range;
+    the space-filling curves shrink both. ntile over a total order
+    (key, event_id tiebreak) keeps the bucketing deterministic; spans
+    are exact integers."""
+    from pyspark.sql import Window
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        with_hilbert_key,
+        zorder_key,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(64))
+    y = F.pmod(F.round(F.col("value") * 10).cast("long"), F.lit(64))
+    base = with_hilbert_key(
+        e.select("event_id", x.alias("_x"), y.alias("_y")),
+        F.col("_x"),
+        F.col("_y"),
+        bits=6,
+    ).withColumn("zkey", zorder_key(F.col("_x"), F.col("_y"), bits=6))
+
+    outs = []
+    for name, key in [("linear_x", "_x"), ("zorder", "zkey"), ("hilbert", "hkey")]:
+        w = Window.orderBy(F.col(key).asc(), F.col("event_id").asc())
+        bucketed = base.select(
+            "_x", "_y", F.ntile(16).over(w).alias("_b")
+        )
+        spans = bucketed.groupBy("_b").agg(
+            (F.max("_x") - F.min("_x")).alias("_sx"),
+            (F.max("_y") - F.min("_y")).alias("_sy"),
+        )
+        outs.append(
+            spans.agg(
+                F.lit(name).alias("layout"),
+                F.round(F.avg("_sx"), 6).alias("avg_x_span"),
+                F.round(F.avg("_sy"), 6).alias("avg_y_span"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def _oracle_layout_locality() -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
+        hilbert_oracle_sql,
+        zorder_oracle_sql,
+    )
+
+    hx = "((user_id % 64) + 64) % 64"
+    hy = "((CAST(round(value * 10) AS BIGINT) % 64) + 64) % 64"
+    # keep_cols is re-projected at every walk level, so it must be
+    # plain column names — quantize in a base subquery first
+    hil = hilbert_oracle_sql(
+        f"(SELECT event_id, {hx} AS x, {hy} AS y FROM events)",
+        "event_id, x, y",
+        "x",
+        "y",
+        bits=6,
+    )
+    z = zorder_oracle_sql("x", "y", bits=6)
+    parts = []
+    for name, key in [("linear_x", "x"), ("zorder", "zkey"), ("hilbert", "hkey")]:
+        parts.append(f"""
+SELECT '{name}' AS layout, round(AVG(sx), 6) AS avg_x_span, round(AVG(sy), 6) AS avg_y_span
+FROM (
+  SELECT b, MAX(x) - MIN(x) AS sx, MAX(y) - MIN(y) AS sy
+  FROM (SELECT x, y, ntile(16) OVER (ORDER BY {key} ASC, event_id ASC) AS b
+        FROM keyed)
+  GROUP BY b)""")
+    return f"""
+WITH hilberted AS ({hil}),
+keyed AS (SELECT event_id, x, y, hkey, {z} AS zkey FROM hilberted)
+{" UNION ALL ".join(parts)}
+"""
+
+
+QUERIES["layout_locality_audit"] = q_layout_locality_audit
+ORACLES["layout_locality_audit"] = _oracle_layout_locality()

@@ -295,3 +295,19 @@ def test_delta_state_retraction_equals_recompute(spark):
         )
     ).collect()
     assert [(r["k"], r["n"], r["vsum"]) for r in out] == [("a", 2, 4.0)]
+
+
+def test_space_filling_curves_beat_linear_locality(spark):
+    """The audit must show WHY the curve keys exist: under linear-x
+    order the y-span per bucket stays ~full-range; both curves shrink
+    it."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.registry import (
+        q_layout_locality_audit,
+    )
+
+    rows = {
+        r["layout"]: r.asDict()
+        for r in q_layout_locality_audit(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows["zorder"]["avg_y_span"] < rows["linear_x"]["avg_y_span"]
+    assert rows["hilbert"]["avg_y_span"] < rows["linear_x"]["avg_y_span"]
