@@ -9708,3 +9708,44 @@ keyed AS (SELECT event_id, x, y, hkey, {z} AS zkey FROM hilberted)
 
 QUERIES["layout_locality_audit"] = q_layout_locality_audit
 ORACLES["layout_locality_audit"] = _oracle_layout_locality()
+
+
+def q_stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD Type-2 maintenance
+    (streaming.scd2_stream.scd2_stream_phased): three time-monotone
+    micro-batches of user type-change events fold into a MAINTAINED
+    version table — each batch closes/extends only the keys it touches
+    (|batch|-sized work, never a history recompute). The oracle is the
+    one-shot window derivation (same SQL as scd2_user_type): with
+    per-key event-time-monotone batches the maintained table must
+    equal it exactly — extends across batch boundaries included."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.scd2_stream import (
+        scd2_stream_phased,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    p1 = e.where(F.col("ts") < F.lit("2024-01-11"))
+    p2 = e.where(
+        (F.col("ts") >= F.lit("2024-01-11")) & (F.col("ts") < F.lit("2024-01-21"))
+    )
+    p3 = e.where(F.col("ts") >= F.lit("2024-01-21"))
+    out, stats = scd2_stream_phased(
+        spark, [p1, p2, p3], "user_id", "ts", ["event_type"], "event_id"
+    )
+    if stats["data_batches"] != 3:
+        raise RuntimeError(f"expected 3 micro-batches, got {stats}")
+    return out.select(
+        "user_id",
+        "event_type",
+        epoch_us("valid_from").alias("valid_from_us"),
+        epoch_us("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+# The maintained table must equal the one-shot window derivation over
+# the concatenated batches (ORACLE_SCD2's rule, identical SQL).
+ORACLE_STREAM_SCD2 = ORACLE_SCD2
+
+QUERIES["stream_scd2_maintenance"] = q_stream_scd2_maintenance
+ORACLES["stream_scd2_maintenance"] = ORACLE_STREAM_SCD2

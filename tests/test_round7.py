@@ -311,3 +311,50 @@ def test_space_filling_curves_beat_linear_locality(spark):
     }
     assert rows["zorder"]["avg_y_span"] < rows["linear_x"]["avg_y_span"]
     assert rows["hilbert"]["avg_y_span"] < rows["linear_x"]["avg_y_span"]
+
+
+def test_scd2_stream_matches_batch_history(spark):
+    """Maintained-version-table parity with the one-shot window
+    derivation, including the cross-batch EXTEND (same attr value on
+    both sides of a batch boundary must stay ONE version) and the
+    cross-batch CLOSE (value change at the boundary)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.scd import (
+        scd2_history,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.scd2_stream import (
+        scd2_stream_phased,
+    )
+
+    rows1 = [
+        (1, "2024-01-01 00:00:00", "a", 1),
+        (1, "2024-01-01 01:00:00", "a", 2),
+        (2, "2024-01-01 00:30:00", "x", 3),
+    ]
+    rows2 = [
+        (1, "2024-01-02 00:00:00", "a", 4),  # extend across boundary
+        (2, "2024-01-02 01:00:00", "y", 5),  # close across boundary
+        (3, "2024-01-02 02:00:00", "q", 6),  # new key mid-stream
+    ]
+    rows3 = [
+        (1, "2024-01-03 00:00:00", "b", 7),  # change after extend
+    ]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, event_id long"
+    ).selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "event_id"
+    )
+    phases = [mk(r) for r in (rows1, rows2, rows3)]
+    got, stats = scd2_stream_phased(
+        spark, phases, "user_id", "ts", ["event_type"], "event_id"
+    )
+    want = scd2_history(
+        mk(rows1 + rows2 + rows3), "user_id", "ts", ["event_type"], "event_id"
+    )
+    key = lambda r: (r["user_id"], str(r["valid_from"]))
+    g = sorted((r.asDict() for r in got.collect()), key=key)
+    w = sorted((r.asDict() for r in want.collect()), key=key)
+    assert g == w
+    assert stats["data_batches"] == 3
+    # the extend really merged: user 1 has exactly two versions (a, b)
+    u1 = [r for r in g if r["user_id"] == 1]
+    assert [r["event_type"] for r in u1] == ["a", "b"]
