@@ -671,3 +671,74 @@ def bpe_fertility(
             F.sum("_n_sub").cast("double") / F.count(F.lit(1)), 6
         ).alias("fertility"),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 5,
+) -> DataFrame:
+    """EXECUTED BPE tokenizer training (Sennrich et al. 2016): learn
+    the top ``rounds`` merges iteratively — count corpus-weighted
+    adjacent symbol pairs on the CURRENT symbolization, argmax with a
+    total-order tiebreak (count desc, pair asc), apply the winner as a
+    marker-framed literal replace, repeat. Completes the BPE family:
+    pair counts (one iteration), fixed-table apply, fertility — this
+    is the loop that produces the table.
+
+    Scale shape: the corpus collapses to the distinct-word vocabulary
+    ONCE; every round is one hash aggregate over |vocab| rows plus a
+    1-row driver collect (the argmax — bounded metadata, the IVF-
+    centroid pattern) and a map-only replace. Lineage is cut per round
+    with an eager localCheckpoint (the iterative-loop rule). Replace
+    semantics are leftmost-non-overlapping on both engines, which IS
+    greedy BPE application.
+
+    Returns (merge_rank, pair, n) — the learned merge table with its
+    corpus-frequency evidence.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .select(F.lower("w").alias("word"))
+        .filter(F.col("word").rlike("^[a-z]{2,}$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+    )
+    sym = words.select(
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "|$1| ")).alias("s"), "wf"
+    ).localCheckpoint(eager=True)
+    learned: list[tuple[int, str, int]] = []
+    for r in range(1, rounds + 1):
+        toks = F.split(F.col("s"), " ")
+        pairs = sym.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i.cast("int")),
+                        F.element_at(toks, (i + 1).cast("int")),
+                    ),
+                )
+            ).alias("pair"),
+            "wf",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wf").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, n = top[0]["pair"], top[0]["n"]
+        learned.append((r, pair, int(n)))
+        merged = pair.replace("| |", "")
+        sym = sym.withColumn(
+            "s", F.replace(F.col("s"), F.lit(pair), F.lit(merged))
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        learned, "merge_rank long, pair string, n long"
+    )

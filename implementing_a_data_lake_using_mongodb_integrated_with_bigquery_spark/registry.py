@@ -9749,3 +9749,50 @@ ORACLE_STREAM_SCD2 = ORACLE_SCD2
 
 QUERIES["stream_scd2_maintenance"] = q_stream_scd2_maintenance
 ORACLES["stream_scd2_maintenance"] = ORACLE_STREAM_SCD2
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED BPE training over the documents corpus
+    (operators.text.bpe_train_merges): the top-5 merges learned by the
+    real iterate-argmax-apply loop, with their corpus-frequency
+    evidence. The oracle replays the identical five rounds as chained
+    CTEs (pair counts → 1-row argmax → replace), so a hash match pins
+    the whole training trajectory, not just one statistic."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    return bpe_train_merges(load_table(spark, sf_dir, "documents"), rounds=5)
+
+
+def _oracle_bpe_train(rounds: int = 5) -> str:
+    parts = [
+        """words AS (
+  SELECT lower(w) AS word, CAST(COUNT(*) AS BIGINT) AS wf
+  FROM documents, unnest(string_split_regex(text, '\\s+')) AS t(w)
+  WHERE regexp_matches(lower(w), '^[a-z]{2,}$')
+  GROUP BY 1),
+sym0 AS (SELECT trim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS s, wf FROM words)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT t[i] || ' ' || t[i+1] AS pair, CAST(SUM(wf) AS BIGINT) AS n
+  FROM (SELECT string_split(s, ' ') AS t, wf FROM sym{r - 1}) x,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i) g
+  GROUP BY 1),
+m{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair ASC LIMIT 1),
+sym{r} AS (
+  SELECT replace(s, (SELECT pair FROM m{r}),
+                 replace((SELECT pair FROM m{r}), '| |', '')) AS s, wf
+  FROM sym{r - 1})"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, pair, n FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + finals
+
+
+QUERIES["bpe_train_merges"] = q_bpe_train_merges
+ORACLES["bpe_train_merges"] = _oracle_bpe_train()

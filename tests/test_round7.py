@@ -358,3 +358,23 @@ def test_scd2_stream_matches_batch_history(spark):
     # the extend really merged: user 1 has exactly two versions (a, b)
     u1 = [r for r in g if r["user_id"] == 1]
     assert [r["event_type"] for r in u1] == ["a", "b"]
+
+
+def test_bpe_train_merges_hand_case(spark):
+    """Tiny corpus where the greedy argmax trajectory is computable by
+    hand: 'aaab aaab ab' → round 1 merges (a,a) [count 2+2+... per
+    adjacency], later rounds follow the re-symbolized counts."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame(
+        [("aaab aaab ab",), ("aaab xy",)], "text string"
+    )
+    # vocab: aaab wf=3, ab wf=1, xy wf=1
+    # round 1 pairs: aaab → (a,a)x2,(a,b)x1 each ×3 → aa=6, ab=3+1=4, xy=1 → merge '|a| |a|'
+    out = {r["merge_rank"]: (r["pair"], r["n"]) for r in bpe_train_merges(df, rounds=2).collect()}
+    assert out[1] == ("|a| |a|", 6)
+    # after merge: aaab → '|aa| |a| |b|' (leftmost greedy), pairs: (aa,a)=3,(a,b)=3+1? 
+    # 'ab' → '|a| |b|' so (a,b): 3 (from aaab) + 1 = 4 → merge '|a| |b|'
+    assert out[2] == ("|a| |b|", 4)
