@@ -9796,3 +9796,87 @@ sym{r} AS (
 
 QUERIES["bpe_train_merges"] = q_bpe_train_merges
 ORACLES["bpe_train_merges"] = _oracle_bpe_train()
+
+
+def q_cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point statistic per event type over the hourly
+    count series — the sequential-looking recurrence
+    S_i = max(0, S_{i−1} + (x_i − k)) made window-expressible via the
+    prefix identity max_j S_j = max_j (P_j − min_{i≤j} P_i) with P the
+    running sum of (x − k): two window functions over one sort, no
+    iteration, no UDF. Drift threshold k = the series' own mean
+    (integer-scaled: x·|hours| − total, common denominator), so the
+    statistic is exact BIGINT arithmetic end-to-end; the alarm fires
+    when the max deviation exceeds h = 3× the scaled mean."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("_h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_x"))
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("_x").cast("long").alias("_tot"),
+        F.count(F.lit(1)).cast("long").alias("_nh"),
+    )
+    # scaled residual: x·n_hours − total  (denominator n_hours shared
+    # by the whole series, so prefix sums stay integers)
+    j = hourly.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "_h",
+        "_nh",
+        (F.col("_x") * F.col("_nh") - F.col("_tot")).alias("_r"),
+    )
+    wp = Window.partitionBy("event_type").orderBy("_h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dev = j.select(
+        "event_type",
+        "_nh",
+        F.sum("_r").over(wp).alias("_p"),
+        F.min(F.sum("_r").over(wp)).over(
+            Window.partitionBy("event_type")
+            .orderBy("_h")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_pmin"),
+    ).select(
+        "event_type",
+        "_nh",
+        (F.col("_p") - F.col("_pmin")).alias("_dev"),
+    )
+    out = dev.groupBy("event_type").agg(
+        F.max("_dev").cast("long").alias("max_cusum_scaled"),
+        F.min("_nh").cast("long").alias("n_hours"),
+    )
+    return out.select(
+        "event_type",
+        "n_hours",
+        "max_cusum_scaled",
+        (F.col("max_cusum_scaled") > 3 * F.col("n_hours")).alias("drift_alarm"),
+    )
+
+
+ORACLE_CUSUM = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(SUM(x) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nh
+  FROM hourly GROUP BY 1),
+p AS (
+  SELECT hourly.event_type, h, nh,
+         CAST(SUM(x * nh - total) OVER (PARTITION BY hourly.event_type ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pf
+  FROM hourly JOIN tot USING (event_type)),
+dev AS (
+  SELECT event_type, nh,
+         pf - MIN(pf) OVER (PARTITION BY event_type ORDER BY h ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS d
+  FROM p)
+SELECT event_type, CAST(MIN(nh) AS BIGINT) AS n_hours,
+       CAST(MAX(d) AS BIGINT) AS max_cusum_scaled,
+       MAX(d) > 3 * MIN(nh) AS drift_alarm
+FROM dev GROUP BY event_type
+"""
+
+QUERIES["cusum_change_detection"] = q_cusum_change_detection
+ORACLES["cusum_change_detection"] = ORACLE_CUSUM
