@@ -9880,3 +9880,136 @@ FROM dev GROUP BY event_type
 
 QUERIES["cusum_change_detection"] = q_cusum_change_detection
 ORACLES["cusum_change_detection"] = ORACLE_CUSUM
+
+
+def q_item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative similarity from co-purchase counts:
+    cosine = co(i,j) / √(n_i·n_j) over order baskets — the classic
+    memory-based recommender statistic. Pair generation is bounded by
+    the BASKET, not the catalog (≤7 lineitems per order ⇒ ≤21 pairs,
+    the same boundedness argument as the triangle census), then one
+    pair aggregate + two broadcast degree joins. √ of exact BIGINTs is
+    correctly rounded IEEE on both engines; 6dp output. Top-20 pairs
+    under a total order."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i"))
+    b = l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("j"))
+    co = (
+        a.join(b, "o")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+    )
+    deg = l.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    scored = (
+        co.join(F.broadcast(deg.withColumnRenamed("p", "i").withColumnRenamed("n", "_ni")), "i")
+        .join(F.broadcast(deg.withColumnRenamed("p", "j").withColumnRenamed("n", "_nj")), "j")
+        .select(
+            "i",
+            "j",
+            "co",
+            F.round(
+                F.col("co") / F.sqrt((F.col("_ni") * F.col("_nj")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("cosine").desc(), F.col("co").desc(), F.col("i").asc(), F.col("j").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+ORACLE_ITEM_COOCCURRENCE = """
+WITH l AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+co AS (
+  SELECT a.p AS i, b.p AS j, CAST(COUNT(*) AS BIGINT) AS co
+  FROM l a JOIN l b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2),
+deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY 1),
+scored AS (
+  SELECT i, j, co,
+         round(co / sqrt(CAST(di.n * dj.n AS DOUBLE)), 6) AS cosine
+  FROM co JOIN deg di ON co.i = di.p JOIN deg dj ON co.j = dj.p)
+SELECT i, j, co, cosine, rank FROM (
+  SELECT i, j, co, cosine,
+         CAST(row_number() OVER (ORDER BY cosine DESC, co DESC, i ASC, j ASC) AS BIGINT) AS rank
+  FROM scored) WHERE rank <= 20
+"""
+
+QUERIES["item_cooccurrence_similarity"] = q_item_cooccurrence_similarity
+ORACLES["item_cooccurrence_similarity"] = ORACLE_ITEM_COOCCURRENCE
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order at
+    the corpus horizon), frequency (order count), monetary (cents-
+    exact total) quintiled per dimension with total-order tiebreaks
+    (the metric, then the key — ntile is deterministic only under a
+    total order), segment = 100·R + 10·F + M. Output: per-segment
+    population and cents-exact monetary mean for the top segments.
+    One customer-keyed aggregate + three |customers|-row windows
+    sharing nothing heavier than the segment rollup."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("_freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("_cents"),
+    )
+    horizon = per_cust.agg(F.max("_last").alias("_hz"))
+    base = per_cust.crossJoin(F.broadcast(horizon)).select(
+        "o_custkey",
+        F.datediff(F.col("_hz"), F.col("_last")).cast("long").alias("_rec"),
+        "_freq",
+        "_cents",
+    )
+    rw = Window.orderBy(F.col("_rec").asc(), F.col("o_custkey").asc())
+    fw = Window.orderBy(F.col("_freq").desc(), F.col("o_custkey").asc())
+    mw = Window.orderBy(F.col("_cents").desc(), F.col("o_custkey").asc())
+    seg = base.select(
+        "o_custkey",
+        "_cents",
+        (
+            F.ntile(5).over(rw) * 100 + F.ntile(5).over(fw) * 10 + F.ntile(5).over(mw)
+        )
+        .cast("long")
+        .alias("segment"),
+    )
+    return seg.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.sum("_cents") / 100.0).alias("total_monetary"),
+    )
+
+
+ORACLE_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_o,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+hz AS (SELECT MAX(last_o) AS h FROM per_cust),
+base AS (
+  SELECT o_custkey, CAST(date_diff('day', last_o, h) AS BIGINT) AS rec, freq, cents
+  FROM per_cust CROSS JOIN hz),
+seg AS (
+  SELECT o_custkey, cents,
+         CAST(ntile(5) OVER (ORDER BY rec ASC, o_custkey ASC) * 100
+            + ntile(5) OVER (ORDER BY freq DESC, o_custkey ASC) * 10
+            + ntile(5) OVER (ORDER BY cents DESC, o_custkey ASC) AS BIGINT) AS segment
+  FROM base)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) / 100.0 AS total_monetary
+FROM seg GROUP BY segment
+"""
+
+QUERIES["rfm_segments"] = q_rfm_segments
+ORACLES["rfm_segments"] = ORACLE_RFM
