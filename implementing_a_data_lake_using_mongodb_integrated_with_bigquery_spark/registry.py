@@ -10013,3 +10013,136 @@ FROM seg GROUP BY segment
 
 QUERIES["rfm_segments"] = q_rfm_segments
 ORACLES["rfm_segments"] = ORACLE_RFM
+
+
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape adapted to the lake's schema (no partsupp): for each
+    red-prefixed part, the ASIA supplier(s) achieving the MINIMUM
+    cents-exact average sale price — the correlated-MIN-subquery
+    pattern, ties KEPT (Q2's distinctive multi-row answer per part).
+    Catalyst decorrelates to an aggregate join: per-(part, supplier)
+    price agg, per-part min, equality join back. The min compares an
+    exact rational (cents·n denominators cross-multiplied would be
+    exact; here the mean is scaled to a BIGINT of micro-cents with a
+    shared rounding rule, so equality is well-defined on both
+    engines)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    ps = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(asia_supp), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name")
+        .agg(
+            # micro-cents mean: floor((Σcents·10000)/n) — integer-exact
+            F.floor(
+                (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) * 10000)
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("avg_price_ucents")
+        )
+    )
+    mn = ps.groupBy("p_partkey").agg(
+        F.min("avg_price_ucents").alias("_mn")
+    )
+    return (
+        ps.join(mn, "p_partkey")
+        .filter(F.col("avg_price_ucents") == F.col("_mn"))
+        .select("p_partkey", "s_suppkey", "s_name", "avg_price_ucents")
+    )
+
+
+ORACLE_CHEAPEST_SUPPLIER = """
+WITH asia_supp AS (
+  SELECT s_suppkey, s_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'),
+ps AS (
+  SELECT l_partkey AS p_partkey, s_suppkey, s_name,
+         CAST(floor(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+              * 10000 / COUNT(*)) AS BIGINT) AS avg_price_ucents
+  FROM lineitem
+  JOIN asia_supp ON l_suppkey = s_suppkey
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY 1, 2, 3)
+SELECT p_partkey, s_suppkey, s_name, avg_price_ucents
+FROM ps
+WHERE avg_price_ucents = (SELECT MIN(avg_price_ucents) FROM ps p2
+                          WHERE p2.p_partkey = ps.p_partkey)
+"""
+
+QUERIES["cheapest_supplier_per_part"] = q_cheapest_supplier_per_part
+ORACLES["cheapest_supplier_per_part"] = ORACLE_CHEAPEST_SUPPLIER
+
+
+def q_markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the modal-transition predictor: per event type, how
+    often the corpus-wide most-likely NEXT type (argmax transition
+    count, lexicographic-min tiebreak) actually occurs — the eval half
+    of the transition-matrix query. Transitions via lead() per user
+    (one entity-keyed sort shared by both uses), the modal table is
+    |types|² → broadcast."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    trans = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = trans.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    mw = Window.partitionBy("cur").orderBy(F.col("n").desc(), F.col("nxt").asc())
+    modal = (
+        counts.withColumn("_rn", F.row_number().over(mw))
+        .filter(F.col("_rn") == 1)
+        .select("cur", F.col("nxt").alias("_pred"))
+    )
+    return (
+        trans.join(F.broadcast(modal), "cur")
+        .groupBy(F.col("cur").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.sum((F.col("nxt") == F.col("_pred")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy", F.round(F.col("n_correct") / F.col("n_transitions"), 6)
+        )
+    )
+
+
+ORACLE_MARKOV_ACCURACY = """
+WITH trans AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+t2 AS (SELECT cur, nxt FROM trans WHERE nxt IS NOT NULL),
+counts AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM t2 GROUP BY 1, 2),
+modal AS (
+  SELECT cur, nxt AS pred FROM (
+    SELECT cur, nxt, row_number() OVER (PARTITION BY cur ORDER BY n DESC, nxt ASC) AS rn
+    FROM counts) WHERE rn = 1)
+SELECT cur AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(SUM(CASE WHEN nxt = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(CAST(SUM(CASE WHEN nxt = pred THEN 1 ELSE 0 END) AS BIGINT)
+             / COUNT(*), 6) AS accuracy
+FROM t2 JOIN modal USING (cur)
+GROUP BY cur
+"""
+
+QUERIES["markov_prediction_accuracy"] = q_markov_prediction_accuracy
+ORACLES["markov_prediction_accuracy"] = ORACLE_MARKOV_ACCURACY
