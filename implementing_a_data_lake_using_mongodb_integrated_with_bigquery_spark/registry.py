@@ -10146,3 +10146,251 @@ GROUP BY cur
 
 QUERIES["markov_prediction_accuracy"] = q_markov_prediction_accuracy
 ORACLES["markov_prediction_accuracy"] = ORACLE_MARKOV_ACCURACY
+
+
+def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B readout: users hash-split into arms by the
+    engine-portable md5-parity rule (operators.sampling convention),
+    conversion = the user logged MORE purchases than clicks (a
+    scale-invariant ~50% event — ever-purchased saturates to 1 and
+    zeroes the pooled variance); the pooled two-proportion
+    z² statistic is computed from EXACT integer counts by one shared
+    formula (floats enter only in the final scalar arithmetic —
+    deterministic, no data-order dependence). The standard experiment
+    readout, one user-keyed aggregate + a 2-row reshape."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            > F.sum((F.col("event_type") == "click").cast("long"))
+        )
+        .cast("long")
+        .alias("_conv")
+    )
+    arm = F.when(
+        F.substring(F.md5(F.concat(F.lit("ab1\x1f"), F.col("user_id").cast("string"))), 1, 1)
+        < F.lit("8"),
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    arms = users.select(arm.alias("arm"), "_conv").groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("_conv").cast("long").alias("n_converted"),
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n_users").alias("_na"), F.col("n_converted").alias("_ca")
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n_users").alias("_nb"), F.col("n_converted").alias("_cb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    pa = F.col("_ca") / F.col("_na")
+    pb = F.col("_cb") / F.col("_nb")
+    pp = (F.col("_ca") + F.col("_cb")) / (F.col("_na") + F.col("_nb"))
+    z2 = (pa - pb) * (pa - pb) / (
+        pp * (1 - pp) * (1.0 / F.col("_na") + 1.0 / F.col("_nb"))
+    )
+    return j.select(
+        F.col("_na").alias("n_a"),
+        F.col("_ca").alias("conv_a"),
+        F.col("_nb").alias("n_b"),
+        F.col("_cb").alias("conv_b"),
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z2, 6).alias("z_squared"),
+        (F.round(z2, 6) > 3.841459).alias("significant_95"),
+    )
+
+
+ORACLE_AB_TEST = """
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 > SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY 1),
+arms AS (
+  SELECT CASE WHEN substr(md5('ab1' || chr(31) || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(conv) AS BIGINT) AS n_converted
+  FROM users GROUP BY 1),
+j AS (
+  SELECT a.n_users AS na, a.n_converted AS ca, b.n_users AS nb, b.n_converted AS cb
+  FROM (SELECT * FROM arms WHERE arm = 'A') a
+  CROSS JOIN (SELECT * FROM arms WHERE arm = 'B') b)
+SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+       round(ca / CAST(na AS DOUBLE), 6) AS rate_a,
+       round(cb / CAST(nb AS DOUBLE), 6) AS rate_b,
+       round((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+             * (ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+             / ((ca + cb) / CAST(na + nb AS DOUBLE)
+                * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                * (1.0 / na + 1.0 / nb)), 6) AS z_squared,
+       round((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+             * (ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+             / ((ca + cb) / CAST(na + nb AS DOUBLE)
+                * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                * (1.0 / na + 1.0 / nb)), 6) > 3.841459 AS significant_95
+FROM j
+"""
+
+QUERIES["ab_test_report"] = q_ab_test_report
+ORACLES["ab_test_report"] = ORACLE_AB_TEST
+
+
+def q_fk_orphan_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-lake referential-integrity sweep in one result: orphan
+    counts for every FK edge in the schema (lineitem→orders/part/
+    supplier, orders→customer, customer→nation, supplier→nation,
+    nation→region) — the ops dashboard behind the per-edge dlq_split
+    queries. Each edge is a left-anti join against the parent key
+    (dims broadcast; fact-side edges shuffle only the key column)."""
+    specs = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    outs = []
+    for child, ck, parent, pk in specs:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("_k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("_k"))
+        orphans = c.join(p, "_k", "left_anti")
+        outs.append(
+            c.agg(
+                F.lit(f"{child}.{ck}").alias("fk_edge"),
+                F.lit(f"{parent}.{pk}").alias("parent_key"),
+                F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+            ).crossJoin(
+                orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+ORACLE_FK_ORPHANS = """
+SELECT 'lineitem.l_orderkey' AS fk_edge, 'orders.o_orderkey' AS parent_key,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_partkey', 'part.p_partkey',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+UNION ALL
+SELECT 'lineitem.l_suppkey', 'supplier.s_suppkey',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+UNION ALL
+SELECT 'orders.o_custkey', 'customer.c_custkey',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'customer.c_nationkey', 'nation.n_nationkey',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+UNION ALL
+SELECT 'supplier.s_nationkey', 'nation.n_nationkey',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier
+        WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+UNION ALL
+SELECT 'nation.n_regionkey', 'region.r_regionkey',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+        WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+"""
+
+QUERIES["fk_orphan_matrix"] = q_fk_orphan_matrix
+ORACLES["fk_orphan_matrix"] = ORACLE_FK_ORPHANS
+
+
+def q_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict time-boxed conversion funnel view→click→purchase: a
+    conversion is a view followed by the user's NEXT click within 30
+    minutes, followed by the next purchase within 30 minutes of that
+    click — 'next matching step' resolved per stage by a min-aggregate
+    over candidate joins (never a cross join across users; the equi-key
+    is the user). Reports stage survivors and 6dp conversion rates."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("c_ts")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("p_ts")
+    )
+    vc = (
+        views.join(clicks, "u")
+        .filter(
+            (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .groupBy("u", "v_id", "v_ts")
+        .agg(F.min("c_ts").alias("c_ts"))
+    )
+    vcp = (
+        vc.join(purch, "u")
+        .filter(
+            (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .groupBy("u", "v_id")
+        .agg(F.min("p_ts").alias("p_ts"))
+    )
+    n_views = views.agg(F.count(F.lit(1)).cast("long").alias("n_views"))
+    n_vc = vc.agg(F.count(F.lit(1)).cast("long").alias("n_clicked"))
+    n_vcp = vcp.agg(F.count(F.lit(1)).cast("long").alias("n_purchased"))
+    return (
+        n_views.crossJoin(F.broadcast(n_vc))
+        .crossJoin(F.broadcast(n_vcp))
+        .select(
+            "n_views",
+            "n_clicked",
+            "n_purchased",
+            F.round(F.col("n_clicked") / F.col("n_views"), 6).alias("view_to_click"),
+            F.round(F.col("n_purchased") / F.col("n_clicked"), 6).alias(
+                "click_to_purchase"
+            ),
+        )
+    )
+
+
+ORACLE_TIMED_FUNNEL = """
+WITH views AS (
+  SELECT user_id AS u, event_id AS v_id, ts AS v_ts FROM events WHERE event_type = 'view'),
+clicks AS (SELECT user_id AS u, ts AS c_ts FROM events WHERE event_type = 'click'),
+purch AS (SELECT user_id AS u, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+vc AS (
+  SELECT v.u, v.v_id, v.v_ts, MIN(c.c_ts) AS c_ts
+  FROM views v JOIN clicks c ON v.u = c.u
+   AND c.c_ts > v.v_ts AND c.c_ts <= v.v_ts + INTERVAL 30 MINUTE
+  GROUP BY 1, 2, 3),
+vcp AS (
+  SELECT vc.u, vc.v_id, MIN(p.p_ts) AS p_ts
+  FROM vc JOIN purch p ON vc.u = p.u
+   AND p.p_ts > vc.c_ts AND p.p_ts <= vc.c_ts + INTERVAL 30 MINUTE
+  GROUP BY 1, 2)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM views) AS n_views,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM vc) AS n_clicked,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM vcp) AS n_purchased,
+       round((SELECT COUNT(*) FROM vc) / CAST((SELECT COUNT(*) FROM views) AS DOUBLE), 6)
+         AS view_to_click,
+       round((SELECT COUNT(*) FROM vcp) / CAST((SELECT COUNT(*) FROM vc) AS DOUBLE), 6)
+         AS click_to_purchase
+"""
+
+QUERIES["timed_funnel"] = q_timed_funnel
+ORACLES["timed_funnel"] = ORACLE_TIMED_FUNNEL
