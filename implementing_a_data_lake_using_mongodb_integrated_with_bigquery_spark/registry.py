@@ -10394,3 +10394,106 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM views) AS n_views,
 
 QUERIES["timed_funnel"] = q_timed_funnel
 ORACLES["timed_funnel"] = ORACLE_TIMED_FUNNEL
+
+
+def q_revenue_seasonality_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year comparison: cents-exact
+    monthly totals, the lag-12 window fetching the same month last
+    year, delta and 6dp growth ratio (null first year — no fake
+    zeros). One tiny |months|-row window after the fact aggregate."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("_m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("_cents")
+    )
+    w = Window.orderBy("_m")
+    prev = F.lag("_cents", 12).over(w)
+    return monthly.select(
+        epoch_us("_m").alias("month_us"),
+        (F.col("_cents") / 100.0).alias("revenue"),
+        (prev / 100.0).alias("revenue_prior_year"),
+        F.round(
+            F.when(prev.isNotNull(), (F.col("_cents") - prev) / prev), 6
+        ).alias("yoy_growth"),
+    )
+
+
+ORACLE_SEASONALITY = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1)
+SELECT epoch_us(m) AS month_us,
+       cents / 100.0 AS revenue,
+       lag(cents, 12) OVER (ORDER BY m) / 100.0 AS revenue_prior_year,
+       round((cents - lag(cents, 12) OVER (ORDER BY m))
+             / CAST(lag(cents, 12) OVER (ORDER BY m) AS DOUBLE), 6) AS yoy_growth
+FROM monthly
+"""
+
+QUERIES["revenue_seasonality_yoy"] = q_revenue_seasonality_yoy
+ORACLES["revenue_seasonality_yoy"] = ORACLE_SEASONALITY
+
+
+def q_pareto_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 report): customers ranked by
+    cents-exact lifetime revenue (total order, key tiebreak), cut into
+    revenue deciles; per decile the cumulative share of total revenue
+    — exact integer cumulative sums, one division per output row.
+    One customer aggregate + a |customers|-row window + a 10-row
+    rollup."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("_cents")
+    )
+    w = Window.orderBy(F.col("_cents").desc(), F.col("o_custkey").asc())
+    deciled = per_cust.select(
+        "_cents", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+    per_dec = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("_cents").cast("long").alias("_dec_cents"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_dec.agg(F.sum("_dec_cents").alias("_tot"))
+    return (
+        per_dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            (F.col("_dec_cents") / 100.0).alias("decile_revenue"),
+            F.round(
+                F.sum("_dec_cents").over(wc) / F.col("_tot").cast("double"), 6
+            ).alias("cum_revenue_share"),
+        )
+    )
+
+
+ORACLE_PARETO = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+deciled AS (
+  SELECT cents, CAST(ntile(10) OVER (ORDER BY cents DESC, o_custkey ASC) AS BIGINT) AS decile
+  FROM per_cust),
+per_dec AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS dec_cents
+  FROM deciled GROUP BY 1),
+tot AS (SELECT CAST(SUM(dec_cents) AS BIGINT) AS t FROM per_dec)
+SELECT decile, n_customers,
+       dec_cents / 100.0 AS decile_revenue,
+       round(CAST(SUM(dec_cents) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             / CAST(t AS DOUBLE), 6) AS cum_revenue_share
+FROM per_dec CROSS JOIN tot
+"""
+
+QUERIES["pareto_revenue_curve"] = q_pareto_revenue_curve
+ORACLES["pareto_revenue_curve"] = ORACLE_PARETO
