@@ -142,7 +142,10 @@ _FRAGILE_FIRST = (
     "stream_attribution_join", "stream_session_windows",
     "stream_dedup_counts", "stream_batch_hourly",
     "stream_sliding_quarters", "stream_static_enrich",
-    "stream_incremental_dedup", "cdc_last_write_wins", "rate_limit_audit",
+    "stream_incremental_dedup", "stream_dedup_then_window",
+    "stream_ivf_ingest", "stream_scd2_maintenance",
+    "stream_semi_attribution", "stream_union_hourly",
+    "cdc_last_write_wins", "rate_limit_audit",
     # sketch / float-adjacent
     "hll_sketch_mergeability", "approx_distinct_check",
     "approx_quantile_check", "value_drift_ks", "value_drift_psi",
