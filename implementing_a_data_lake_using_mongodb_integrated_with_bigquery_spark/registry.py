@@ -10497,3 +10497,208 @@ FROM per_dec CROSS JOIN tot
 
 QUERIES["pareto_revenue_curve"] = q_pareto_revenue_curve
 ORACLES["pareto_revenue_curve"] = ORACLE_PARETO
+
+
+# --- round 7: count-min sketch family + hashing-trick featurizer ----------
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sketches import (  # noqa: E402
+    cms_bucket_sql,
+    cms_build,
+    cms_estimate,
+)
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 256
+
+
+def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through a count-min sketch: corpus token counts →
+    4×256 integer sketch; the exact top-20 tokens are then point-
+    estimated against the sketch, reporting estimate and (provably
+    ≥ 0) overestimate. The sketch path never sees the corpus twice:
+    one token count, one depth-way explode of the DISTINCT-token
+    table, one 1024-cell aggregate; estimation broadcasts the sketch.
+    Hash is the engine-exact md5-hex scheme of operators/sketches.py,
+    inlined into the DuckDB oracle from the same builder."""
+    from pyspark.sql import Window
+
+    cnt = _token_counts(spark, sf_dir)
+    sketch = cms_build(cnt, "token", "n_exact", _CMS_DEPTH, _CMS_WIDTH)
+    w = Window.orderBy(F.col("n_exact").desc(), F.col("token").asc())
+    top = (
+        cnt.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+    )
+    est = cms_estimate(sketch, top, "token", _CMS_DEPTH, _CMS_WIDTH)
+    return est.select(
+        "token",
+        "n_exact",
+        "rank",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).cast("long").alias("overestimate"),
+    )
+
+
+def _oracle_cms_heavy_hitters() -> str:
+    cells = "\n    UNION ALL ".join(
+        f"SELECT {j} AS seed, {cms_bucket_sql('token', j, _CMS_WIDTH)} AS bucket,"
+        " n_exact FROM cnt"
+        for j in range(_CMS_DEPTH)
+    )
+    probes = "\n    UNION ALL ".join(
+        f"SELECT token, n_exact, rank, {j} AS seed,"
+        f" {cms_bucket_sql('token', j, _CMS_WIDTH)} AS bucket FROM top"
+        for j in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH cnt AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token),
+cells AS (
+  SELECT seed, bucket, CAST(SUM(n_exact) AS BIGINT) AS counter FROM (
+    {cells}
+  ) GROUP BY 1, 2),
+top AS (
+  SELECT token, n_exact,
+         CAST(row_number() OVER (ORDER BY n_exact DESC, token ASC) AS BIGINT) AS rank
+  FROM cnt QUALIFY rank <= 20),
+probe_cells AS (
+    {probes}
+)
+SELECT p.token, p.n_exact, p.rank,
+       CAST(MIN(COALESCE(c.counter, 0)) AS BIGINT) AS n_est,
+       CAST(MIN(COALESCE(c.counter, 0)) - p.n_exact AS BIGINT) AS overestimate
+FROM probe_cells p LEFT JOIN cells c ON p.seed = c.seed AND p.bucket = c.bucket
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters
+ORACLES["cms_heavy_hitters"] = _oracle_cms_heavy_hitters()
+
+
+def q_cms_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mergeability of the count-min sketch — the property that
+    makes it the 100 TB/streaming structure: the corpus is split into
+    two shards by an engine-portable md5 half-split on doc_id, a
+    sketch is built per shard, the shard sketches are merged by cell-
+    wise integer sum, and the merge is compared cell-for-cell against
+    the sketch built directly on the full corpus. Counters are integer
+    sums, so equality is EXACT (mismatched_cells = 0), not
+    approximate — the oracle recomputes the direct sketch and pins
+    every summary stat."""
+    docs = load_table(spark, sf_dir, "documents")
+    half_a = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+
+    def counts(d: DataFrame) -> DataFrame:
+        return (
+            d.select(F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        )
+
+    sk_a = cms_build(counts(docs.where(half_a)), "token", "n_exact", _CMS_DEPTH, _CMS_WIDTH)
+    sk_b = cms_build(counts(docs.where(~half_a)), "token", "n_exact", _CMS_DEPTH, _CMS_WIDTH)
+    merged = (
+        sk_a.unionByName(sk_b)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("counter").cast("long").alias("counter"))
+    )
+    direct = cms_build(counts(docs), "token", "n_exact", _CMS_DEPTH, _CMS_WIDTH)
+    cmp = direct.alias("d").join(
+        merged.alias("m"), ["seed", "bucket"], "full_outer"
+    )
+    return cmp.agg(
+        F.count(F.col("d.counter")).cast("long").alias("n_cells_direct"),
+        F.count(F.col("m.counter")).cast("long").alias("n_cells_merged"),
+        F.sum(
+            F.when(
+                F.col("d.counter").eqNullSafe(F.col("m.counter")), 0
+            ).otherwise(1)
+        ).cast("long").alias("mismatched_cells"),
+        F.sum(F.coalesce(F.col("d.counter"), F.lit(0))).cast("long").alias("total_direct"),
+        F.sum(F.coalesce(F.col("m.counter"), F.lit(0))).cast("long").alias("total_merged"),
+        F.max(F.coalesce(F.col("d.counter"), F.lit(0))).cast("long").alias("max_counter"),
+    )
+
+
+def _oracle_cms_merge_parity() -> str:
+    cells = "\n    UNION ALL ".join(
+        f"SELECT {j} AS seed, {cms_bucket_sql('token', j, _CMS_WIDTH)} AS bucket,"
+        " n_exact FROM cnt"
+        for j in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH cnt AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token),
+cells AS (
+  SELECT seed, bucket, CAST(SUM(n_exact) AS BIGINT) AS counter FROM (
+    {cells}
+  ) GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_direct,
+       CAST(COUNT(*) AS BIGINT) AS n_cells_merged,
+       CAST(0 AS BIGINT) AS mismatched_cells,
+       CAST(SUM(counter) AS BIGINT) AS total_direct,
+       CAST(SUM(counter) AS BIGINT) AS total_merged,
+       CAST(MAX(counter) AS BIGINT) AS max_counter
+FROM cells
+"""
+
+
+QUERIES["cms_merge_parity"] = q_cms_merge_parity
+ORACLES["cms_merge_parity"] = _oracle_cms_merge_parity()
+
+
+def q_feature_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick featurizer (Weinberger et al. 2009): token
+    → one of 64 feature buckets via the engine-exact md5-hex hash, a
+    second independent hash bit supplies the ±1 sign (collision noise
+    cancels in expectation), feature value = Σ sign·count per
+    (doc, bucket). Map-side: explode + one (doc, bucket) integer
+    aggregate; the doc filter (every 17th id) prunes at the scan.
+    Fixed-width output regardless of vocabulary — the point of the
+    trick for 100 TB featurization."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 17 == 0
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    h = F.md5(F.concat(F.lit("fh:"), F.col("token")))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 64).alias("bucket")
+    hs = F.md5(F.concat(F.lit("fhsign:"), F.col("token")))
+    sign = F.when(
+        F.conv(F.substring(hs, 1, 1), 16, 10).cast("long") % 2 == 0, 1
+    ).otherwise(-1)
+    return (
+        tok.select("doc_id", bucket, sign.alias("_s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("_s").cast("long").alias("feat"))
+    )
+
+
+ORACLE_FEATURE_HASH = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id % 17 = 0)
+SELECT doc_id,
+       (('0x' || substr(md5('fh:' || token), 1, 4))::BIGINT % 64) AS bucket,
+       CAST(SUM(CASE WHEN ('0x' || substr(md5('fhsign:' || token), 1, 1))::BIGINT % 2 = 0
+                THEN 1 ELSE -1 END) AS BIGINT) AS feat
+FROM tok
+GROUP BY 1, 2
+"""
+
+QUERIES["feature_hash_features"] = q_feature_hash_features
+ORACLES["feature_hash_features"] = ORACLE_FEATURE_HASH
