@@ -145,8 +145,10 @@ _FRAGILE_FIRST = (
     "stream_incremental_dedup", "stream_dedup_then_window",
     "stream_ivf_ingest", "stream_scd2_maintenance",
     "stream_semi_attribution", "stream_union_hourly",
+    "stream_cms_topk",
     "cdc_last_write_wins", "rate_limit_audit",
     # sketch / float-adjacent
+    "cms_heavy_hitters", "cms_merge_parity",
     "hll_sketch_mergeability", "approx_distinct_check",
     "approx_quantile_check", "value_drift_ks", "value_drift_psi",
     "value_percentiles", "value_moments", "hourly_value_regression",

@@ -72,3 +72,40 @@ def keyword_and_search(
         .filter(F.col("_n_matched") == n_terms)
         .select(id_col, "n_hits")
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    id_col: str = "doc_id",
+    k: int = 60,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N (id, rank)
+    tables — the standard hybrid-retrieval combiner (lexical ⊕ dense ⊕
+    …). Each ranking contributes ``round(scale / (k + rank))`` in
+    BIGINT micro-units; an id absent from a ranking contributes 0. The
+    fused score is therefore an integer sum of per-ranking row-level
+    expressions — no float aggregation, identical on any engine.
+
+    Output: (id, rank_<name>… nullable, rrf_micro). Rankings are tiny
+    (top-N head tables), so the chained full-outer joins never touch
+    the corpus."""
+    fused = None
+    for name, r in rankings:
+        r = r.select(F.col(id_col), F.col("rank").alias(f"rank_{name}"))
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+    contribs = [
+        F.coalesce(
+            F.round(F.lit(float(scale)) / (F.lit(k) + F.col(f"rank_{name}"))).cast("long"),
+            F.lit(0).cast("long"),
+        )
+        for name, _ in rankings
+    ]
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return fused.select(
+        id_col,
+        *[F.col(f"rank_{name}") for name, _ in rankings],
+        total.alias("rrf_micro"),
+    )

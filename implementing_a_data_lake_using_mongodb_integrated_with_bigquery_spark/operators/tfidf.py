@@ -199,3 +199,32 @@ def tfidf_cosine_topk(
         scored.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
     )
+
+
+def bm25_query_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document BM25 relevance for a bag-of-terms query:
+    (id, bm25_micro). Each per-(doc,term) BM25 contribution is
+    6dp-rounded then scaled to BIGINT micro-units before the sum over
+    query terms — integer addition is order-free, so the score is
+    reproducible under any partitioning (a raw double sum of even 3
+    BM25 terms is not). df(term) is computed over the FULL corpus
+    before the query-term filter (BM25's idf is a global statistic);
+    only query-term rows reach the final aggregate."""
+    tf = term_table(docs, id_col, text_col)
+    j = _with_df_and_globals(tf, docs, text_col).filter(F.col("term").isin(*terms))
+    n, dfc, tfc = F.col("n_docs"), F.col("df"), F.col("tf")
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+    norm = tfc + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
+    per_term = F.round(idf * tfc * (F.lit(k1) + F.lit(1.0)) / norm, 6)
+    return j.groupBy(id_col).agg(
+        F.sum(F.round(per_term * scale).cast("long")).alias("bm25_micro")
+    )

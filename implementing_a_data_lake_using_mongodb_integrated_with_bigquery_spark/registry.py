@@ -10702,3 +10702,193 @@ GROUP BY 1, 2
 
 QUERIES["feature_hash_features"] = q_feature_hash_features
 ORACLES["feature_hash_features"] = ORACLE_FEATURE_HASH
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: for the query
+    {join, stream, filter}, ranking A scores documents by query BM25
+    (per-term contributions 6dp-rounded → micro-BIGINT → integer sum;
+    operators.tfidf.bm25_query_scores) and ranking B by the exact
+    integer TF-IDF dot product against the query terms; each ranking's
+    top-30 head (total-order tiebreak on doc_id) feeds
+    operators.search.rrf_fuse, whose fused score is a row-level
+    integer sum of round(1e6/(60+rank)) contributions — no float ever
+    aggregates. Output is the fused top-15. Both rankings are
+    wordcount-shaped aggregates; the fusion join touches ≤ 60 rows."""
+    from pyspark.sql import Window
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.search import (
+        rrf_fuse,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.tfidf import (
+        bm25_query_scores,
+        tfidf_weights,
+    )
+
+    terms = ["join", "stream", "filter"]
+    docs = load_table(spark, sf_dir, "documents")
+
+    bm25 = bm25_query_scores(docs, terms)
+    wa = Window.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
+    rank_a = (
+        bm25.withColumn("rank", F.row_number().over(wa).cast("long"))
+        .where(F.col("rank") <= 30)
+        .select("doc_id", "rank")
+    )
+
+    dot = (
+        tfidf_weights(docs)
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id")
+        .agg(F.sum("w_int").cast("long").alias("dot_int"))
+    )
+    wb = Window.orderBy(F.col("dot_int").desc(), F.col("doc_id").asc())
+    rank_b = (
+        dot.withColumn("rank", F.row_number().over(wb).cast("long"))
+        .where(F.col("rank") <= 30)
+        .select("doc_id", "rank")
+    )
+
+    fused = rrf_fuse([("bm25", rank_a), ("dot", rank_b)])
+    wf = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .where(F.col("fused_rank") <= 15)
+        .select("doc_id", "rank_bm25", "rank_dot", "rrf_micro", "fused_rank")
+    )
+
+
+ORACLE_HYBRID_RRF = """
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, any_value(dl) AS dl
+  FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+  FROM documents),
+bm25 AS (
+  SELECT t.doc_id,
+         CAST(SUM(CAST(round(
+           round(
+             ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * (1.2 + 1.0)
+               / (t.tf + 1.2 * (1.0 - 0.75
+                    + 0.75 * t.dl / (CAST(g.sum_dl AS DOUBLE) / g.n_docs))),
+             6) * 1000000) AS BIGINT)) AS BIGINT) AS bm25_micro
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN g
+  WHERE t.term IN ('join', 'stream', 'filter')
+  GROUP BY 1),
+rank_a AS (
+  SELECT doc_id, CAST(row_number() OVER (
+           ORDER BY bm25_micro DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM bm25 QUALIFY rank <= 30),
+dots AS (
+  SELECT t.doc_id,
+         CAST(SUM(CAST(round(t.tf * (ln((g.n_docs + 1.0) / (d.df + 1.0)) + 1.0)
+                             * 10000) AS BIGINT)) AS BIGINT) AS dot_int
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN g
+  WHERE t.term IN ('join', 'stream', 'filter')
+  GROUP BY 1),
+rank_b AS (
+  SELECT doc_id, CAST(row_number() OVER (
+           ORDER BY dot_int DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM dots QUALIFY rank <= 30),
+fused AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         a.rank AS rank_bm25, b.rank AS rank_dot,
+         COALESCE(CAST(round(1000000.0 / (60 + a.rank)) AS BIGINT), 0)
+           + COALESCE(CAST(round(1000000.0 / (60 + b.rank)) AS BIGINT), 0)
+           AS rrf_micro
+  FROM rank_a a FULL OUTER JOIN rank_b b ON a.doc_id = b.doc_id)
+SELECT doc_id, rank_bm25, rank_dot, rrf_micro,
+       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT)
+         AS fused_rank
+FROM fused QUALIFY fused_rank <= 15
+"""
+
+QUERIES["hybrid_search_rrf"] = q_hybrid_search_rrf
+ORACLES["hybrid_search_rrf"] = ORACLE_HYBRID_RRF
+
+
+def q_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters through a MAINTAINED count-min sketch
+    (streaming/sketch_stream.py): events replay in 3 deterministic
+    micro-batches (one staged file each, path-exact admission guard);
+    every batch folds its batch-local 4×256 sketch into the stored
+    grid by cell-wise integer sum. Because integer counters are
+    associative+commutative, the final store provably equals the
+    direct one-shot sketch — which is exactly what the DuckDB oracle
+    computes — so the oracle discriminates the full multi-batch
+    maintenance path. Readout: the exact top-10 users point-estimated
+    against the maintained sketch."""
+    from pyspark.sql import Window
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.sketch_stream import (
+        cms_stream_phased,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("key")
+    )
+    phases = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+    store, _stats = cms_stream_phased(
+        spark, phases, "key", _CMS_DEPTH, _CMS_WIDTH
+    )
+    cnt = ev.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    w = Window.orderBy(F.col("n_exact").desc(), F.col("key").asc())
+    top = (
+        cnt.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+    )
+    est = cms_estimate(store, top, "key", _CMS_DEPTH, _CMS_WIDTH)
+    return est.select(
+        F.col("key").cast("long").alias("user_id"),
+        "n_exact",
+        "rank",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).cast("long").alias("overestimate"),
+    )
+
+
+def _oracle_stream_cms_topk() -> str:
+    key = "key"
+    cells = "\n    UNION ALL ".join(
+        f"SELECT {j} AS seed, {cms_bucket_sql(key, j, _CMS_WIDTH)} AS bucket,"
+        " n_exact FROM cnt"
+        for j in range(_CMS_DEPTH)
+    )
+    probes = "\n    UNION ALL ".join(
+        f"SELECT key, n_exact, rank, {j} AS seed,"
+        f" {cms_bucket_sql(key, j, _CMS_WIDTH)} AS bucket FROM top"
+        for j in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH cnt AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1),
+cells AS (
+  SELECT seed, bucket, CAST(SUM(n_exact) AS BIGINT) AS counter FROM (
+    {cells}
+  ) GROUP BY 1, 2),
+top AS (
+  SELECT key, n_exact,
+         CAST(row_number() OVER (ORDER BY n_exact DESC, key ASC) AS BIGINT) AS rank
+  FROM cnt QUALIFY rank <= 10),
+probe_cells AS (
+    {probes}
+)
+SELECT CAST(p.key AS BIGINT) AS user_id, p.n_exact, p.rank,
+       CAST(MIN(COALESCE(c.counter, 0)) AS BIGINT) AS n_est,
+       CAST(MIN(COALESCE(c.counter, 0)) - p.n_exact AS BIGINT) AS overestimate
+FROM probe_cells p LEFT JOIN cells c ON p.seed = c.seed AND p.bucket = c.bucket
+GROUP BY p.key, p.n_exact, p.rank
+"""
+
+
+QUERIES["stream_cms_topk"] = q_stream_cms_topk
+ORACLES["stream_cms_topk"] = _oracle_stream_cms_topk()

@@ -76,3 +76,68 @@ def test_cms_unknown_key_estimates_zero_or_collision(spark):
     probe = spark.createDataFrame([("never-seen-token",)], "token string")
     out = cms_estimate(sk, probe, "token", depth=4, width=256).collect()
     assert out[0]["n_est"] in (0, 5)  # 0 unless all 4 cells collide with 'x'
+
+
+def test_rrf_fuse_hand_case(spark):
+    """RRF on a hand-computable pair of rankings, including an id
+    present in only one ranking (contributes 0 from the other)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.search import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank long")
+    out = {
+        r["doc_id"]: (r["rank_a"], r["rank_b"], r["rrf_micro"])
+        for r in rrf_fuse([("a", a), ("b", b)], k=60).collect()
+    }
+    # round(1e6/61)=16393, /62=16129, /63=15873
+    assert out[1] == (1, None, 16393)
+    assert out[2] == (2, 1, 16129 + 16393)
+    assert out[3] == (3, None, 15873)
+    assert out[4] == (None, 2, 16129)
+
+
+def test_bm25_query_scores_integer_and_global_df(spark):
+    """bm25_micro is BIGINT and df is computed before the query-term
+    filter: a term's idf must reflect its full-corpus df."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.tfidf import (
+        bm25_query_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x z"), (3, "z z")], "doc_id long, text string"
+    )
+    out = bm25_query_scores(docs, ["x"]).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    assert all(isinstance(r["bm25_micro"], int) for r in out)
+    # df(x)=2 of N=3 → idf = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6);
+    # doc 1: tf=1, dl=2, avgdl=2 → norm = 1 + 1.2*1.0 = 2.2
+    import math
+    want = round(round(math.log(1.6) * 1 * 2.2 / 2.2, 6) * 1_000_000)
+    got = {r["doc_id"]: r["bm25_micro"] for r in out}
+    assert got[1] == want
+
+
+def test_cms_stream_equals_direct(spark):
+    """The maintained streaming sketch equals the direct sketch
+    cell-for-cell after a guarded 3-micro-batch replay."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.sketch_stream import (
+        cms_stream_phased,
+    )
+
+    rows = [(f"k{i % 23}",) for i in range(300)]
+    full = spark.createDataFrame(rows, "key string")
+    phases = [
+        spark.createDataFrame(rows[:100], "key string"),
+        spark.createDataFrame(rows[100:150], "key string"),
+        spark.createDataFrame(rows[150:], "key string"),
+    ]
+    store, stats = cms_stream_phased(spark, phases, "key", depth=3, width=32)
+    assert stats["data_batches"] == 3
+    assert stats["rows_per_batch"] == [100, 50, 150]
+    counts = full.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    direct = cms_build(counts, "key", "n", depth=3, width=32)
+    got = {(r["seed"], r["bucket"]): r["counter"] for r in store.collect()}
+    want = {(r["seed"], r["bucket"]): r["counter"] for r in direct.collect()}
+    assert got == want
