@@ -10892,3 +10892,125 @@ GROUP BY p.key, p.n_exact, p.rank
 
 QUERIES["stream_cms_topk"] = q_stream_cms_topk
 ORACLES["stream_cms_topk"] = _oracle_stream_cms_topk()
+
+
+def q_mv_rewrite_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view rewrite: a DAILY (order day × priority)
+    pre-aggregate is materialized once per process (layout cache) and
+    the MONTHLY revenue question is answered entirely FROM THE MV —
+    the base fact table is never rescanned. The oracle aggregates the
+    base table directly, so the hash match is the roll-up rewrite
+    identity (month is a coarsening of day; cents and counts are
+    re-aggregable sums). At 100 TB this is the difference between a
+    |days×priorities|-row scan and a full fact scan per dashboard
+    refresh."""
+    def _write(root: str) -> None:
+        o = load_table(spark, sf_dir, "orders")
+        (
+            o.groupBy(
+                F.date_trunc("day", F.col("o_orderdate")).alias("d"),
+                "o_orderpriority",
+            )
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .write.mode("overwrite").parquet(root)
+        )
+
+    root = _materialized_layout("mv_daily_orders", sf_dir, _write)
+    mv = spark.read.parquet(root)
+    return (
+        mv.groupBy(
+            F.date_trunc("month", F.col("d")).alias("_m"), "o_orderpriority"
+        )
+        .agg(
+            F.sum("cents").cast("long").alias("_cents"),
+            F.sum("n").cast("long").alias("n_orders"),
+        )
+        .select(
+            epoch_us("_m").alias("month_us"),
+            "o_orderpriority",
+            "n_orders",
+            (F.col("_cents") / 100.0).alias("revenue"),
+        )
+    )
+
+
+ORACLE_MV_REWRITE = """
+SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+QUERIES["mv_rewrite_rollup"] = q_mv_rewrite_rollup
+ORACLES["mv_rewrite_rollup"] = ORACLE_MV_REWRITE
+
+
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLAN, fully deterministic: each
+    document is cut into 20-token blocks, and every full block masks
+    one 3-token span whose offset comes from the engine-exact md5-hex
+    hash of (doc_id, block) mod 18 — spans can never overlap by
+    construction, so no driver-side rejection sampling and no RNG
+    state. Output is the (doc, block, global span start, span text)
+    mask table a seq2seq pretraining writer consumes. Map-only:
+    tokenize → block explode → column arithmetic; no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("n")
+    ).where(F.col("n") >= 20)
+    b = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), (F.floor(F.col("n") / 20) - 1).cast("long"))
+        ).alias("block"),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit("span:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("block").cast("string"),
+        )
+    )
+    off = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 18
+    start = (F.col("block") * 20 + off).alias("span_start")
+    return b.select(
+        "doc_id",
+        "block",
+        start,
+        F.array_join(
+            F.slice(F.col("toks"), F.col("span_start") + 1, 3), " "
+        ).alias("span_text"),
+    )
+
+
+ORACLE_SPAN_CORRUPTION = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+b AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(n // 20 - 1 AS BIGINT))) AS block
+  FROM t WHERE n >= 20),
+s AS (
+  SELECT doc_id, toks, block,
+         block * 20
+           + (('0x' || substr(md5('span:' || doc_id || ':' || block), 1, 4))::BIGINT % 18)
+           AS span_start
+  FROM b)
+SELECT doc_id, block, span_start,
+       array_to_string(toks[span_start + 1 : span_start + 3], ' ') AS span_text
+FROM s
+"""
+
+QUERIES["span_corruption_plan"] = q_span_corruption_plan
+ORACLES["span_corruption_plan"] = ORACLE_SPAN_CORRUPTION

@@ -141,3 +141,21 @@ def test_cms_stream_equals_direct(spark):
     got = {(r["seed"], r["bucket"]): r["counter"] for r in store.collect()}
     want = {(r["seed"], r["bucket"]): r["counter"] for r in direct.collect()}
     assert got == want
+
+
+def test_span_corruption_non_overlapping(spark):
+    """Spans are block-confined: every span fits inside its 20-token
+    block, so spans never overlap and never cross doc length."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.registry import (
+        q_span_corruption_plan,
+    )
+
+    out = q_span_corruption_plan(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    for r in out:
+        lo, hi = r["block"] * 20, r["block"] * 20 + 20
+        assert lo <= r["span_start"] and r["span_start"] + 3 <= hi
+        assert len(r["span_text"].split(" ")) == 3
+    # per (doc, block) exactly one span
+    keys = [(r["doc_id"], r["block"]) for r in out]
+    assert len(keys) == len(set(keys))
