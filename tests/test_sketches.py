@@ -159,3 +159,22 @@ def test_span_corruption_non_overlapping(spark):
     # per (doc, block) exactly one span
     keys = [(r["doc_id"], r["block"]) for r in out]
     assert len(keys) == len(set(keys))
+
+
+def test_blocking_quality_on_known_dups(spark):
+    """Near-identical docs must be caught by the banded blocking
+    (pair completeness 1.0 on an easy corpus); counts are consistent."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        blocking_quality,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base), (2, base + " extra"), (3, "totally different words here now")]
+    rows += [(10 + i, f"unique doc number {i} with filler tokens {i*7}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = blocking_quality(df).collect()[0]
+    assert r["n_exact"] >= 1                      # docs 1,2 are ≥0.5 Jaccard
+    assert r["n_caught"] == r["n_exact"]          # easy pair: completeness 1.0
+    assert r["pair_completeness"] == 1.0
+    assert r["n_caught"] <= r["n_candidates"]
+    assert 0.0 <= r["reduction_ratio"] <= 1.0
