@@ -44,6 +44,7 @@ __all__ = [
     "cms_bucket_sql",
     "cms_build",
     "cms_estimate",
+    "cms_inner_product",
 ]
 
 
@@ -134,3 +135,21 @@ def cms_estimate(
     return joined.groupBy(*others).agg(
         F.min(F.coalesce(F.col("counter"), F.lit(0))).cast("long").alias(est_col)
     )
+
+
+def cms_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
+    """Join-size estimate from two sketches over the SAME (depth,
+    width, salt) configuration: per seed, the inner product of the two
+    counter rows; the estimate is the MIN over seeds (Cormode &
+    Muthukrishnan 2005 §4.2 — every row's inner product equals the
+    true equi-join size plus non-negative collision mass, so min is
+    the tightest and still never underestimates). Returns one row
+    (est_size BIGINT). Pure integer arithmetic on two grid-sized
+    inputs — the 100 TB join never runs to be sized."""
+    j = sk_a.alias("a").join(
+        sk_b.alias("b"), ["seed", "bucket"]
+    )  # absent cells are 0 ⇒ contribute nothing: inner join suffices
+    per_seed = j.groupBy("seed").agg(
+        F.sum(F.col("a.counter") * F.col("b.counter")).cast("long").alias("ip")
+    )
+    return per_seed.agg(F.min("ip").cast("long").alias("est_size"))

@@ -11077,3 +11077,85 @@ FROM n, c1, e1, g1
 
 QUERIES["blocking_quality_report"] = q_blocking_quality_report
 ORACLES["blocking_quality_report"] = ORACLE_BLOCKING_QUALITY
+
+
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join cardinality estimation WITHOUT running the join: the
+    orders- and lineitem-side key-frequency tables collapse to 4×256
+    count-min sketches, and |orders ⋈ lineitem| is estimated as the
+    min-over-seeds inner product of counter rows
+    (operators.sketches.cms_inner_product) — the optimizer's
+    join-size question answered from two grid-sized summaries. The
+    exact size Σ n_o(k)·n_l(k) is computed alongside (one key join of
+    two count tables) to pin the guaranteed-nonnegative sketch
+    overestimate. All BIGINT; the oracle replicates both paths."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sketches import (
+        cms_inner_product,
+    )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    sk_o = cms_build(o, "key", "n", _CMS_DEPTH, _CMS_WIDTH)
+    sk_l = cms_build(l, "key", "n", _CMS_DEPTH, _CMS_WIDTH)
+    est = cms_inner_product(sk_o, sk_l)
+    exact = (
+        o.alias("a")
+        .join(l.alias("b"), "key")
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).cast("long").alias("exact_size"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_size",
+        "est_size",
+        (F.col("est_size") - F.col("exact_size")).cast("long").alias("overestimate"),
+    )
+
+
+def _oracle_cms_join_size() -> str:
+    def cells(src: str) -> str:
+        return "\n    UNION ALL ".join(
+            f"SELECT {j} AS seed, {cms_bucket_sql('key', j, _CMS_WIDTH)} AS bucket,"
+            f" n FROM {src}"
+            for j in range(_CMS_DEPTH)
+        )
+
+    return f"""
+WITH o AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+l AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1),
+sk_o AS (
+  SELECT seed, bucket, CAST(SUM(n) AS BIGINT) AS counter FROM (
+    {cells('o')}
+  ) GROUP BY 1, 2),
+sk_l AS (
+  SELECT seed, bucket, CAST(SUM(n) AS BIGINT) AS counter FROM (
+    {cells('l')}
+  ) GROUP BY 1, 2),
+est AS (
+  SELECT CAST(MIN(ip) AS BIGINT) AS est_size FROM (
+    SELECT a.seed, CAST(SUM(a.counter * b.counter) AS BIGINT) AS ip
+    FROM sk_o a JOIN sk_l b ON a.seed = b.seed AND a.bucket = b.bucket
+    GROUP BY 1)),
+exact AS (
+  SELECT CAST(SUM(o.n * l.n) AS BIGINT) AS exact_size
+  FROM o JOIN l USING (key))
+SELECT exact_size, est_size,
+       CAST(est_size - exact_size AS BIGINT) AS overestimate
+FROM exact, est
+"""
+
+
+QUERIES["cms_join_size"] = q_cms_join_size
+ORACLES["cms_join_size"] = _oracle_cms_join_size()

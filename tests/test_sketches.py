@@ -178,3 +178,27 @@ def test_blocking_quality_on_known_dups(spark):
     assert r["pair_completeness"] == 1.0
     assert r["n_caught"] <= r["n_candidates"]
     assert 0.0 <= r["reduction_ratio"] <= 1.0
+
+
+def test_cms_inner_product_never_underestimates(spark):
+    """Sketch inner product >= true equi-join size; equality when the
+    grids are collision-free."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sketches import (
+        cms_inner_product,
+    )
+
+    a = spark.createDataFrame(
+        [("k1", 3), ("k2", 5), ("k3", 2)], "key string, n long"
+    )
+    b = spark.createDataFrame(
+        [("k1", 4), ("k3", 10), ("k9", 7)], "key string, n long"
+    )
+    true_size = 3 * 4 + 2 * 10  # k1, k3
+    sk_a = cms_build(a, "key", "n", depth=4, width=256)
+    sk_b = cms_build(b, "key", "n", depth=4, width=256)
+    est = cms_inner_product(sk_a, sk_b).collect()[0]["est_size"]
+    assert est >= true_size
+    # 4 distinct keys in 256 buckets: collisions are possible but each
+    # row's IP only ADDS mass — at this density all four rows are
+    # almost surely exact; accept any value in [true, true + slack]
+    assert est <= true_size + 5 * 10 * 4
