@@ -145,7 +145,7 @@ _FRAGILE_FIRST = (
     "stream_incremental_dedup", "stream_dedup_then_window",
     "stream_ivf_ingest", "stream_scd2_maintenance",
     "stream_semi_attribution", "stream_union_hourly",
-    "stream_cms_topk",
+    "stream_cms_topk", "stream_drift_monitor",
     "cdc_last_write_wins", "rate_limit_audit",
     # sketch / float-adjacent
     "cms_heavy_hitters", "cms_merge_parity",

@@ -11159,3 +11159,55 @@ FROM exact, est
 
 QUERIES["cms_join_size"] = q_cms_join_size
 ORACLES["cms_join_size"] = _oracle_cms_join_size()
+
+
+def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor (streaming/drift_stream.py): the
+    events table replays in 3 deterministic micro-batches; each batch's
+    value distribution is scored against the materialized reference
+    (phase 0's distribution) over 10 fixed [0,1000) bins, appending one
+    (batch_id, n_batch, psi) row per trigger. Batch 0 scores its own
+    reference — psi must be exactly 0.0, a built-in calibration check.
+    Per-batch work is |batch| → 10 bins + constant math; the monitor's
+    state is grid-sized. The oracle recomputes each phase's PSI
+    directly (scaled-BIGINT term sums — hash-stable)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.drift_stream import (
+        psi_stream_phased,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    phases = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+    out, _stats = psi_stream_phased(
+        spark, phases, reference=phases[0], value_col="value"
+    )
+    return out.select("batch_id", "n_batch", "psi")
+
+
+def _oracle_stream_drift() -> str:
+    bin_expr = (
+        "LEAST(9, GREATEST(0, CAST(floor(value / 100.0) AS BIGINT)))"
+    )
+    parts = []
+    for i in range(3):
+        parts.append(f"""
+SELECT {i} AS batch_id,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE event_id % 3 = {i})
+         AS n_batch,
+       (WITH a AS (
+          SELECT {bin_expr} AS bin, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE event_id % 3 = 0 GROUP BY 1),
+        b AS (
+          SELECT {bin_expr} AS bin, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE event_id % 3 = {i} GROUP BY 1),
+        t AS (SELECT (SELECT SUM(c) FROM a) AS ta, (SELECT SUM(c) FROM b) AS tb)
+        SELECT round(SUM(CAST(round(
+                 (CAST(a.c AS DOUBLE)/ta - CAST(b.c AS DOUBLE)/tb)
+                 * ln((CAST(a.c AS DOUBLE)/ta) / (CAST(b.c AS DOUBLE)/tb))
+                 * 1e9) AS BIGINT)) / 1e9, 6)
+        FROM a JOIN b USING (bin) CROSS JOIN t
+        WHERE a.c > 0 AND b.c > 0) AS psi""")
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES["stream_drift_monitor"] = q_stream_drift_monitor
+ORACLES["stream_drift_monitor"] = _oracle_stream_drift()

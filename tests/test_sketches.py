@@ -202,3 +202,25 @@ def test_cms_inner_product_never_underestimates(spark):
     # row's IP only ADDS mass — at this density all four rows are
     # almost surely exact; accept any value in [true, true + slack]
     assert est <= true_size + 5 * 10 * 4
+
+
+def test_psi_stream_batch0_is_zero_and_drift_detected(spark):
+    """Batch 0 scores its own reference (psi exactly 0.0); a shifted
+    batch produces strictly positive psi."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.drift_stream import (
+        psi_stream_phased,
+    )
+
+    # same support (bins 1-5) but heavily shifted mass — disjoint
+    # supports would yield NULL psi (every common-bin term skipped)
+    ref_rows = [(float(100 + (i % 5) * 100),) for i in range(200)]
+    shifted = [(float(100 + (i % 5 if i % 7 else 4) * 100),) for i in range(120)]
+    p0 = spark.createDataFrame(ref_rows, "value double")
+    p1 = spark.createDataFrame(shifted, "value double")
+    out, stats = psi_stream_phased(spark, [p0, p1], reference=p0)
+    assert stats["data_batches"] == 2
+    rows = {r["batch_id"]: r for r in out.collect()}
+    assert rows[0]["psi"] == 0.0
+    assert rows[0]["n_batch"] == 200
+    assert rows[1]["n_batch"] == 120
+    assert rows[1]["psi"] > 0.05  # shifted mass (hand-check: ~0.0724)
