@@ -11211,3 +11211,65 @@ SELECT {i} AS batch_id,
 
 QUERIES["stream_drift_monitor"] = q_stream_drift_monitor
 ORACLES["stream_drift_monitor"] = _oracle_stream_drift()
+
+
+def q_embedding_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: for 20 probe
+    vectors, the exact top-10 cosine neighbor set under the FULL 64-dim
+    embedding vs under the first-16-dims prefix; per probe the overlap
+    count and recall@10 of the truncated index. The standard question
+    before shipping a cheaper ANN index ('can we keep 1/4 of the
+    dims?') answered with exact set arithmetic — both neighbor sets
+    are deterministic (6dp-rounded similarity, id tiebreak), so the
+    overlap is an exact integer and the oracle recomputes both sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_full = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    full = cosine_topk(emb, q_full, k=10).select("q_id", "vec_id")
+    emb_t = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q_t = emb_t.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    trunc = cosine_topk(emb_t, q_t, k=10).select("q_id", "vec_id")
+    overlap = full.join(trunc, ["q_id", "vec_id"], "left_semi")
+    return (
+        overlap.groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .select(
+            "q_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / 10.0, 6).alias("recall_at_10"),
+        )
+    )
+
+
+ORACLE_EMB_TRUNCATION = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+full_nn AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) DESC,
+                      e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN q
+  ) WHERE rank <= 10),
+trunc_nn AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(list_cosine_similarity(
+                        (e.embedding[1:16])::DOUBLE[], (q.q_emb[1:16])::DOUBLE[]), 6) DESC,
+                      e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN q
+  ) WHERE rank <= 10)
+SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       round(COUNT(*) / 10.0, 6) AS recall_at_10
+FROM full_nn JOIN trunc_nn USING (q_id, vec_id)
+GROUP BY q_id
+"""
+
+QUERIES["embedding_truncation_audit"] = q_embedding_truncation_audit
+ORACLES["embedding_truncation_audit"] = ORACLE_EMB_TRUNCATION
