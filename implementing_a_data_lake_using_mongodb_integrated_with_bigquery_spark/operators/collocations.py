@@ -121,3 +121,75 @@ def transition_matrix(
         "n_transitions",
         F.round(F.col("n_transitions") / F.col("_n_from"), 6).alias("p"),
     )
+
+
+def bigram_familiarity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model familiarity score per document — the
+    bigram sibling of the unigram-LM quality filter
+    (``operators.text``): how typical a document's adjacent-token
+    pairs are of the corpus that contains it.
+
+    Score = mean corpus frequency of the document's bigram tokens:
+    ``sum over doc bigrams of n_corpus(bigram) / n_bigrams_in_doc``.
+    The numerator is an exact BIGINT (sum of integer corpus counts,
+    occurrence-weighted), so the only float is the final 6dp-rounded
+    division — boilerplate and templated docs score high, novel or
+    garbled text scores low. Training pipelines threshold or stratify
+    on this the same way they use perplexity, without a float LM.
+
+    Emits ``(id, n_bigrams, familiarity)`` for documents with at
+    least one bigram (single-token and empty docs have no signal and
+    are dropped symmetrically on both engines).
+
+    Scale shape: one wordcount-style aggregate builds the corpus
+    bigram table (bounded by bigram-vocab size); per-doc bigram
+    occurrences aggregate to (doc, bigram, k) BEFORE the join, so the
+    join against the corpus table is vocabulary-shaped on the build
+    side and AQE-broadcastable; one final per-doc aggregate. No
+    windows, nothing quadratic.
+    """
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        tokens,
+    )
+
+    t = tokens(text_col)
+    pairs = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.when(
+                F.size(t) < 2,
+                F.array().cast("array<struct<w1:string,w2:string>>"),
+            ).otherwise(
+                F.zip_with(
+                    F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                    F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            )
+        ).alias("p"),
+    ).select("_id", "p.w1", "p.w2")
+    per_doc = pairs.groupBy("_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("_k")
+    )
+    corpus = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    return (
+        per_doc.join(corpus, ["w1", "w2"])
+        .groupBy("_id")
+        .agg(
+            F.sum("_k").cast("long").alias("n_bigrams"),
+            F.sum(F.col("_k") * F.col("_n")).cast("long").alias("_mass"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_bigrams",
+            F.round(F.col("_mass") / F.col("n_bigrams").cast("double"), 6).alias(
+                "familiarity"
+            ),
+        )
+    )

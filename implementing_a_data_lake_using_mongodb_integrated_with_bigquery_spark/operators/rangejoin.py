@@ -84,3 +84,93 @@ def bin_range_join(
     renamed = iv.select(F.col(_BIN).alias(_BIN + "_r"), *iv_cols)
     cond = (F.col(_BIN) == F.col(_BIN + "_r")) & contained
     return p.join(renamed, on=cond, how="left").drop(_BIN, _BIN + "_r")
+
+
+def interval_overlap_join(
+    intervals: DataFrame,
+    key_col: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Self-join intervals within each ``key_col`` group on STRICT
+    overlap (``a.start < b.end AND b.start < a.end``), returning each
+    unordered pair once with its overlap length.
+
+    Output: ``(key, a_id, b_id, a_start, a_end, b_start, b_end,
+    overlap)`` with ``a_id < b_id`` — overlap is
+    ``least(ends) - greatest(starts)`` in the start/end unit (strictly
+    positive by the predicate, exact when starts/ends are integers).
+
+    Scale shape: the naive formulation is a per-key non-equi self-join
+    (quadratic, and Catalyst plans it as a nested-loop). This lowers
+    it to an EQUI-join on ``(key, bin)``: every interval explodes to
+    the fixed-width bins it covers; two overlapping intervals share
+    every bin their intersection touches, so the pair is found — and
+    it is KEPT exactly once, in the bin containing the later start
+    (``floor(greatest(a.start, b.start) / bin_width)``), which both
+    intervals necessarily cover. No global dedup shuffle: uniqueness
+    is a per-row filter. The join is a plain hash equi-join AQE can
+    broadcast/skew-split; cost knob ``bin_width`` should sit near the
+    typical interval length (too small explodes rows, too large
+    degrades to per-bin cartesian checks).
+
+    Intervals must satisfy ``start <= end``; integer start/end
+    columns (e.g. epoch micros) keep the arithmetic exact.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+
+    binned = intervals.select(
+        F.col(key_col).alias("_k"),
+        F.col(id_col).alias("_id"),
+        F.col(start_col).alias("_s"),
+        F.col(end_col).alias("_e"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bin_width).cast("long"),
+                F.floor(F.col(end_col) / bin_width).cast("long"),
+            )
+        ).alias(_BIN),
+    )
+    a = binned.select(
+        F.col("_k"),
+        F.col(_BIN),
+        F.col("_id").alias("a_id"),
+        F.col("_s").alias("a_start"),
+        F.col("_e").alias("a_end"),
+    )
+    b = binned.select(
+        F.col("_k"),
+        F.col(_BIN),
+        F.col("_id").alias("b_id"),
+        F.col("_s").alias("b_start"),
+        F.col("_e").alias("b_end"),
+    )
+    owner_bin = F.floor(
+        F.greatest(F.col("a_start"), F.col("b_start")) / bin_width
+    ).cast("long")
+    return (
+        a.join(b, on=["_k", _BIN], how="inner")
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+            & (F.col(_BIN) == owner_bin)
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            "a_id",
+            "b_id",
+            "a_start",
+            "a_end",
+            "b_start",
+            "b_end",
+            (
+                F.least(F.col("a_end"), F.col("b_end"))
+                - F.greatest(F.col("a_start"), F.col("b_start"))
+            ).alias("overlap"),
+        )
+        .drop(_BIN)
+    )

@@ -54,3 +54,60 @@ def fill_gaps(
         F.last(value_col, ignorenulls=True).over(w).alias(value_col),
         F.col(value_col).isNull().alias("was_gap"),
     )
+
+
+def ewma_flags(
+    series: DataFrame,
+    key_col: str,
+    time_col: str,
+    count_col: str,
+    span: int = 16,
+    spike_factor: int = 3,
+) -> DataFrame:
+    """Integer-exact EWMA (alpha = 1/2) spike detector over a dense
+    per-key series of BIGINT counts.
+
+    The classic recursive EWMA is float-accumulation-order-dependent
+    and unusable under a value-hash oracle. With alpha = 1/2 the
+    weights over the previous ``span`` observations are exact powers
+    of two — ``w_j = 2^(span-j)`` for lag ``j`` — so the weighted sum
+    is a BIGINT (``sum(lag_j * 2^(span-j))``), the normalizer is the
+    constant ``2^span - 1``, and the spike test
+    ``count > spike_factor * ewma`` becomes the EXACT integer
+    comparison ``count * (2^span - 1) > spike_factor * weighted_sum``
+    — no float boundary to flake on. The tail beyond ``span`` lags
+    carries < 1/2^span of the mass and is truncated symmetrically on
+    both engines.
+
+    Emits only rows with a full ``span``-deep history (the lag window
+    is null-free there): ``(key, time, count, ewma 6dp, is_spike)``.
+
+    Scale shape: one per-key ordered window computes every lag —
+    ``span`` lag() calls share a single window frame, so this is one
+    key-partitioned shuffle regardless of span; state per row is
+    ``span`` BIGINTs. No self-joins, no spine materialization.
+    """
+    if span < 1 or span > 62:
+        raise ValueError("span must be in [1, 62] to stay in BIGINT range")
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    norm = (1 << span) - 1
+    weighted = None
+    for j in range(1, span + 1):
+        term = F.lag(F.col(count_col), j).over(w) * F.lit(1 << (span - j))
+        weighted = term if weighted is None else weighted + term
+    return (
+        series.select(
+            key_col,
+            time_col,
+            F.col(count_col).alias("_n"),
+            weighted.cast("long").alias("_ws"),
+        )
+        .where(F.col("_ws").isNotNull())
+        .select(
+            key_col,
+            time_col,
+            F.col("_n").alias(count_col),
+            F.round(F.col("_ws") / float(norm), 6).alias("ewma"),
+            (F.col("_n") * norm > spike_factor * F.col("_ws")).alias("is_spike"),
+        )
+    )

@@ -11273,3 +11273,293 @@ GROUP BY q_id
 
 QUERIES["embedding_truncation_audit"] = q_embedding_truncation_audit
 ORACLES["embedding_truncation_audit"] = ORACLE_EMB_TRUNCATION
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (cont.): range-join, window-shape, CBO-stats, and LM-scoring family
+# ---------------------------------------------------------------------------
+
+
+def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interval-overlap self-join
+    (operators.rangejoin.interval_overlap_join): each event is the
+    interval [ts, ts + value seconds] in exact epoch micros; pairs of
+    the same user's events with strictly overlapping intervals are
+    found via the bin-blocked equi-join lowering (1-hour bins, pair
+    kept once in the bin of the later start), then rolled up per
+    user. The naive form is a quadratic non-equi self-join; this one
+    is a hash equi-join on (user, bin)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("start_us"),
+        (epoch_us("ts") + F.round(F.col("value") * 1e6).cast("long")).alias(
+            "end_us"
+        ),
+    )
+    pairs = interval_overlap_join(
+        iv, "user_id", "event_id", "start_us", "end_us", bin_width=3_600_000_000
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("overlap").cast("long").alias("total_overlap_us"),
+        F.max("overlap").cast("long").alias("max_overlap_us"),
+    )
+
+
+ORACLE_INTERVAL_OVERLAP = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(value * 1000000) AS BIGINT) AS e
+  FROM events),
+p AS (
+  SELECT a.user_id, least(a.e, b.e) - greatest(a.s, b.s) AS overlap
+  FROM iv a JOIN iv b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id
+   AND a.s < b.e AND b.s < a.e)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(overlap) AS BIGINT) AS total_overlap_us,
+       CAST(MAX(overlap) AS BIGINT) AS max_overlap_us
+FROM p GROUP BY user_id
+"""
+
+QUERIES["interval_overlap_pairs"] = q_interval_overlap_pairs
+ORACLES["interval_overlap_pairs"] = ORACLE_INTERVAL_OVERLAP
+
+
+def q_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE order-months per
+    customer (m - row_number() island key over distinct active
+    months), keeping streaks >= 3. All-integer month arithmetic; one
+    distinct aggregate + one per-customer window + two rollups, every
+    stage keyed by customer."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    months = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("_m"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("_m")
+    islands = months.withColumn("_isl", F.col("_m") - F.row_number().over(w))
+    per_island = islands.groupBy("o_custkey", "_isl").agg(
+        F.count(F.lit(1)).cast("long").alias("_len")
+    )
+    return (
+        per_island.groupBy("o_custkey")
+        .agg(
+            F.max("_len").alias("longest_streak"),
+            F.sum("_len").cast("long").alias("n_active_months"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        )
+        .where(F.col("longest_streak") >= 3)
+    )
+
+
+ORACLE_ORDER_STREAKS = """
+WITH months AS (
+  SELECT DISTINCT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m
+  FROM orders),
+isl AS (
+  SELECT o_custkey, m,
+         m - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS g
+  FROM months),
+runs AS (
+  SELECT o_custkey, g, CAST(COUNT(*) AS BIGINT) AS len
+  FROM isl GROUP BY 1, 2)
+SELECT o_custkey, CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS n_active_months,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY o_custkey HAVING MAX(len) >= 3
+"""
+
+QUERIES["order_streaks"] = q_order_streaks
+ORACLES["order_streaks"] = ORACLE_ORDER_STREAKS
+
+
+def q_ewma_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact EWMA spike detector
+    (operators.timeseries.ewma_flags, alpha=1/2, span=16) over hourly
+    per-type event counts: the weighted sum is a BIGINT of power-of-2
+    weights and the 3x-spike test is an exact integer comparison —
+    no float accumulation anywhere. One count aggregate + one
+    per-type ordered window."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.timeseries import (
+        ewma_flags,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("_h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    series = hourly.select(
+        "event_type", epoch_us("_h").alias("hour_us"), "n_events"
+    )
+    return ewma_flags(
+        series, "event_type", "hour_us", "n_events", span=16, spike_factor=3
+    )
+
+
+_EWMA_TERMS = " + ".join(
+    f"lag(n_events, {j}) OVER w * {1 << (16 - j)}" for j in range(1, 17)
+)
+ORACLE_EWMA_ANOMALIES = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, hour_us, n_events,
+         CAST({_EWMA_TERMS} AS BIGINT) AS ws
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_us))
+SELECT event_type, hour_us, n_events,
+       round(ws / 65535.0, 6) AS ewma,
+       n_events * 65535 > 3 * ws AS is_spike
+FROM lagged WHERE ws IS NOT NULL
+"""
+
+QUERIES["ewma_event_anomalies"] = q_ewma_event_anomalies
+ORACLES["ewma_event_anomalies"] = ORACLE_EWMA_ANOMALIES
+
+
+def q_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM familiarity score per document
+    (operators.collocations.bigram_familiarity): mean corpus
+    frequency of the document's adjacent-token bigrams — the
+    integer-exact stand-in for perplexity-based quality filtering.
+    Two wordcount aggregates + one vocabulary-shaped join."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.collocations import (
+        bigram_familiarity,
+    )
+
+    return bigram_familiarity(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_BIGRAM_FAMILIARITY = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bi AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i) g),
+per_doc AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k FROM bi GROUP BY 1, 2, 3),
+corpus AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bi GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(k * n) AS BIGINT) / CAST(SUM(k) AS DOUBLE), 6) AS familiarity
+FROM per_doc JOIN corpus USING (w1, w2)
+GROUP BY doc_id
+"""
+
+QUERIES["bigram_familiarity"] = q_bigram_familiarity
+ORACLES["bigram_familiarity"] = ORACLE_BIGRAM_FAMILIARITY
+
+
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto front (operators.skyline.skyline_2d) minimizing
+    (retail price, size) over parts — the multi-objective dominance
+    filter single-objective top-k cannot express, lowered to one
+    distinct-point aggregate + a tiny window instead of the textbook
+    quadratic NOT EXISTS self-join."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    pts = p.select(
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+        "p_partkey",
+    )
+    sky = skyline_2d(pts, "price_cents", "p_size", "p_partkey")
+    return sky.select(
+        (F.col("x") / 100.0).alias("price"),
+        F.col("y").alias("p_size"),
+        "n_rows",
+        F.col("min_id").alias("sample_partkey"),
+    )
+
+
+ORACLE_PART_SKYLINE = """
+WITH pts AS (
+  SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS x,
+         CAST(p_size AS BIGINT) AS y, p_partkey
+  FROM part),
+grp AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_rows, MIN(p_partkey) AS min_id
+  FROM pts GROUP BY 1, 2),
+best AS (
+  SELECT x, y, n_rows, min_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY x ORDER BY y ASC) AS r FROM grp
+  ) WHERE r = 1),
+run AS (
+  SELECT x, y, n_rows, min_id,
+         min(y) OVER (ORDER BY x ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM best)
+SELECT x / 100.0 AS price, y AS p_size, n_rows, min_id AS sample_partkey
+FROM run WHERE pm IS NULL OR y < pm
+"""
+
+QUERIES["part_skyline"] = q_part_skyline
+ORACLES["part_skyline"] = ORACLE_PART_SKYLINE
+
+
+def q_histogram_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram build + range-predicate selectivity audit
+    (operators.histogram.selectivity_audit, 32 buckets over order
+    price cents): histogram-interpolated row estimates vs the exact
+    answer for three thresholds — the ANALYZE-statistics loop made
+    measurable. Scaled-integer interpolation keeps the estimate sum
+    order-independent."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.histogram import (
+        selectivity_audit,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_c"),
+        "o_orderkey",
+    )
+    return selectivity_audit(
+        cents, "_c", "o_orderkey", [2_000_000, 10_000_000, 30_000_000], n_buckets=32
+    )
+
+
+ORACLE_HISTOGRAM_SELECTIVITY = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderkey FROM orders),
+h AS (
+  SELECT bucket, MIN(v) AS lo, MAX(v) AS hi, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT v, ntile(32) OVER (ORDER BY v ASC, o_orderkey ASC) AS bucket FROM c)
+  GROUP BY bucket),
+lits AS (SELECT CAST(col0 AS BIGINT) AS threshold
+         FROM (VALUES (2000000), (10000000), (30000000))),
+est AS (
+  SELECT threshold,
+         round(CAST(SUM(CASE WHEN lo > threshold THEN cnt * 1000000
+                             WHEN hi <= threshold THEN 0
+                             ELSE cnt * (((hi - threshold) * 1000000) // (hi - lo))
+                        END) AS BIGINT) / 1000000.0, 6) AS est_rows
+  FROM h CROSS JOIN lits GROUP BY threshold),
+tr AS (
+  SELECT threshold,
+         CAST(SUM(CASE WHEN v > threshold THEN 1 ELSE 0 END) AS BIGINT) AS true_rows
+  FROM c CROSS JOIN lits GROUP BY threshold)
+SELECT threshold, est_rows, true_rows,
+       round((est_rows - true_rows) / CAST(true_rows AS DOUBLE), 6) AS rel_error
+FROM est JOIN tr USING (threshold)
+"""
+
+QUERIES["histogram_selectivity"] = q_histogram_selectivity
+ORACLES["histogram_selectivity"] = ORACLE_HISTOGRAM_SELECTIVITY

@@ -1,0 +1,166 @@
+"""Round-7 operator unit tests: interval-overlap join (vs the naive
+quadratic formulation), skyline dominance (vs brute force), EWMA
+integer exactness, histogram selectivity bounds, bigram familiarity,
+and the gaps-and-islands streak shape."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Bin-blocked overlap join == per-key all-pairs check, including
+    pairs that span multiple bins and touching (non-overlapping)
+    intervals, for every bin width."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    rows = [
+        # key, id, start, end
+        (1, 1, 0, 10),
+        (1, 2, 5, 15),      # overlaps 1
+        (1, 3, 10, 20),     # touches 1 (no overlap, strict), overlaps 2
+        (1, 4, 100, 230),   # spans multiple bins alone
+        (1, 5, 150, 400),   # overlaps 4 across a bin boundary
+        (2, 6, 0, 10),      # other key: never pairs with key 1
+        (2, 7, 3, 4),       # nested inside 6
+        (3, 8, 7, 7),       # zero-length: overlaps nothing
+        (3, 9, 5, 9),
+    ]
+    df = spark.createDataFrame(rows, "k long, id long, s long, e long")
+
+    expected = set()
+    for (k1, i1, s1, e1), (k2, i2, s2, e2) in itertools.combinations(rows, 2):
+        if k1 == k2 and s1 < e2 and s2 < e1:
+            a, b = min(i1, i2), max(i1, i2)
+            expected.add((k1, a, b, min(e1, e2) - max(s1, s2)))
+
+    for width in (1, 7, 64, 1000):
+        got = {
+            (r["k"], r["a_id"], r["b_id"], r["overlap"])
+            for r in interval_overlap_join(df, "k", "id", "s", "e", width).collect()
+        }
+        assert got == expected, f"bin_width={width}"
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    """Window-lowered skyline == quadratic dominance filter, with
+    duplicate points and same-x / same-y ties."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    pts = [
+        (1, 9, 100),
+        (1, 9, 101),   # duplicate point: survives together
+        (2, 9, 102),   # dominated by (1,9) (same y, larger x)
+        (1, 12, 103),  # dominated within x-group by (1,9)
+        (3, 5, 104),
+        (3, 5, 105),
+        (4, 5, 106),   # dominated by (3,5)
+        (5, 2, 107),
+        (9, 1, 108),
+        (9, 4, 109),   # dominated by (5,2)
+    ]
+    df = spark.createDataFrame(pts, "x long, y long, id long")
+
+    def dominated(p, q):
+        return q[0] <= p[0] and q[1] <= p[1] and (q[0] < p[0] or q[1] < p[1])
+
+    sky = {
+        (x, y)
+        for x, y, _ in pts
+        if not any(dominated((x, y), (qx, qy)) for qx, qy, _ in pts)
+    }
+    got = {(r["x"], r["y"]): (r["n_rows"], r["min_id"]) for r in skyline_2d(
+        df, "x", "y", "id").collect()}
+    assert set(got) == sky
+    assert got[(1, 9)] == (2, 100)
+    assert got[(3, 5)] == (2, 104)
+
+
+def test_ewma_flags_integer_exact(spark):
+    """Hand-computed power-of-two weighted sum with span=2: ewma and
+    the spike flag come out of pure BIGINT arithmetic."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.timeseries import (
+        ewma_flags,
+    )
+
+    rows = [("a", t, n) for t, n in enumerate([4, 8, 2, 100, 1])]
+    df = spark.createDataFrame(rows, "k string, t long, n long")
+    out = {r["t"]: r for r in ewma_flags(df, "k", "t", "n", span=2,
+                                         spike_factor=3).collect()}
+    # span=2 -> weights (2, 1) on lags (1, 2), norm = 3
+    # t=2: ws = 8*2 + 4*1 = 20, ewma = 20/3; 2*3 <= 3*20 -> no spike
+    # t=3: ws = 2*2 + 8*1 = 12, ewma = 4.0; 100*3 > 3*12 -> spike
+    # t=4: ws = 100*2 + 2*1 = 202
+    assert set(out) == {2, 3, 4}
+    assert out[2]["ewma"] == round(20 / 3, 6) and not out[2]["is_spike"]
+    assert out[3]["ewma"] == 4.0 and out[3]["is_spike"]
+    assert out[4]["ewma"] == round(202 / 3, 6) and not out[4]["is_spike"]
+
+
+def test_selectivity_audit_exact_on_uniform(spark):
+    """On 1..3200 (uniform, 32 buckets of 100), the equi-depth
+    interpolation is near-exact for every threshold and the audit's
+    true counts are exact."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.histogram import (
+        selectivity_audit,
+    )
+
+    df = spark.range(1, 3201).select(
+        F.col("id").alias("v"), F.col("id").alias("tb")
+    )
+    out = {r["threshold"]: r for r in selectivity_audit(
+        df, "v", "tb", [150, 1600, 3150], n_buckets=32).collect()}
+    for x in (150, 1600, 3150):
+        assert out[x]["true_rows"] == 3200 - x
+        # uniform data: interpolation error bounded by one bucket's
+        # boundary-gap handling (hi_b < lo_{b+1} gaps are unmodeled)
+        assert abs(out[x]["est_rows"] - out[x]["true_rows"]) <= 2.0
+        assert abs(out[x]["rel_error"]) <= 0.05
+
+
+def test_bigram_familiarity_hand_example(spark):
+    """Two docs sharing a bigram: familiarity = occurrence-weighted
+    mean corpus bigram count; single-token doc dropped."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.collocations import (
+        bigram_familiarity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b x"), (3, "zzz")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_familiarity(docs).collect()}
+    # corpus bigrams: (a,b) x2, (b,c) x1, (b,x) x1
+    # doc 1: bigrams (a,b),(b,c) -> (2 + 1)/2 = 1.5
+    # doc 2: bigrams (a,b),(b,x) -> (2 + 1)/2 = 1.5
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 2 and out[1]["familiarity"] == 1.5
+    assert out[2]["n_bigrams"] == 2 and out[2]["familiarity"] == 1.5
+
+
+def test_order_streaks_islands(spark):
+    """Registry streak query finds the hand-built consecutive-month
+    runs (threshold lowered via direct island arithmetic on a toy
+    frame run through the same shape)."""
+    from pyspark.sql import Window
+
+    months = spark.createDataFrame(
+        [(1, m) for m in (0, 1, 2, 5, 6)] + [(2, m) for m in (3, 7)],
+        "c long, m long",
+    )
+    w = Window.partitionBy("c").orderBy("m")
+    runs = (
+        months.withColumn("g", F.col("m") - F.row_number().over(w))
+        .groupBy("c", "g")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("c")
+        .agg(F.max("len").alias("longest"), F.count(F.lit(1)).alias("n_runs"))
+    )
+    got = {r["c"]: (r["longest"], r["n_runs"]) for r in runs.collect()}
+    assert got == {1: (3, 2), 2: (1, 2)}
