@@ -63,3 +63,38 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("change_type") != "unchanged")
     return out
+
+
+def merkle_bucket_summary(
+    df: DataFrame,
+    key_col: str,
+    payload: Column,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Bucket-level reconciliation summary: ``(bucket, n_rows,
+    checksum)`` with an order-independent integer checksum per key
+    bucket — the Merkle-tree leaf level of anti-entropy protocols
+    (Dynamo/Cassandra repair): two replicas compare ``n_buckets``
+    summary rows instead of the full table, then row-diff ONLY the
+    diverged buckets. The scale-path companion of ``snapshot_diff``,
+    which moves every row of both sides.
+
+    The checksum is the SUM of the first 10 hex chars of
+    ``md5(key || '|' || payload)`` parsed as integers — engine-portable
+    (Spark ``conv``, DuckDB ``('0x'||…)::BIGINT``, same convention as
+    ``operators.sketches``), order-independent because integer SUM is
+    commutative, and overflow-safe: 40-bit terms leave 2^23 rows of
+    headroom per bucket before BIGINT wraps (and a wrap on BOTH sides
+    still compares correctly unless collisions align). ``payload``
+    must be built from strings/integers only — float-to-string
+    formatting differs across engines.
+    """
+    s = F.concat_ws("|", F.col(key_col).cast("string"), payload)
+    term = F.conv(F.substring(F.md5(s), 1, 10), 16, 10).cast("long")
+    return (
+        df.groupBy((F.col(key_col) % n_buckets).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(term).cast("long").alias("checksum"),
+        )
+    )

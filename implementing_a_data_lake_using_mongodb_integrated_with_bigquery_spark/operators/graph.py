@@ -448,3 +448,64 @@ def triangle_count(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
         dir_edges.agg(F.count_distinct("n").cast("long").alias("n_nodes"))
     )
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    rounds: int,
+) -> DataFrame:
+    """Bounded k-core peeling: iteratively remove nodes of degree < k
+    (and their edges) for exactly ``rounds`` rounds, returning the
+    surviving nodes with their within-subgraph degree.
+
+    The k-core is the fixpoint of this peel; a FIXED round count keeps
+    the computation replayable on any engine (the oracle unrolls the
+    same rounds as chained CTEs — same discipline as the bounded
+    PageRank iterations in this module). Callers wanting the exact
+    core run rounds until an extra round is a no-op.
+
+    Scale shape per round: one degree aggregate over the live edge set
+    (map-side combined) + two semi-joins of the edge table against the
+    alive-node set — alive is at most |V| rows, so AQE broadcasts it
+    in practice; every stage is keyed, nothing driver-side. Lineage is
+    cut per round with an eager localCheckpoint (module convention —
+    iterative plans double per round otherwise and OOM the driver
+    during analysis).
+
+    Self-loops are dropped and direction/duplicates collapsed up
+    front, as in ``triangle_count``.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+        )
+        alive = deg.where(F.col("_deg") >= k).select("n")
+        e = (
+            e.join(alive.select(F.col("n").alias("a")), "a", "left_semi")
+            .join(alive.select(F.col("n").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

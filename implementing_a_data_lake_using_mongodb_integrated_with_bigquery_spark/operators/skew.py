@@ -37,3 +37,98 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return fact_s.join(dim_s, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """Join-key skew diagnosis: the numbers you look at BEFORE picking
+    a salting factor or trusting AQE's skew split. One row per metric:
+    the Gini coefficient of the key-frequency distribution, the
+    p99/p50 frequency ratio, the share of rows held by the top key,
+    and the top-``top_n`` hottest keys (one row each).
+
+    All inputs are exact integers: frequencies come from one hash
+    aggregate; Gini uses the sorted-prefix identity
+    ``G = (2·Σ i·x_i) / (n·Σ x) − (n+1)/n`` over ranked frequencies
+    (rank, products, and both sums are BIGINTs; the two divisions are
+    the only floats, 6dp). Output: ``(metric, key, value)`` — ``key``
+    is null for scalar metrics.
+
+    Scale shape: the frequency table is |distinct keys| rows; the rank
+    window over it is a single sort of that (already reduced) table —
+    at 100 TB the raw table never moves, only its key histogram.
+    """
+    from pyspark.sql import Window
+
+    freq = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("k").asc())
+    ranked = freq.select(
+        "k", "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    scalars = ranked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("x").alias("_tot"),
+        F.sum(F.col("i") * F.col("x")).alias("_iwx"),
+        F.max("x").alias("_max"),
+    ).select(
+        F.round(
+            (2.0 * F.col("_iwx")) / (F.col("_n") * F.col("_tot")).cast("double")
+            - (F.col("_n") + 1) / F.col("_n").cast("double"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("_max") / F.col("_tot").cast("double"), 6).alias(
+            "top_key_share"
+        ),
+        F.col("_n").alias("n_keys"),
+        F.col("_tot").alias("n_rows"),
+    )
+    quantiles = ranked.crossJoin(F.broadcast(scalars.select("n_keys"))).select(
+        "x",
+        F.when(F.col("i") == F.ceil(F.col("n_keys") * 0.5).cast("long"), "p50")
+        .when(F.col("i") == F.ceil(F.col("n_keys") * 0.99).cast("long"), "p99")
+        .alias("q"),
+    ).where(F.col("q").isNotNull())
+    p = quantiles.groupBy().pivot("q", ["p50", "p99"]).agg(F.max("x"))
+    header = scalars.crossJoin(F.broadcast(p)).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("gini").alias("metric"),
+                    F.lit(None).cast("long").alias("key"),
+                    F.col("gini").alias("value"),
+                ),
+                F.struct(
+                    F.lit("top_key_share").alias("metric"),
+                    F.lit(None).cast("long").alias("key"),
+                    F.col("top_key_share").alias("value"),
+                ),
+                F.struct(
+                    F.lit("p99_p50_ratio").alias("metric"),
+                    F.lit(None).cast("long").alias("key"),
+                    F.round(F.col("p99") / F.col("p50").cast("double"), 6).alias(
+                        "value"
+                    ),
+                ),
+                F.struct(
+                    F.lit("n_keys").alias("metric"),
+                    F.lit(None).cast("long").alias("key"),
+                    F.col("n_keys").cast("double").alias("value"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.metric", "s.key", "s.value")
+    hot = (
+        ranked.crossJoin(F.broadcast(scalars.select("n_keys")))
+        .where(F.col("i") > F.col("n_keys") - top_n)
+        .select(
+            F.lit("hot_key_rows").alias("metric"),
+            F.col("k").cast("long").alias("key"),
+            F.col("x").cast("double").alias("value"),
+        )
+    )
+    return header.unionAll(hot)

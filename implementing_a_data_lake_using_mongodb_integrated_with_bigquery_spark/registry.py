@@ -11563,3 +11563,186 @@ FROM est JOIN tr USING (threshold)
 
 QUERIES["histogram_selectivity"] = q_histogram_selectivity
 ORACLES["histogram_selectivity"] = ORACLE_HISTOGRAM_SELECTIVITY
+
+
+def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (operators.graph.kcore_peel, k=120,
+    3 rounds) of the part co-purchase graph: the dense-subgraph
+    extraction that complements the triangle census — recommendation
+    pipelines mine the core, GNN samplers drop the periphery. Fixed
+    round count keeps the peel replayable; each round is one degree
+    aggregate + two broadcastable semi-joins, lineage cut per round."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    li = parallelize(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+    return kcore_peel(pairs, "a", "b", k=90, rounds=3)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    # AS MATERIALIZED: each e{r} is referenced three times (twice by
+    # the degree union, once by the next round) — DuckDB's default CTE
+    # inlining recomputes the whole prefix chain per reference, which
+    # is exponential in rounds (270s at sf0.1); materializing each
+    # round makes the oracle linear like the Spark side.
+    parts = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT n, COUNT(*) AS deg
+  FROM (SELECT a AS n FROM e{r} UNION ALL SELECT b AS n FROM e{r})
+  GROUP BY n),
+a{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE deg >= {k}),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r} e
+  JOIN a{r} xa ON e.a = xa.n JOIN a{r} xb ON e.b = xb.n)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b AS node FROM e{rounds})
+GROUP BY node"""
+    )
+
+
+QUERIES["kcore_copurchase"] = q_kcore_copurchase
+ORACLES["kcore_copurchase"] = _kcore_oracle(90, 3)
+
+
+def q_merkle_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style anti-entropy reconciliation
+    (operators.diff.merkle_bucket_summary): two deterministically
+    diverged customer snapshots (keys ≡2 mod 1000 added, ≡1 mod 1000
+    removed, ≡7 mod 100 balance-shifted) are each reduced to 64
+    bucket (count, checksum) summaries; the diff compares 64 rows per
+    side instead of every row — at 100 TB only the diverged buckets
+    then need the row-level ``snapshot_diff``. Checksums are
+    engine-portable md5-prefix integer sums over int/string payloads
+    only."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.diff import (
+        merkle_bucket_summary,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    old = c.where(F.col("c_custkey") % 1000 != 2).select(
+        "c_custkey", "c_mktsegment", cents.alias("_cents")
+    )
+    new = c.where(F.col("c_custkey") % 1000 != 1).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 100 == 7, cents + 10000)
+        .otherwise(cents)
+        .alias("_cents"),
+    )
+    payload = F.concat_ws(
+        "|", F.col("c_mktsegment"), F.col("_cents").cast("string")
+    )
+    so = merkle_bucket_summary(old, "c_custkey", payload, 64).alias("o")
+    sn = merkle_bucket_summary(new, "c_custkey", payload, 64).alias("n")
+    return so.join(sn, "bucket", "full_outer").select(
+        "bucket",
+        F.col("o.n_rows").alias("n_old"),
+        F.col("n.n_rows").alias("n_new"),
+        F.col("o.checksum").alias("checksum_old"),
+        F.col("n.checksum").alias("checksum_new"),
+        (
+            (
+                F.coalesce(F.col("o.n_rows"), F.lit(-1))
+                != F.coalesce(F.col("n.n_rows"), F.lit(-1))
+            )
+            | (
+                F.coalesce(F.col("o.checksum"), F.lit(-1))
+                != F.coalesce(F.col("n.checksum"), F.lit(-1))
+            )
+        ).alias("diverged"),
+    )
+
+
+ORACLE_MERKLE_DIFF = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer),
+old AS (
+  SELECT c_custkey % 64 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(('0x' || substr(md5(c_custkey || '|' || c_mktsegment || '|' || cents), 1, 10))::BIGINT) AS BIGINT) AS checksum
+  FROM base WHERE c_custkey % 1000 <> 2 GROUP BY 1),
+neu AS (
+  SELECT c_custkey % 64 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(('0x' || substr(md5(c_custkey || '|' || c_mktsegment || '|' ||
+              (CASE WHEN c_custkey % 100 = 7 THEN cents + 10000 ELSE cents END)), 1, 10))::BIGINT) AS BIGINT) AS checksum
+  FROM base WHERE c_custkey % 1000 <> 1 GROUP BY 1)
+SELECT COALESCE(old.bucket, neu.bucket) AS bucket,
+       old.n_rows AS n_old, neu.n_rows AS n_new,
+       old.checksum AS checksum_old, neu.checksum AS checksum_new,
+       (COALESCE(old.n_rows, -1) <> COALESCE(neu.n_rows, -1)
+        OR COALESCE(old.checksum, -1) <> COALESCE(neu.checksum, -1)) AS diverged
+FROM old FULL OUTER JOIN neu ON old.bucket = neu.bucket
+"""
+
+QUERIES["merkle_bucket_diff"] = q_merkle_bucket_diff
+ORACLES["merkle_bucket_diff"] = ORACLE_MERKLE_DIFF
+
+
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis (operators.skew.skew_report) over
+    lineitem's supplier FK: Gini coefficient, top-key share, p99/p50
+    frequency ratio, key count, and the 5 hottest keys — the report
+    you read before choosing a salting factor. Exact-integer rank
+    arithmetic over the (already reduced) key histogram."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.skew import (
+        skew_report,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_suppkey", top_n=5)
+
+
+ORACLE_SKEW_REPORT = """
+WITH freq AS (
+  SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS x FROM lineitem GROUP BY 1),
+ranked AS (
+  SELECT k, x,
+         CAST(row_number() OVER (ORDER BY x ASC, k ASC) AS BIGINT) AS i
+  FROM freq),
+sc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS tot,
+         CAST(SUM(i * x) AS BIGINT) AS iwx, CAST(MAX(x) AS BIGINT) AS mx
+  FROM ranked),
+q AS (
+  SELECT MAX(CASE WHEN i = CAST(ceil(n * 0.5) AS BIGINT) THEN x END) AS p50,
+         MAX(CASE WHEN i = CAST(ceil(n * 0.99) AS BIGINT) THEN x END) AS p99
+  FROM ranked CROSS JOIN sc)
+SELECT 'gini' AS metric, CAST(NULL AS BIGINT) AS key,
+       round(2.0 * iwx / (n * tot) - (n + 1) / CAST(n AS DOUBLE), 6) AS value
+FROM sc
+UNION ALL
+SELECT 'top_key_share', NULL, round(mx / CAST(tot AS DOUBLE), 6) FROM sc
+UNION ALL
+SELECT 'p99_p50_ratio', NULL, round(p99 / CAST(p50 AS DOUBLE), 6) FROM q
+UNION ALL
+SELECT 'n_keys', NULL, CAST(n AS DOUBLE) FROM sc
+UNION ALL
+SELECT 'hot_key_rows', k, CAST(x AS DOUBLE)
+FROM ranked CROSS JOIN sc WHERE i > n - 5
+"""
+
+QUERIES["join_skew_report"] = q_join_skew_report
+ORACLES["join_skew_report"] = ORACLE_SKEW_REPORT
