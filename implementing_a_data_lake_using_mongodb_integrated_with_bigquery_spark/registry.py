@@ -11746,3 +11746,166 @@ FROM ranked CROSS JOIN sc WHERE i > n - 5
 
 QUERIES["join_skew_report"] = q_join_skew_report
 ORACLES["join_skew_report"] = ORACLE_SKEW_REPORT
+
+
+def q_proration_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-sum largest-remainder proration
+    (operators.allocation.prorate_largest_remainder): each sampled
+    order's header total (cents) is split across its lineitems
+    proportionally to extended price — integer shares that sum EXACTLY
+    to the header total, leftover cents assigned by largest remainder
+    with a linenumber tiebreak. One key shuffle (three windows share
+    the order partitioning)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.allocation import (
+        prorate_largest_remainder,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 500 == 0)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("_w"),
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 500 == 0)
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("_t"),
+        )
+    )
+    j = li.join(o, "l_orderkey")
+    out = prorate_largest_remainder(j, "l_orderkey", "_w", "_t", "l_linenumber")
+    return out.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.col("alloc").alias("alloc_cents"),
+    )
+
+
+ORACLE_PRORATION = """
+WITH li AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+  FROM lineitem WHERE l_orderkey % 500 = 0),
+o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS t
+  FROM orders WHERE o_orderkey % 500 = 0),
+j AS (SELECT l_orderkey, l_linenumber, w, t
+      FROM li JOIN o ON li.l_orderkey = o.o_orderkey),
+x AS (
+  SELECT *, CAST(SUM(w) OVER (PARTITION BY l_orderkey) AS BIGINT) AS wsum
+  FROM j),
+y AS (
+  SELECT *, (t * w) // wsum AS base,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY (t * w) % wsum DESC, l_linenumber ASC) AS rn,
+         CAST(SUM((t * w) // wsum) OVER (PARTITION BY l_orderkey) AS BIGINT) AS basesum
+  FROM x)
+SELECT l_orderkey AS o_orderkey, l_linenumber,
+       CAST(base + CASE WHEN rn <= t - basesum THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents
+FROM y
+"""
+
+QUERIES["proration_allocation"] = q_proration_allocation
+ORACLES["proration_allocation"] = ORACLE_PRORATION
+
+
+def q_iso_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by ISO week — the calendar-boundary parity trap made a
+    query: YEAROFWEEK/weekofyear assign the days around Jan 1 to last
+    year's week 52/53 (e.g. 1995-01-01 is 1994-W52), and both engines
+    must agree on every boundary day. Cents-exact totals, one
+    aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.expr("extract(YEAROFWEEK FROM o_orderdate)")
+            .cast("long")
+            .alias("iso_year"),
+            F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0
+            ).alias("revenue"),
+        )
+    )
+
+
+ORACLE_ISO_WEEK = """
+SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM orders GROUP BY 1, 2
+"""
+
+QUERIES["iso_week_revenue"] = q_iso_week_revenue
+ORACLES["iso_week_revenue"] = ORACLE_ISO_WEEK
+
+
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}  # round(log10(1 + 1/d), 6), built once in Python, inlined into BOTH engines
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit fraud audit over order totals: observed
+    first-significant-digit shares vs the Benford expectation
+    (expectations are 6dp literals inlined into both engines — the
+    one-builder convention — so no libm log10 parity risk). Integer
+    counts, per-digit rows, no cross-digit float sum."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counts = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    total = counts.agg(F.sum("observed").cast("long").alias("_n"))
+    bt = F.create_map(
+        *[F.lit(x) for kv in _BENFORD.items() for x in kv]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "observed",
+            F.round(F.col("observed") / F.col("_n").cast("double"), 6).alias(
+                "observed_share"
+            ),
+            bt[F.col("digit")].alias("benford_share"),
+        )
+        .withColumn(
+            "excess",
+            F.round(F.col("observed_share") - F.col("benford_share"), 6),
+        )
+    )
+
+
+def _benford_oracle() -> str:
+    vals = ", ".join(f"({d}, {s})" for d, s in _BENFORD.items())
+    return f"""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS observed
+  FROM orders GROUP BY 1),
+n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM c),
+b AS (SELECT CAST(col0 AS BIGINT) AS digit, CAST(col1 AS DOUBLE) AS benford_share
+      FROM (VALUES {vals}))
+SELECT c.digit, c.observed,
+       round(c.observed / CAST(n.n AS DOUBLE), 6) AS observed_share,
+       b.benford_share,
+       round(round(c.observed / CAST(n.n AS DOUBLE), 6) - b.benford_share, 6) AS excess
+FROM c CROSS JOIN n LEFT JOIN b ON c.digit = b.digit
+"""
+
+
+QUERIES["benford_audit"] = q_benford_audit
+ORACLES["benford_audit"] = _benford_oracle()

@@ -237,3 +237,31 @@ def test_skew_report_metrics(spark):
         skewed, "k", top_n=1).collect()}
     assert m2[("hot_key_rows", 1)] == 90.0
     assert m2[("top_key_share", None)] == 0.9
+
+
+def test_prorate_largest_remainder_exact_sum(spark):
+    """Shares are integers, sum exactly to the group total, and the
+    leftover cents go to the largest remainders (id tiebreak)."""
+    from pyspark.sql import functions as F
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.allocation import (
+        prorate_largest_remainder,
+    )
+
+    # T=100 over weights 1,1,1 -> 33/33/34 with the +1 on the largest
+    # remainder; remainders all equal (100*1 % 3 = 1) -> tiebreak id asc
+    rows = [(1, 1, 100, 1), (1, 1, 100, 2), (1, 1, 100, 3),
+            # T=7 over weights 5, 3 -> base 4,2; rem 35%8=3, 21%8=5 -> +1 to id 2
+            (2, 5, 7, 1), (2, 3, 7, 2)]
+    df = spark.createDataFrame(rows, "g long, w long, t long, id long")
+    out = {(r["g"], r["id"]): r["alloc"] for r in prorate_largest_remainder(
+        df, "g", "w", "t", "id").collect()}
+    assert out[(1, 1)] == 34 and out[(1, 2)] == 33 and out[(1, 3)] == 33
+    assert out[(2, 1)] == 4 and out[(2, 2)] == 3
+    # exact-sum invariant on a larger random-ish group
+    big = spark.createDataFrame(
+        [(9, (i * 37) % 11 + 1, 12345, i) for i in range(50)],
+        "g long, w long, t long, id long",
+    )
+    total = (prorate_largest_remainder(big, "g", "w", "t", "id")
+             .agg(F.sum("alloc").alias("s")).collect()[0]["s"])
+    assert total == 12345
