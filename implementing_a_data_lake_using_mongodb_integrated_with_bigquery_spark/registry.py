@@ -11909,3 +11909,102 @@ FROM c CROSS JOIN n LEFT JOIN b ON c.digit = b.digit
 
 QUERIES["benford_audit"] = q_benford_audit
 ORACLES["benford_audit"] = _benford_oracle()
+
+
+def q_spatial_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed nearest-neighbor join
+    (operators.spatial.grid_nearest_join): every 10th customer finds
+    its nearest supplier on a deterministic synthetic 1000×1000
+    integer plane (squared-euclidean argmin, supplier tiebreak),
+    probing only the 3×3 100-unit cells around the point — a hash
+    equi-join on cell id instead of the |C|×|S| cartesian argmin.
+    Bounded-radius semantics (no candidate in the neighborhood →
+    dropped) mirrored exactly by the oracle."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.spatial import (
+        grid_nearest_join,
+    )
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            ((F.col("c_custkey") * 37) % 1000).alias("x"),
+            ((F.col("c_custkey") * 73) % 1000).alias("y"),
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 41) % 1000).alias("x"),
+        ((F.col("s_suppkey") * 97) % 1000).alias("y"),
+    )
+    return grid_nearest_join(c, s, "c_custkey", "s_suppkey", cell_size=100)
+
+
+ORACLE_SPATIAL_NEAREST = """
+WITH c AS (
+  SELECT c_custkey, (c_custkey * 37) % 1000 AS x, (c_custkey * 73) % 1000 AS y
+  FROM customer WHERE c_custkey % 10 = 0),
+s AS (
+  SELECT s_suppkey, (s_suppkey * 41) % 1000 AS x, (s_suppkey * 97) % 1000 AS y
+  FROM supplier),
+cand AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2
+  FROM c JOIN s
+    ON abs((c.x // 100) - (s.x // 100)) <= 1
+   AND abs((c.y // 100) - (s.y // 100)) <= 1)
+SELECT c_custkey, s_suppkey, CAST(d2 AS BIGINT) AS dist_sq FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_custkey ORDER BY d2 ASC, s_suppkey ASC) AS rn
+  FROM cand) WHERE rn = 1
+"""
+
+QUERIES["spatial_grid_nearest"] = q_spatial_grid_nearest
+ORACLES["spatial_grid_nearest"] = ORACLE_SPATIAL_NEAREST
+
+
+def q_modal_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-based imputation: customers whose segment is
+    'unknown' (keys ≡ 0 mod 97, a deterministic corruption) receive
+    their nation's MODAL segment computed from the known rows —
+    deterministic mode (count desc, segment asc), the same argmax
+    discipline as user_modal_event. One count aggregate + a
+    |nations|-row broadcast join."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    unknown = c.where(F.col("c_custkey") % 97 == 0)
+    known = c.where(F.col("c_custkey") % 97 != 0)
+    counts = known.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("_n").desc(), F.col("c_mktsegment").asc()
+    )
+    modal = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("c_nationkey", F.col("c_mktsegment").alias("imputed_segment"))
+    )
+    return unknown.select("c_custkey", "c_nationkey").join(
+        F.broadcast(modal), "c_nationkey"
+    ).select("c_custkey", F.col("c_nationkey").cast("long").alias("c_nationkey"), "imputed_segment")
+
+
+ORACLE_MODAL_IMPUTATION = """
+WITH known AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+  FROM customer WHERE c_custkey % 97 <> 0 GROUP BY 1, 2),
+modal AS (
+  SELECT c_nationkey, c_mktsegment AS imputed_segment FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY c_nationkey ORDER BY n DESC, c_mktsegment ASC) AS rn
+    FROM known) WHERE rn = 1)
+SELECT c_custkey, CAST(c.c_nationkey AS BIGINT) AS c_nationkey, imputed_segment
+FROM customer c JOIN modal m ON c.c_nationkey = m.c_nationkey
+WHERE c.c_custkey % 97 = 0
+"""
+
+QUERIES["modal_imputation"] = q_modal_imputation
+ORACLES["modal_imputation"] = ORACLE_MODAL_IMPUTATION

@@ -265,3 +265,48 @@ def test_prorate_largest_remainder_exact_sum(spark):
     total = (prorate_largest_remainder(big, "g", "w", "t", "id")
              .agg(F.sum("alloc").alias("s")).collect()[0]["s"])
     assert total == 12345
+
+
+def test_grid_nearest_join_matches_neighborhood_bruteforce(spark):
+    """Grid-probed argmin == brute-force argmin restricted to the 3x3
+    neighborhood; a left point with no candidate in its neighborhood
+    is dropped; within-cell_size results equal the GLOBAL nearest."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.spatial import (
+        grid_nearest_join,
+    )
+
+    lpts = [(1, 10, 10), (2, 95, 95), (3, 900, 900), (4, 500, 10)]
+    rpts = [(101, 12, 14), (102, 105, 110), (103, 180, 180), (104, 520, 40)]
+    left = spark.createDataFrame(lpts, "lid long, x long, y long")
+    right = spark.createDataFrame(rpts, "rid long, x long, y long")
+    got = {r["lid"]: (r["rid"], r["dist_sq"]) for r in grid_nearest_join(
+        left, right, "lid", "rid", cell_size=100).collect()}
+
+    expected = {}
+    for lid, lx, ly in lpts:
+        cands = [
+            (rid, (lx - rx) ** 2 + (ly - ry) ** 2)
+            for rid, rx, ry in rpts
+            if abs(lx // 100 - rx // 100) <= 1 and abs(ly // 100 - ry // 100) <= 1
+        ]
+        if cands:
+            d = min(c[1] for c in cands)
+            expected[lid] = (min(r for r, dd in cands if dd == d), d)
+    assert got == expected
+    assert 3 not in got            # isolated point dropped
+    assert got[1] == (101, 4 + 16)  # global nearest (d <= cell_size)
+
+
+def test_modal_imputation_tiebreak(spark):
+    """Mode with count tie resolves to the lexicographically smaller
+    segment — same argmax discipline both engines replay."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(1, "B"), (1, "B"), (1, "A"), (1, "A"), (2, "Z")]
+    df = spark.createDataFrame(rows, "nation long, seg string")
+    counts = df.groupBy("nation", "seg").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("nation").orderBy(F.col("n").desc(), F.col("seg").asc())
+    modal = {r["nation"]: r["seg"] for r in counts.withColumn(
+        "rn", F.row_number().over(w)).where(F.col("rn") == 1).collect()}
+    assert modal == {1: "A", 2: "Z"}
