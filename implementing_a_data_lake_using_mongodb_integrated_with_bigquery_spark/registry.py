@@ -12008,3 +12008,103 @@ WHERE c.c_custkey % 97 = 0
 
 QUERIES["modal_imputation"] = q_modal_imputation
 ORACLES["modal_imputation"] = ORACLE_MODAL_IMPUTATION
+
+
+def q_pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.x `|>` operators): the same
+    priority-revenue rollup a user would write imperatively —
+    EXTEND → AGGREGATE → WHERE-on-aggregate → EXTEND → SELECT — parsed
+    by Spark's pipe-operator surface and planned identically to the
+    classic GROUP BY/HAVING the oracle uses. Cents stay BIGINT through
+    the aggregate; the division casts to DOUBLE explicitly (the SQL
+    decimal-literal trap from the module docstring)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_pipe_orders")
+    return spark.sql(
+        """
+        FROM _pipe_orders
+        |> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |> AGGREGATE COUNT(*) AS n_orders, SUM(cents) AS sum_cents
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 100
+        |> EXTEND CAST(sum_cents AS DOUBLE) / 100.0 AS revenue
+        |> SELECT o_orderpriority, n_orders, revenue
+        """
+    )
+
+
+ORACLE_PIPE_SYNTAX = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM orders GROUP BY o_orderpriority HAVING COUNT(*) > 100
+"""
+
+QUERIES["pipe_syntax_rollup"] = q_pipe_syntax_rollup
+ORACLES["pipe_syntax_rollup"] = ORACLE_PIPE_SYNTAX
+
+
+def q_stream_evolving_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment where the static side EVOLVES between
+    micro-batches (streaming.enrich_stream): two event phases replay
+    one batch each, and batch i broadcast-joins the user-tier dim
+    VERSION i (tier = (user_id + i) % 3 — a deterministic stand-in for
+    the maintained SCD2 store next door). The oracle joins each phase
+    to its own dim version — enriched(batch i) == phase i ⋈ dim(i),
+    the stream-static re-evaluation contract made checkable."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.enrich_stream import (
+        evolving_dim_enrich_phased,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+    )
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    p0 = e.where(F.col("ts") < cutoff).select("user_id", "cents")
+    p1 = e.where(F.col("ts") >= cutoff).select("user_id", "cents")
+
+    def dim_builder(sp: SparkSession, batch_id: int) -> DataFrame:
+        users = (
+            load_table(sp, sf_dir, "events").select("user_id").distinct()
+        )
+        tier = (
+            F.when((F.col("user_id") + batch_id) % 3 == 0, "bronze")
+            .when((F.col("user_id") + batch_id) % 3 == 1, "silver")
+            .otherwise("gold")
+        )
+        return users.select("user_id", tier.alias("tier"))
+
+    out, _stats = evolving_dim_enrich_phased(
+        spark,
+        [p0, p1],
+        dim_builder,
+        "user_id",
+        lambda: [
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        ],
+        ["tier"],
+    )
+    return out
+
+
+ORACLE_EVOLVING_ENRICH = """
+WITH e AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END AS b
+  FROM events),
+u AS (SELECT DISTINCT user_id FROM events),
+d AS (
+  SELECT user_id, v.b,
+         CASE (user_id + v.b) % 3 WHEN 0 THEN 'bronze'
+              WHEN 1 THEN 'silver' ELSE 'gold' END AS tier
+  FROM u CROSS JOIN (VALUES (0), (1)) AS v(b))
+SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(e.b AS BIGINT) AS batch_id
+FROM e JOIN d ON e.user_id = d.user_id AND e.b = d.b
+GROUP BY tier, e.b
+"""
+
+QUERIES["stream_evolving_enrich"] = q_stream_evolving_enrich
+ORACLES["stream_evolving_enrich"] = ORACLE_EVOLVING_ENRICH

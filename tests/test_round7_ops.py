@@ -310,3 +310,38 @@ def test_modal_imputation_tiebreak(spark):
     modal = {r["nation"]: r["seg"] for r in counts.withColumn(
         "rn", F.row_number().over(w)).where(F.col("rn") == 1).collect()}
     assert modal == {1: "A", 2: "Z"}
+
+
+def test_evolving_dim_enrich_uses_per_batch_dim(spark):
+    """Batch i must be enriched by dim VERSION i: with a dim that
+    flips labels per batch, the two phases of identical rows produce
+    different tiers — proving the static side is re-evaluated per
+    trigger, not captured at start."""
+    from pyspark.sql import functions as F
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.enrich_stream import (
+        evolving_dim_enrich_phased,
+    )
+
+    p = spark.createDataFrame([(1, 10), (2, 20)], "user_id long, cents long")
+
+    def dim_builder(sp, batch_id):
+        return sp.createDataFrame(
+            [(1, f"v{batch_id}-a"), (2, f"v{batch_id}-b")],
+            "user_id long, tier string",
+        )
+
+    out, stats = evolving_dim_enrich_phased(
+        spark,
+        [p, p],
+        dim_builder,
+        "user_id",
+        lambda: [F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("cents").cast("long").alias("s")],
+        ["tier"],
+    )
+    rows = {(r["batch_id"], r["tier"]): (r["n"], r["s"]) for r in out.collect()}
+    assert stats["data_batches"] == 2
+    assert rows == {
+        (0, "v0-a"): (1, 10), (0, "v0-b"): (1, 20),
+        (1, "v1-a"): (1, 10), (1, "v1-b"): (1, 20),
+    }
