@@ -168,7 +168,25 @@ def _rotated(mapping: dict) -> dict:
     missing = set(_FRAGILE_FIRST) - set(mapping)
     if missing:  # fail loudly on typos / renamed queries (list drift)
         raise KeyError(f"_FRAGILE_FIRST names absent from registry: {sorted(missing)}")
-    unverified = {k: v for k, v in mapping.items() if k not in _DRIVER_VERIFIED}
+    # Within the unverified set, riskiest first: when new queries
+    # outnumber the 50-slot window, streaming replays and
+    # engine-portability-trick queries (cross-engine hashing, calendar
+    # boundaries, string-of-int checksums) must verify THIS round;
+    # plain SQL shapes can safely roll to the next window.
+    def _risk(item):
+        name = item[0]
+        risky = name.startswith("stream_") or name in {
+            "merkle_bucket_diff", "benford_audit", "spatial_grid_nearest",
+            "kcore_copurchase", "iso_week_revenue", "proration_allocation",
+            "interval_overlap_pairs", "ewma_event_anomalies",
+        }
+        return 0 if risky else 1
+    unverified = dict(
+        sorted(
+            ((k, v) for k, v in mapping.items() if k not in _DRIVER_VERIFIED),
+            key=_risk,
+        )
+    )
     fragile = {k: mapping[k] for k in _FRAGILE_FIRST
                if k not in unverified}
     rest = {k: v for k, v in mapping.items()
