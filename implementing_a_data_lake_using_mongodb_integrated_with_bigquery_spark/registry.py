@@ -12108,3 +12108,57 @@ GROUP BY tier, e.b
 
 QUERIES["stream_evolving_enrich"] = q_stream_evolving_enrich
 ORACLES["stream_evolving_enrich"] = ORACLE_EVOLVING_ENRICH
+
+
+def q_recursive_ancestor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine WITH RECURSIVE (Spark 4.x) over a synthetic key
+    hierarchy — parent(k) = k div 10 when that key exists as a
+    customer: per recursion depth, the surviving chain count and the
+    exact accumulated ancestor balance cents. The recursive term JOINS
+    a base table (real traversal, not a constant-step ladder, unlike
+    the loop-lowered recursive_doc_tree) and terminates by join
+    failure + the cur >= 10 guard. Integer division is `div`/`//`
+    explicitly — INT/INT is DOUBLE on both engines and their
+    double→BIGINT casts round differently."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_rec_customer"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS node, c_custkey AS cur,
+                 CAST(0 AS BIGINT) AS anc_cents, CAST(0 AS BIGINT) AS depth
+          FROM _rec_customer
+          UNION ALL
+          SELECT ch.node, c.c_custkey,
+                 ch.anc_cents + CAST(round(c.c_acctbal * 100) AS BIGINT),
+                 ch.depth + 1
+          FROM chain ch JOIN _rec_customer c ON c.c_custkey = ch.cur div 10
+          WHERE ch.cur >= 10
+        )
+        SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_chains,
+               CAST(SUM(anc_cents) AS BIGINT) AS anc_cents
+        FROM chain GROUP BY depth
+        """
+    )
+
+
+ORACLE_RECURSIVE_ANCESTORS = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS node, c_custkey AS cur,
+         CAST(0 AS BIGINT) AS anc_cents, CAST(0 AS BIGINT) AS depth
+  FROM customer
+  UNION ALL
+  SELECT ch.node, c.c_custkey,
+         ch.anc_cents + CAST(round(c.c_acctbal * 100) AS BIGINT),
+         ch.depth + 1
+  FROM chain ch JOIN customer c ON c.c_custkey = ch.cur // 10
+  WHERE ch.cur >= 10
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_chains,
+       CAST(SUM(anc_cents) AS BIGINT) AS anc_cents
+FROM chain GROUP BY depth
+"""
+
+QUERIES["recursive_ancestor_rollup"] = q_recursive_ancestor_rollup
+ORACLES["recursive_ancestor_rollup"] = ORACLE_RECURSIVE_ANCESTORS
