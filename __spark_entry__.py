@@ -179,7 +179,7 @@ def _rotated(mapping: dict) -> dict:
             "merkle_bucket_diff", "benford_audit", "spatial_grid_nearest",
             "kcore_copurchase", "iso_week_revenue", "proration_allocation",
             "interval_overlap_pairs", "ewma_event_anomalies",
-            "recursive_ancestor_rollup",
+            "recursive_ancestor_rollup", "statestore_introspection",
         }
         return 0 if risky else 1
     unverified = dict(

@@ -12162,3 +12162,66 @@ FROM chain GROUP BY depth
 
 QUERIES["recursive_ancestor_rollup"] = q_recursive_ancestor_rollup
 ORACLES["recursive_ancestor_rollup"] = ORACLE_RECURSIVE_ANCESTORS
+
+
+def q_statestore_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store INTROSPECTION (Spark 4.x `statestore`
+    data source): run an update-mode (type, hour) count over the
+    events table as one availableNow batch, then read the
+    checkpoint's state store back as a DataFrame. After a complete
+    run the aggregation state IS the full aggregate, so the oracle is
+    the plain batch GROUP BY — the observability surface (debugging
+    stuck state, state-size audits) verified value-for-value. State
+    partitions sized to 8 for the bounded replay (module convention),
+    restored after."""
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    root = tempfile.mkdtemp(prefix="statestore_q_")
+    inp = os.path.join(root, "in")
+    ckpt = os.path.join(root, "ck")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        e.write.parquet(inp)
+        schema = spark.read.parquet(inp).schema
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(inp)
+                .groupBy("event_type", "hour")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        state = spark.read.format("statestore").load(ckpt)
+        # the value struct carries the aggregation BUFFER's internal
+        # field name ("count"), not the query's output alias
+        out = state.select(
+            F.col("key.event_type").alias("event_type"),
+            epoch_us(F.col("key.hour")).alias("hour_us"),
+            F.col("value.count").cast("long").alias("n_events"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+ORACLE_STATESTORE = """
+SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["statestore_introspection"] = q_statestore_introspection
+ORACLES["statestore_introspection"] = ORACLE_STATESTORE
