@@ -12225,3 +12225,129 @@ FROM events GROUP BY 1, 2
 
 QUERIES["statestore_introspection"] = q_statestore_introspection
 ORACLES["statestore_introspection"] = ORACLE_STATESTORE
+
+
+def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence feature encoding (the credit-scoring
+    standard next to mean-target encoding): event value cut into
+    deciles under total-order ntile, per decile the positive
+    (purchase) / negative counts and WOE = ln((pos/P)/(neg/N)) — the
+    ratio built from exact integers, ln rounded to 6dp (the
+    PMI-collocation float discipline). Per-bucket rows only: no
+    cross-bucket float sum to flake."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("_cents"),
+        "event_id",
+        (F.col("event_type") == "purchase").cast("long").alias("_pos"),
+    )
+    w = Window.orderBy(F.col("_cents").asc(), F.col("event_id").asc())
+    binned = base.select(
+        "_pos", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+    per = binned.groupBy("decile").agg(
+        F.sum("_pos").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("_pos")).cast("long").alias("n_neg"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").cast("long").alias("_p"),
+        F.sum("n_neg").cast("long").alias("_n"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.log(
+                (F.col("n_pos").cast("double") * F.col("_n"))
+                / (F.col("n_neg").cast("double") * F.col("_p"))
+            ),
+            6,
+        ).alias("woe"),
+    )
+
+
+ORACLE_WOE = """
+WITH base AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events),
+binned AS (
+  SELECT pos, CAST(ntile(10) OVER (ORDER BY cents ASC, event_id ASC) AS BIGINT) AS decile
+  FROM base),
+per AS (
+  SELECT decile, CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+  FROM binned GROUP BY decile),
+tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p, CAST(SUM(n_neg) AS BIGINT) AS n FROM per)
+SELECT decile, n_pos, n_neg,
+       round(ln((CAST(n_pos AS DOUBLE) * n) / (CAST(n_neg AS DOUBLE) * p)), 6) AS woe
+FROM per CROSS JOIN tot
+"""
+
+QUERIES["woe_binning"] = q_woe_binning
+ORACLES["woe_binning"] = ORACLE_WOE
+
+
+def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: distinct
+    (user, type) collapse, self-join on user (type_a < type_b), exact
+    intersection counts, Jaccard = inter / (|A| + |B| - inter) rounded
+    6dp. |types|²-sized output from one distinct aggregate + one
+    user-keyed self-join — never a cross join of users."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("_sz")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("_sz").alias("_na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("_sz").alias("_nb"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("_na") + F.col("_nb") - F.col("n_both")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_AUDIENCE_OVERLAP = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sz FROM ut GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_both,
+       round(n_both / CAST(sa.sz + sb.sz - n_both AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.type_a = sa.event_type
+JOIN sizes sb ON inter.type_b = sb.event_type
+"""
+
+QUERIES["audience_overlap_matrix"] = q_audience_overlap_matrix
+ORACLES["audience_overlap_matrix"] = ORACLE_AUDIENCE_OVERLAP
