@@ -180,6 +180,7 @@ def _rotated(mapping: dict) -> dict:
             "kcore_copurchase", "iso_week_revenue", "proration_allocation",
             "interval_overlap_pairs", "ewma_event_anomalies",
             "recursive_ancestor_rollup", "statestore_introspection",
+            "weekend_revenue_split",
         }
         return 0 if risky else 1
     unverified = dict(

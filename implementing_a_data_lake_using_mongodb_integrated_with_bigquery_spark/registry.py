@@ -12351,3 +12351,94 @@ JOIN sizes sb ON inter.type_b = sb.event_type
 
 QUERIES["audience_overlap_matrix"] = q_audience_overlap_matrix
 ORACLES["audience_overlap_matrix"] = ORACLE_AUDIENCE_OVERLAP
+
+
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day WITHOUT sliding-distinct
+    state: each (user, active-day) pair is exploded to the 7 window
+    end-days it contributes to, and the answer is a plain
+    count-distinct per end-day — the contribution-explode lowering of
+    sliding COUNT(DISTINCT), bounded ×7 row growth instead of a
+    re-scan per window. Emitted only for end-days that themselves have
+    activity (symmetric on both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("_d"),
+    ).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("_d"),
+                F.col("_d") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("_end"),
+    )
+    active_days = ud.select("_d").distinct()
+    return (
+        contrib.join(
+            active_days, contrib["_end"] == active_days["_d"], "left_semi"
+        )
+        .groupBy(epoch_us("_end").alias("day_us"))
+        .agg(F.count_distinct("user_id").cast("long").alias("users_7d"))
+    )
+
+
+ORACLE_ROLLING_DISTINCT = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+contrib AS (
+  SELECT user_id, d + (INTERVAL 1 DAY) * off AS end_day
+  FROM ud CROSS JOIN (
+    SELECT unnest(generate_series(0, 6)) AS off)),
+active AS (SELECT DISTINCT d FROM ud)
+SELECT epoch_us(end_day) AS day_us,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_7d
+FROM contrib JOIN active ON contrib.end_day = active.d
+GROUP BY 1
+"""
+
+QUERIES["rolling_distinct_users"] = q_rolling_distinct_users
+ORACLES["rolling_distinct_users"] = ORACLE_ROLLING_DISTINCT
+
+
+def q_weekend_revenue_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend vs weekday revenue per month — the day-of-week OFFSET
+    parity trap pinned as a query: Spark's dayofweek() is 1-based
+    Sunday-first while DuckDB's dayofweek() is 0-based Sunday-first,
+    so the weekend predicate is written against each engine's OWN
+    convention (Spark IN (1,7) == DuckDB IN (0,6)) and must classify
+    every day identically. Cents-exact conditional sums."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    is_weekend = F.dayofweek("o_orderdate").isin(1, 7)
+    return o.groupBy(
+        epoch_us(F.date_trunc("month", F.col("o_orderdate"))).alias("month_us")
+    ).agg(
+        (F.sum(F.when(is_weekend, cents).otherwise(F.lit(0))) / 100.0).alias(
+            "weekend_revenue"
+        ),
+        (F.sum(F.when(~is_weekend, cents).otherwise(F.lit(0))) / 100.0).alias(
+            "weekday_revenue"
+        ),
+        F.sum(is_weekend.cast("long")).cast("long").alias("n_weekend_orders"),
+    )
+
+
+ORACLE_WEEKEND_SPLIT = """
+SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+       CAST(SUM(CASE WHEN dayofweek(o_orderdate) IN (0, 6)
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+         / 100.0 AS weekend_revenue,
+       CAST(SUM(CASE WHEN dayofweek(o_orderdate) NOT IN (0, 6)
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+         / 100.0 AS weekday_revenue,
+       CAST(SUM(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_weekend_orders
+FROM orders GROUP BY 1
+"""
+
+QUERIES["weekend_revenue_split"] = q_weekend_revenue_split
+ORACLES["weekend_revenue_split"] = ORACLE_WEEKEND_SPLIT
