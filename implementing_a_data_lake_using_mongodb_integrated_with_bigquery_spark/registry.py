@@ -12442,3 +12442,61 @@ FROM orders GROUP BY 1
 
 QUERIES["weekend_revenue_split"] = q_weekend_revenue_split
 ORACLES["weekend_revenue_split"] = ORACLE_WEEKEND_SPLIT
+
+
+def q_cascade_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR deletion propagation plan: for a deterministic
+    forget-set (customers ≡ 3 mod 1000), the cascade row counts down
+    the FK graph (customer → orders → lineitem) plus the post-delete
+    orphan check (lineitems whose order survives: must equal total
+    minus cascaded). All semi-join row counts — the DELETE is planned
+    and audited without moving a single payload column."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    forget = c.where(F.col("c_custkey") % 1000 == 3).select("c_custkey")
+    del_orders = o.join(
+        forget, o["o_custkey"] == forget["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    del_items = li.join(
+        del_orders, li["l_orderkey"] == del_orders["o_orderkey"], "left_semi"
+    )
+    counts = (
+        forget.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("customer").alias("table"), "n")
+        .unionAll(
+            del_orders.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+                F.lit("orders").alias("table"), "n"
+            )
+        )
+        .unionAll(
+            del_items.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+                F.lit("lineitem").alias("table"), "n"
+            )
+        )
+        .unionAll(
+            li.join(
+                del_orders,
+                li["l_orderkey"] == del_orders["o_orderkey"],
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.lit("lineitem_retained").alias("table"), "n")
+        )
+    )
+    return counts
+
+
+ORACLE_CASCADE_DELETE = """
+WITH forget AS (SELECT c_custkey FROM customer WHERE c_custkey % 1000 = 3),
+del_o AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM forget)),
+del_l AS (SELECT * FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM del_o))
+SELECT 'customer' AS "table", CAST(COUNT(*) AS BIGINT) AS n FROM forget
+UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM del_o
+UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM del_l
+UNION ALL SELECT 'lineitem_retained', CAST(COUNT(*) AS BIGINT)
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_o)
+"""
+
+QUERIES["cascade_delete_plan"] = q_cascade_delete_plan
+ORACLES["cascade_delete_plan"] = ORACLE_CASCADE_DELETE

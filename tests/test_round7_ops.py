@@ -345,3 +345,38 @@ def test_evolving_dim_enrich_uses_per_batch_dim(spark):
         (0, "v0-a"): (1, 10), (0, "v0-b"): (1, 20),
         (1, "v1-a"): (1, 10), (1, "v1-b"): (1, 20),
     }
+
+
+def _physical_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_interval_overlap_join_plan_has_no_nested_loop(spark):
+    """The bin-blocked lowering must plan as a hash/sort-merge
+    EQUI-join — a BroadcastNestedLoopJoin or CartesianProduct means
+    the non-equi predicate leaked into the join condition and the
+    operator is quadratic again."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    df = spark.range(100).selectExpr(
+        "id % 7 AS k", "id AS iid", "id * 10 AS s", "id * 10 + 25 AS e"
+    )
+    plan = _physical_plan(interval_overlap_join(df, "k", "iid", "s", "e", 64))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grid_nearest_join_plan_has_no_nested_loop(spark):
+    """Same guarantee for the spatial lowering: the 3x3 probe must be
+    a cell equi-join, never a nested-loop distance join."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.spatial import (
+        grid_nearest_join,
+    )
+
+    left = spark.range(50).selectExpr("id AS lid", "id * 13 % 997 AS x", "id * 29 % 997 AS y")
+    right = spark.range(50).selectExpr("id AS rid", "id * 17 % 997 AS x", "id * 31 % 997 AS y")
+    plan = _physical_plan(grid_nearest_join(left, right, "lid", "rid", cell_size=100))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
