@@ -122,6 +122,32 @@ _DRIVER_VERIFIED = frozenset(
         "ann_ranking_quality", "bpe_fertility_by_lang",
         "excess_volume_suppliers", "null_safe_reconcile",
         "stream_incremental_dedup",
+        # round 7 (50 green rows in CORRECTNESS_r07.json — all 50 were
+        # never-before-verified; the 16 r7 queries that missed the
+        # window lead the r8 rotation)
+        "ab_test_report", "benford_audit", "bpe_train_merges",
+        "cheapest_supplier_per_part", "cms_heavy_hitters",
+        "cms_merge_parity", "cumulative_unique_users",
+        "cusum_change_detection", "entity_resolution",
+        "ewma_event_anomalies", "feature_hash_features",
+        "fk_orphan_matrix", "generalization_ladder",
+        "hilbert_layout_keys", "hybrid_search_rrf",
+        "incremental_rollup_cdc", "interval_overlap_pairs",
+        "iso_week_revenue", "item_cooccurrence_similarity",
+        "kcore_copurchase", "layout_locality_audit",
+        "local_supplier_volume", "mad_by_type",
+        "markov_prediction_accuracy", "merkle_bucket_diff",
+        "minhash_signature_merge", "order_priority_counts",
+        "pareto_revenue_curve", "phrase_search", "pq_codebook_audit",
+        "proration_allocation", "recursive_ancestor_rollup",
+        "rendezvous_shards", "resampling_executed",
+        "revenue_seasonality_yoy", "rfm_segments", "shingle_novelty",
+        "spatial_grid_nearest", "statestore_introspection",
+        "stream_cms_topk", "stream_dedup_then_window",
+        "stream_drift_monitor", "stream_evolving_enrich",
+        "stream_ivf_ingest", "stream_scd2_maintenance",
+        "stream_semi_attribution", "stream_union_hourly",
+        "t_closeness_audit", "timed_funnel", "weekend_revenue_split",
     }
 )
 

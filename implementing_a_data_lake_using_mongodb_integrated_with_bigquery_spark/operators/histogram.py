@@ -9,24 +9,26 @@ structure ANALYZE builds in warehouse CBOs (Spark's own
 histograms the same way); surfacing it as a query makes the
 estimation error measurable instead of assumed.
 
-Determinism: bucket assignment is ``ntile`` over the total order
-``(value, tiebreak)``, so bucket boundaries, counts, and the
+Determinism: bucket assignment is NTILE semantics over the total
+order ``(value, tiebreak)``, so bucket boundaries, counts, and the
 interpolation inputs are identical integers on both engines; the only
 float is the final interpolated estimate, rounded to 6dp.
 
-Scale shape: ``ntile`` over a global order is a full sort — correct
-for the audit's exactness, and in production the standard move is to
-build the histogram from a bounded deterministic sample (the md5
-trick in ``operators.sampling``) so the sort is sample-sized; the
-estimation arithmetic downstream is histogram-sized (``n_buckets``
-rows) either way, and the true-count audit is one conditional
+Scale shape: the bucket cut runs through
+``operators.windows.ntile_exact`` — a distributed range sort plus a
+broadcast |partitions|-row offset table, never an unpartitioned
+``ntile().over(...)`` (which serializes the fact table into one
+task). The estimation arithmetic downstream is histogram-sized
+(``n_buckets`` rows), and the true-count audit is one conditional
 aggregate pass over the column.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .windows import ntile_exact
 
 
 def equidepth_histogram(
@@ -36,12 +38,17 @@ def equidepth_histogram(
     n_buckets: int = 32,
 ) -> DataFrame:
     """Equi-depth histogram: ``(bucket, lo, hi, cnt)`` with buckets
-    numbered 1..n_buckets by ``ntile`` over ``(val, tiebreak)``.
+    numbered 1..n_buckets by exact NTILE semantics over
+    ``(val, tiebreak)`` via the distributed :func:`ntile_exact`.
     Integer values keep lo/hi/cnt exact."""
-    w = Window.orderBy(F.col(val_col).asc(), F.col(tiebreak_col).asc())
+    binned = ntile_exact(
+        df.select(F.col(val_col).alias("_v"), F.col(tiebreak_col).alias("_tb")),
+        ["_v", "_tb"],
+        n_buckets,
+        bucket_col="bucket",
+    )
     return (
-        df.select(F.col(val_col).alias("_v"), F.ntile(n_buckets).over(w).alias("bucket"))
-        .groupBy("bucket")
+        binned.groupBy("bucket")
         .agg(
             F.min("_v").alias("lo"),
             F.max("_v").alias("hi"),

@@ -902,3 +902,129 @@ def int_centroid_assign(
         ]
     )
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+
+
+def ivf_pq_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_cents: list[list[int]],
+    books: list[list[list[int]]],
+    dim: int,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_emb",
+) -> DataFrame:
+    """End-to-end IVF-PQ approximate nearest-neighbor search — the
+    production composition of the two frozen-codebook halves this
+    module already exposes separately (:func:`int_centroid_assign`
+    coarse routing, :func:`pq_codebooks` compression):
+
+    1. every corpus vector is routed map-only to its coarse cell and
+       PQ-encoded (one code per subspace, exact int64 argmin);
+    2. each query probes its ``nprobe`` nearest cells (8-way distance
+       + slot sort over a handful of rows — query-side work);
+    3. candidates = corpus ⋈ broadcast(query probe cells) on the cell
+       id — the fact table never shuffles, and only probed cells are
+       scanned;
+    4. the asymmetric distance (ADC) is computed per candidate as the
+       sum over subspaces of the EXACT integer squared distance
+       between the query subvector and the candidate code's centroid
+       (``element_at`` into the per-query LUT — classic ADC, never a
+       full-vector distance);
+    5. top-``k`` per query under (adc ASC, id ASC).
+
+    Everything is floor(x·10⁶)-scaled int64 arithmetic per the
+    engine-exact convention, so a SQL oracle reproduces every cell id,
+    code, and distance bit-for-bit. At 100 TB the corpus side is one
+    map-only projection feeding a broadcast-pruned scan; per-query
+    candidate volume is bounded by the probed cells' populations.
+    """
+    m = len(books)
+    n_codes = len(books[0])
+    dsub = dim // m
+    if dsub * m != dim:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    kc = len(coarse_cents)
+
+    def ints(col):
+        return F.transform(
+            _dim_checked(col, dim, "ivf_pq_search"),
+            lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+        )
+
+    def sq_dist(sub, cent: list[int]):
+        return F.aggregate(
+            F.zip_with(
+                sub,
+                F.array(*[F.lit(int(c)).cast("long") for c in cent]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # corpus side: map-only cell + per-subspace PQ codes
+    ce = ints(F.col(vec_col))
+    code_cols = []
+    for s in range(m):
+        sub = F.slice(ce, s * dsub + 1, dsub)
+        dists = F.array(*[sq_dist(sub, books[s][j]) for j in range(n_codes)])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("long")
+            .alias(f"code{s}")
+        )
+    encoded = parallelize(corpus).select(
+        F.col(id_col),
+        int_centroid_assign(F.col(vec_col), coarse_cents, dim, "ivf_pq_search")
+        .alias("cell"),
+        *code_cols,
+    )
+
+    # query side: nprobe nearest cells, carried with the int vector
+    qe = ints(F.col(query_vec_col))
+    qcells = F.array(
+        *[
+            F.struct(
+                sq_dist(qe, coarse_cents[c]).alias("d"),
+                F.lit(c).cast("long").alias("cell"),
+            )
+            for c in range(kc)
+        ]
+    )
+    probes = (
+        queries.select(
+            F.col(query_id_col), qe.alias("_qe"), qcells.alias("_qc")
+        )
+        .select(
+            query_id_col,
+            "_qe",
+            F.explode(
+                F.slice(F.array_sort("_qc"), 1, nprobe)
+            ).alias("_probe"),
+        )
+        .select(query_id_col, "_qe", F.col("_probe.cell").alias("cell"))
+    )
+
+    # ADC: per-subspace LUT over the query's int subvector, indexed by
+    # the candidate's stored code — never a full-vector distance
+    adc_terms = []
+    for s in range(m):
+        qsub = F.slice(F.col("_qe"), s * dsub + 1, dsub)
+        lut = F.array(*[sq_dist(qsub, books[s][j]) for j in range(n_codes)])
+        adc_terms.append(F.element_at(lut, (F.col(f"code{s}") + 1).cast("int")))
+    adc = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc = adc + t
+    scored = encoded.join(F.broadcast(probes), "cell").select(
+        F.col(query_id_col), F.col(id_col), adc.cast("long").alias("adc")
+    )
+    return top_k_per_group(
+        scored,
+        [query_id_col],
+        [F.col("adc").asc(), F.col(id_col).asc()],
+        k,
+    )

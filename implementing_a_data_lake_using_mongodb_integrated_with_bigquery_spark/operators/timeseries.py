@@ -64,8 +64,14 @@ def ewma_flags(
     span: int = 16,
     spike_factor: int = 3,
 ) -> DataFrame:
-    """Integer-exact EWMA (alpha = 1/2) spike detector over a dense
-    per-key series of BIGINT counts.
+    """Integer-exact EWMA (alpha = 1/2) spike detector over a per-key
+    time-ordered series of BIGINT counts.
+
+    Lags are over OBSERVED rows, not calendar periods: if the caller
+    feeds a gapped series (e.g. hourly counts with zero-event hours
+    absent), lag j means "j-th previous observation". Densify with
+    :func:`fill_gaps` / a spine first when calendar-lag semantics are
+    required.
 
     The classic recursive EWMA is float-accumulation-order-dependent
     and unusable under a value-hash oracle. With alpha = 1/2 the

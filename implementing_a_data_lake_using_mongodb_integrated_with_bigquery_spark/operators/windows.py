@@ -217,10 +217,19 @@ def global_rank(
        |partitions|-row count aggregate's running total is broadcast
        back as each partition's global offset.
 
-    The whole table moves exactly ONCE (the range shuffle); both
-    branches read the SAME exchange (Spark reuses it, and AQE never
-    re-coalesces an explicit-numPartitions repartition), so local
-    positions and per-partition counts are consistent by construction.
+    The whole table moves exactly ONCE (the range shuffle), then the
+    position-stamped result is PINNED with an eager
+    ``localCheckpoint`` before it fans out to the offsets branch and
+    the main branch. Exchange reuse alone is NOT a correctness
+    guarantee here: inside a larger plan (observed under a
+    crossJoin-of-own-aggregate tree) Catalyst can compile the two
+    branches as separate exchanges, each re-running the range
+    sampler, and a boundary that moves by even one row between the
+    samples breaks rank = offset + local. The checkpoint freezes one
+    materialization that both branches read, making consistency a
+    construction property instead of an optimizer courtesy; it also
+    truncates lineage, so downstream reuse of the ranked table is
+    cheap.
 
     ``order_cols`` must be a total order (include a unique tiebreak) —
     then the output rank is unique and independent of partition
@@ -234,8 +243,13 @@ def global_rank(
     # monotonically_increasing_id = (partition id << 33) + row number
     # within partition: the lower 33 bits are the sorted local position
     local_mask = (1 << 33) - 1
-    with_pid = sorted_df.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_local", F.monotonically_increasing_id().bitwiseAND(F.lit(local_mask)) + 1
+    with_pid = (
+        sorted_df.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_local",
+            F.monotonically_increasing_id().bitwiseAND(F.lit(local_mask)) + 1,
+        )
+        .localCheckpoint(eager=True)
     )
     # per-partition counts -> exclusive running total = rank offset;
     # |partitions| rows, broadcast back onto the fact side. The running

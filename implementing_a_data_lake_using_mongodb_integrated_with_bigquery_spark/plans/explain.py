@@ -47,6 +47,87 @@ def count_shuffles(df: DataFrame) -> int:
     return len(ids) + unnumbered
 
 
+def _plan_children(node):
+    """Children of an executed-plan JVM node, descending THROUGH the
+    AQE wrappers (AdaptiveSparkPlanExec → its final plan, *QueryStageExec
+    → the stage's plan, Reused* → the referenced subtree)."""
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        return [node.executedPlan()]
+    if cls.endswith("QueryStageExec"):
+        return [node.plan()]
+    if cls.startswith("Reused"):
+        return [node.child()]
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _node_metric(node, *names) -> int | None:
+    try:
+        it = node.metrics().iterator()
+    except Exception:
+        return None
+    vals = {}
+    while it.hasNext():
+        kv = it.next()
+        vals[kv._1()] = kv._2().value()
+    for n in names:
+        if n in vals:
+            return int(vals[n])
+    return None
+
+
+def _subtree_input_rows(node) -> int:
+    """Row count flowing out of the nearest descendant that records
+    one — ``numOutputRows`` on most nodes, ``shuffleRecordsWritten``
+    on exchanges. -1 when no descendant recorded a metric (treat as
+    unknown → large, the conservative reading)."""
+    stack = list(_plan_children(node))
+    while stack:
+        cur = stack.pop(0)
+        m = _node_metric(cur, "numOutputRows", "shuffleRecordsWritten")
+        if m is not None:
+            return m
+        stack = list(_plan_children(cur)) + stack
+    return -1
+
+
+def global_window_input_rows(df: DataFrame) -> list[int]:
+    """Input row count for every WindowExec/WindowInPandasExec with an
+    EMPTY partition spec in the EXECUTED plan — the single-partition
+    global sort Spark warns about (``WindowExec: No Partition
+    Defined``). The plan must have run (metrics live on the executed
+    tree). Duplicated reuse sites are not double-counted because the
+    traversal descends Reused* references, not copies."""
+    roots = [df._jdf.queryExecution().executedPlan()]
+    out: list[int] = []
+    seen_ids: set[int] = set()
+    while roots:
+        node = roots.pop(0)
+        nid = node.id()
+        if nid in seen_ids:
+            continue
+        seen_ids.add(nid)
+        cls = node.getClass().getSimpleName()
+        if cls in ("WindowExec", "WindowInPandasExec") and node.partitionSpec().isEmpty():
+            out.append(_subtree_input_rows(node))
+        roots.extend(_plan_children(node))
+    return out
+
+
+def count_global_windows(df: DataFrame, min_input_rows: int = 1) -> int:
+    """Number of unpartitioned Window nodes whose runtime input was at
+    least ``min_input_rows`` rows. A global window over a provably tiny
+    table (a |partitions|-row offset cumsum, a 10-row decile rollup, a
+    post-TakeOrdered rank attach) is fine; one over a fact-sized input
+    is the classic scale-killer. Unknown input (-1) counts as large."""
+    return sum(
+        1
+        for n in global_window_input_rows(df)
+        if n < 0 or n >= min_input_rows
+    )
+
+
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
     """True if the parquet scan's PushedFilters mentions ``fragment``."""
     plan = physical_plan(df)

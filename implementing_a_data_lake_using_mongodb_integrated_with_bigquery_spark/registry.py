@@ -9632,9 +9632,11 @@ def q_layout_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually depends on. Linear order leaves the y-span at full range;
     the space-filling curves shrink both. ntile over a total order
     (key, event_id tiebreak) keeps the bucketing deterministic; spans
-    are exact integers."""
-    from pyspark.sql import Window
-
+    are exact integers. Each of the three cuts runs through
+    ``operators.windows.ntile_exact`` (distributed range sort +
+    broadcast offsets) — an unpartitioned ``ntile().over(...)`` would
+    single-task the fact table three times over."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import ntile_exact
     from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
         with_hilbert_key,
         zorder_key,
@@ -9652,10 +9654,12 @@ def q_layout_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     outs = []
     for name, key in [("linear_x", "_x"), ("zorder", "zkey"), ("hilbert", "hkey")]:
-        w = Window.orderBy(F.col(key).asc(), F.col("event_id").asc())
-        bucketed = base.select(
-            "_x", "_y", F.ntile(16).over(w).alias("_b")
-        )
+        bucketed = ntile_exact(
+            base.select(*dict.fromkeys(["_x", "_y", key, "event_id"])),
+            [key, "event_id"],
+            16,
+            bucket_col="_b",
+        ).select("_x", "_y", "_b")
         spans = bucketed.groupBy("_b").agg(
             (F.max("_x") - F.min("_x")).alias("_sx"),
             (F.max("_y") - F.min("_y")).alias("_sy"),
@@ -9890,7 +9894,9 @@ def q_item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFram
     the same boundedness argument as the triangle census), then one
     pair aggregate + two broadcast degree joins. √ of exact BIGINTs is
     correctly rounded IEEE on both engines; 6dp output. Top-20 pairs
-    under a total order."""
+    under a total order via ``orderBy().limit()`` — compiles to
+    distributed TakeOrderedAndProject (per-partition heaps, no global
+    sort); ranks are attached AFTER the cut, a 20-row window."""
     from pyspark.sql import Window
 
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -9918,13 +9924,13 @@ def q_item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("cosine"),
         )
     )
-    w = Window.orderBy(
-        F.col("cosine").desc(), F.col("co").desc(), F.col("i").asc(), F.col("j").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-    )
+    order = [
+        F.col("cosine").desc(), F.col("co").desc(),
+        F.col("i").asc(), F.col("j").asc(),
+    ]
+    top = scored.orderBy(*order).limit(20)  # TakeOrderedAndProject
+    w = Window.orderBy(*order)  # 20 rows — post-cut rank attach only
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 ORACLE_ITEM_COOCCURRENCE = """
@@ -9955,9 +9961,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the metric, then the key — ntile is deterministic only under a
     total order), segment = 100·R + 10·F + M. Output: per-segment
     population and cents-exact monetary mean for the top segments.
-    One customer-keyed aggregate + three |customers|-row windows
-    sharing nothing heavier than the segment rollup."""
-    from pyspark.sql import Window
+    One customer-keyed aggregate, then each quintile cut through the
+    distributed ``operators.windows.ntile_exact`` (descending metrics
+    are negated — range sort is ascending) and the three bucket
+    columns re-joined on the customer key: no unpartitioned window
+    anywhere, so the plan survives 10⁸⁺ customers."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import ntile_exact
 
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -9972,17 +9981,31 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_freq",
         "_cents",
     )
-    rw = Window.orderBy(F.col("_rec").asc(), F.col("o_custkey").asc())
-    fw = Window.orderBy(F.col("_freq").desc(), F.col("o_custkey").asc())
-    mw = Window.orderBy(F.col("_cents").desc(), F.col("o_custkey").asc())
-    seg = base.select(
-        "o_custkey",
-        "_cents",
-        (
-            F.ntile(5).over(rw) * 100 + F.ntile(5).over(fw) * 10 + F.ntile(5).over(mw)
+    neg = base.withColumn("_nfreq", -F.col("_freq")).withColumn(
+        "_ncents", -F.col("_cents")
+    )
+    rb = ntile_exact(
+        neg.select("o_custkey", "_rec"), ["_rec", "o_custkey"], 5, bucket_col="_rb"
+    ).select("o_custkey", "_rb")
+    fb = ntile_exact(
+        neg.select("o_custkey", "_nfreq"), ["_nfreq", "o_custkey"], 5, bucket_col="_fb"
+    ).select("o_custkey", "_fb")
+    mb = ntile_exact(
+        neg.select("o_custkey", "_cents", "_ncents"),
+        ["_ncents", "o_custkey"],
+        5,
+        bucket_col="_mb",
+    ).select("o_custkey", "_cents", "_mb")
+    seg = (
+        mb.join(rb, "o_custkey")
+        .join(fb, "o_custkey")
+        .select(
+            "o_custkey",
+            "_cents",
+            (F.col("_rb") * 100 + F.col("_fb") * 10 + F.col("_mb"))
+            .cast("long")
+            .alias("segment"),
         )
-        .cast("long")
-        .alias("segment"),
     )
     return seg.groupBy("segment").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -10443,18 +10466,24 @@ def q_pareto_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents-exact lifetime revenue (total order, key tiebreak), cut into
     revenue deciles; per decile the cumulative share of total revenue
     — exact integer cumulative sums, one division per output row.
-    One customer aggregate + a |customers|-row window + a 10-row
-    rollup."""
+    One customer aggregate, the decile cut through the distributed
+    ``operators.windows.ntile_exact`` (descending revenue negated for
+    the ascending range sort), then a 10-row rollup — the only
+    remaining window is over the 10 decile rows."""
     from pyspark.sql import Window
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import ntile_exact
 
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("_cents")
     )
-    w = Window.orderBy(F.col("_cents").desc(), F.col("o_custkey").asc())
-    deciled = per_cust.select(
-        "_cents", F.ntile(10).over(w).cast("long").alias("decile")
-    )
+    deciled = ntile_exact(
+        per_cust.withColumn("_ncents", -F.col("_cents")),
+        ["_ncents", "o_custkey"],
+        10,
+        bucket_col="decile",
+    ).select("_cents", "decile")
     per_dec = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("_cents").cast("long").alias("_dec_cents"),
@@ -10728,11 +10757,16 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ["join", "stream", "filter"]
     docs = load_table(spark, sf_dir, "documents")
 
+    # top-30 heads via orderBy().limit() → distributed
+    # TakeOrderedAndProject (per-partition heaps); ranks attach AFTER
+    # the cut on the 30 survivors — a global row_number window here
+    # would single-task every doc matching a common term.
     bm25 = bm25_query_scores(docs, terms)
     wa = Window.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
     rank_a = (
-        bm25.withColumn("rank", F.row_number().over(wa).cast("long"))
-        .where(F.col("rank") <= 30)
+        bm25.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
+        .limit(30)
+        .withColumn("rank", F.row_number().over(wa).cast("long"))
         .select("doc_id", "rank")
     )
 
@@ -10744,8 +10778,9 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wb = Window.orderBy(F.col("dot_int").desc(), F.col("doc_id").asc())
     rank_b = (
-        dot.withColumn("rank", F.row_number().over(wb).cast("long"))
-        .where(F.col("rank") <= 30)
+        dot.orderBy(F.col("dot_int").desc(), F.col("doc_id").asc())
+        .limit(30)
+        .withColumn("rank", F.row_number().over(wb).cast("long"))
         .select("doc_id", "rank")
     )
 
@@ -11288,7 +11323,11 @@ def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     found via the bin-blocked equi-join lowering (1-hour bins, pair
     kept once in the bin of the later start), then rolled up per
     user. The naive form is a quadratic non-equi self-join; this one
-    is a hash equi-join on (user, bin)."""
+    is a hash equi-join on (user, bin). Durations clamp at zero
+    (``greatest(value, 0)`` on both engines) — a negative event value
+    would otherwise invert the interval, violating
+    interval_overlap_join's documented start <= end precondition and
+    emitting semantically-wrong negative overlaps."""
     from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.rangejoin import (
         interval_overlap_join,
     )
@@ -11298,9 +11337,10 @@ def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         epoch_us("ts").alias("start_us"),
-        (epoch_us("ts") + F.round(F.col("value") * 1e6).cast("long")).alias(
-            "end_us"
-        ),
+        (
+            epoch_us("ts")
+            + F.round(F.greatest(F.col("value"), F.lit(0.0)) * 1e6).cast("long")
+        ).alias("end_us"),
     )
     pairs = interval_overlap_join(
         iv, "user_id", "event_id", "start_us", "end_us", bin_width=3_600_000_000
@@ -11315,7 +11355,7 @@ def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_INTERVAL_OVERLAP = """
 WITH iv AS (
   SELECT user_id, event_id, epoch_us(ts) AS s,
-         epoch_us(ts) + CAST(round(value * 1000000) AS BIGINT) AS e
+         epoch_us(ts) + CAST(round(greatest(value, 0) * 1000000) AS BIGINT) AS e
   FROM events),
 p AS (
   SELECT a.user_id, least(a.e, b.e) - greatest(a.s, b.s) AS overlap
@@ -11566,7 +11606,7 @@ ORACLES["histogram_selectivity"] = ORACLE_HISTOGRAM_SELECTIVITY
 
 
 def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded k-core peeling (operators.graph.kcore_peel, k=120,
+    """Bounded k-core peeling (operators.graph.kcore_peel, k=90,
     3 rounds) of the part co-purchase graph: the dense-subgraph
     extraction that complements the triangle census — recommendation
     pipelines mine the core, GNN samplers drop the periphery. Fixed
@@ -12234,8 +12274,13 @@ def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (purchase) / negative counts and WOE = ln((pos/P)/(neg/N)) — the
     ratio built from exact integers, ln rounded to 6dp (the
     PMI-collocation float discipline). Per-bucket rows only: no
-    cross-bucket float sum to flake."""
-    from pyspark.sql import Window
+    cross-bucket float sum to flake. The decile cut runs through
+    ``operators.windows.ntile_exact`` (distributed range sort +
+    broadcast offsets) — a bare ``ntile().over(Window.orderBy(...))``
+    would serialize every events row into ONE task. A decile with
+    zero positives or negatives gets NULL woe on both engines
+    (DuckDB's ln(0) RAISES; Spark's returns NULL — guard both)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import ntile_exact
 
     e = load_table(spark, sf_dir, "events")
     base = e.select(
@@ -12243,10 +12288,9 @@ def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.col("event_type") == "purchase").cast("long").alias("_pos"),
     )
-    w = Window.orderBy(F.col("_cents").asc(), F.col("event_id").asc())
-    binned = base.select(
-        "_pos", F.ntile(10).over(w).cast("long").alias("decile")
-    )
+    binned = ntile_exact(
+        base, ["_cents", "event_id"], 10, bucket_col="decile"
+    ).select("_pos", "decile")
     per = binned.groupBy("decile").agg(
         F.sum("_pos").cast("long").alias("n_pos"),
         F.sum(F.lit(1) - F.col("_pos")).cast("long").alias("n_neg"),
@@ -12259,12 +12303,15 @@ def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile",
         "n_pos",
         "n_neg",
-        F.round(
-            F.log(
-                (F.col("n_pos").cast("double") * F.col("_n"))
-                / (F.col("n_neg").cast("double") * F.col("_p"))
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.log(
+                    (F.col("n_pos").cast("double") * F.col("_n"))
+                    / (F.col("n_neg").cast("double") * F.col("_p"))
+                ),
+                6,
             ),
-            6,
         ).alias("woe"),
     )
 
@@ -12283,7 +12330,9 @@ per AS (
   FROM binned GROUP BY decile),
 tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p, CAST(SUM(n_neg) AS BIGINT) AS n FROM per)
 SELECT decile, n_pos, n_neg,
-       round(ln((CAST(n_pos AS DOUBLE) * n) / (CAST(n_neg AS DOUBLE) * p)), 6) AS woe
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round(ln((CAST(n_pos AS DOUBLE) * n) / (CAST(n_neg AS DOUBLE) * p)), 6)
+            ELSE NULL END AS woe
 FROM per CROSS JOIN tot
 """
 
@@ -12500,3 +12549,402 @@ UNION ALL SELECT 'lineitem_retained', CAST(COUNT(*) AS BIGINT)
 
 QUERIES["cascade_delete_plan"] = q_cascade_delete_plan
 ORACLES["cascade_delete_plan"] = ORACLE_CASCADE_DELETE
+
+
+# ---------------------------------------------------------------------------
+# Round 8: end-to-end IVF-PQ search, curriculum planning, corpus-law audits
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-PQ ANN search (operators.similarity.ivf_pq_search):
+    corpus routed map-only to a frozen 8-cell coarse codebook and
+    PQ-encoded (4 subspaces × 4 codes over dim 64); each of 3 queries
+    probes its 2 nearest cells; candidates scored by asymmetric
+    distance (per-subspace integer LUT into the query's subvector) and
+    top-10 ranked per query. Every cell id, code, and distance is
+    exact int64 under the floor(x·10⁶) convention, so the oracle
+    reproduces the full pipeline bit-for-bit."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        ivf_pq_search,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 3)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cents = pq_codebooks(1, 8, 64)[0]
+    books = pq_codebooks(4, 4, 16)
+    out = ivf_pq_search(
+        corpus, queries, cents, books, dim=64, nprobe=2, k=10
+    )
+    return out.select(
+        "q_id", "vec_id", "adc", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _oracle_ivf_pq(
+    kc: int = 8, m: int = 4, n_codes: int = 4, dim: int = 64,
+    nprobe: int = 2, topk: int = 10,
+) -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    cents = pq_codebooks(1, kc, dim)[0]
+    books = pq_codebooks(m, n_codes, dim // m)
+    dsub = dim // m
+
+    def sq(vec_expr: str, cent: list[int], off: int) -> str:
+        return " + ".join(
+            f"({vec_expr}[{off + i + 1}] - ({cent[i]})) * "
+            f"({vec_expr}[{off + i + 1}] - ({cent[i]}))"
+            for i in range(len(cent))
+        )
+
+    # corpus: coarse cell (first-min tiebreak) + per-subspace codes
+    cell_d = ", ".join(f"({sq('e', cents[c], 0)}) AS cd{c}" for c in range(kc))
+    cell_case = " ".join(
+        f"WHEN {' AND '.join(f'cd{c} <= cd{cc}' for cc in range(c + 1, kc))} THEN {c}"
+        for c in range(kc - 1)
+    )
+    code_d = ", ".join(
+        f"({sq('e', books[s][j], s * dsub)}) AS d{s}_{j}"
+        for s in range(m)
+        for j in range(n_codes)
+    )
+    code_cases = ", ".join(
+        "CAST(CASE "
+        + " ".join(
+            f"WHEN {' AND '.join(f'd{s}_{j} <= d{s}_{jj}' for jj in range(j + 1, n_codes))} THEN {j}"
+            for j in range(n_codes - 1)
+        )
+        + f" ELSE {n_codes - 1} END AS BIGINT) AS code{s}"
+        for s in range(m)
+    )
+    # queries: nprobe nearest cells under (dist, cell) total order
+    qcell_d = ", ".join(f"({sq('qe', cents[c], 0)}) AS qd{c}" for c in range(kc))
+    qcell_rows = ", ".join(f"({c}, qd{c})" for c in range(kc))
+    # ADC per subspace: CASE on the candidate's stored code
+    adc = " + ".join(
+        "(CASE "
+        + " ".join(
+            f"WHEN code{s} = {j} THEN ({sq('qe', books[s][j], s * dsub)})"
+            for j in range(n_codes)
+        )
+        + " END)"
+        for s in range(m)
+    )
+    return f"""
+WITH ints AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e
+  FROM embeddings),
+corpus AS (
+  SELECT vec_id,
+         CAST(CASE {cell_case} ELSE {kc - 1} END AS BIGINT) AS cell,
+         {code_cases}
+  FROM (SELECT vec_id, {cell_d}, {code_d} FROM ints WHERE vec_id >= 3)),
+q AS (SELECT vec_id AS q_id, e AS qe, {qcell_d} FROM ints WHERE vec_id < 3),
+probes AS (
+  SELECT q_id, qe, CAST(cell AS BIGINT) AS cell FROM (
+    SELECT q_id, qe, cell,
+           row_number() OVER (PARTITION BY q_id ORDER BY d ASC, cell ASC) AS rn
+    FROM q, LATERAL (VALUES {qcell_rows}) AS cd(cell, d))
+  WHERE rn <= {nprobe}),
+scored AS (
+  SELECT p.q_id, c.vec_id, CAST({adc} AS BIGINT) AS adc
+  FROM corpus c JOIN probes p USING (cell))
+SELECT q_id, vec_id, adc, rank FROM (
+  SELECT q_id, vec_id, adc,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY adc ASC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored) WHERE rank <= {topk}
+"""
+
+
+QUERIES["ivf_pq_search"] = q_ivf_pq_search
+ORACLES["ivf_pq_search"] = _oracle_ivf_pq()
+
+
+def q_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning data plan: documents ordered easy→hard by
+    an integer difficulty score (token count, doc_id tiebreak) and cut
+    into 4 equal-population stages via the distributed
+    ``operators.windows.ntile_exact`` — the stage table a curriculum
+    sampler feeds from. Per stage: population, exact token budget,
+    token-count bounds, and the cumulative token share a scheduler
+    uses to place stage boundaries in the training run. The stage cut
+    is a range sort (never a single-partition window); everything
+    after is a 4-row rollup."""
+    from pyspark.sql import Window
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        ntile_exact,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("_ntok"),
+    )
+    staged = ntile_exact(
+        base, ["_ntok", "doc_id"], 4, bucket_col="stage"
+    )
+    per = staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_ntok").cast("long").alias("stage_tokens"),
+        F.min("_ntok").cast("long").alias("min_tokens"),
+        F.max("_ntok").cast("long").alias("max_tokens"),
+    )
+    wc = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(F.sum("stage_tokens").cast("long").alias("_tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "stage",
+        "n_docs",
+        "stage_tokens",
+        "min_tokens",
+        "max_tokens",
+        F.round(
+            F.sum("stage_tokens").over(wc) / F.col("_tot").cast("double"), 6
+        ).alias("cum_token_share"),
+    )
+
+
+ORACLE_CURRICULUM = """
+WITH base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+  FROM documents),
+staged AS (
+  SELECT ntok, CAST(ntile(4) OVER (ORDER BY ntok ASC, doc_id ASC) AS BIGINT) AS stage
+  FROM base),
+per AS (
+  SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(ntok) AS BIGINT) AS stage_tokens,
+         CAST(MIN(ntok) AS BIGINT) AS min_tokens,
+         CAST(MAX(ntok) AS BIGINT) AS max_tokens
+  FROM staged GROUP BY stage),
+tot AS (SELECT CAST(SUM(stage_tokens) AS BIGINT) AS t FROM per)
+SELECT stage, n_docs, stage_tokens, min_tokens, max_tokens,
+       round(CAST(SUM(stage_tokens) OVER (ORDER BY stage
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             / CAST(t AS DOUBLE), 6) AS cum_token_share
+FROM per CROSS JOIN tot
+"""
+
+QUERIES["curriculum_plan"] = q_curriculum_plan
+ORACLES["curriculum_plan"] = ORACLE_CURRICULUM
+
+
+def q_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit of the corpus token distribution: the top-100
+    tokens by exact count (TakeOrderedAndProject cut — per-partition
+    heaps, no global sort), ranked, with the local log-log slope
+    between adjacent ranks (a Zipfian corpus sits near slope ≈ -1).
+    Every ln() argument is an exact BIGINT and the slope is computed
+    and rounded 6dp PER ROW — no cross-row float accumulation to
+    flake. The rank/lead windows run over the 100 survivors only."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    order = [F.col("n").desc(), F.col("token").asc()]
+    top = counts.orderBy(*order).limit(100)  # TakeOrderedAndProject
+    w = Window.orderBy(*order)  # 100 rows — post-cut attach only
+    ranked = top.withColumn("rank", F.row_number().over(w).cast("long"))
+    nxt = F.lead("n").over(w)
+    return ranked.select(
+        "rank",
+        "token",
+        "n",
+        F.round(
+            (F.log(F.col("n").cast("double")) - F.log(nxt.cast("double")))
+            / (
+                F.log((F.col("rank") + 1).cast("double"))
+                - F.log(F.col("rank").cast("double"))
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+ORACLE_ZIPF = """
+WITH counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token),
+top AS (
+  SELECT token, n,
+         CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+  FROM counts QUALIFY rank <= 100)
+SELECT rank, token, n,
+       round((ln(CAST(n AS DOUBLE))
+              - ln(CAST(lead(n) OVER (ORDER BY n DESC, token ASC) AS DOUBLE)))
+             / (ln(CAST(rank + 1 AS DOUBLE)) - ln(CAST(rank AS DOUBLE))), 6)
+         AS zipf_slope
+FROM top
+"""
+
+QUERIES["zipf_rank_frequency"] = q_zipf_rank_frequency
+ORACLES["zipf_rank_frequency"] = ORACLE_ZIPF
+
+
+def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: documents in doc_id order
+    are grouped into 20-doc ingestion buckets; per bucket the running
+    corpus size (token occurrences) and running vocabulary size (each
+    type counted in the bucket of its FIRST occurrence — one
+    min-aggregate per type, the same first-seen collapse as
+    cumulative_unique_users), plus the per-row Heaps exponent estimate
+    ln(V)/ln(N). Two token-keyed/bucket-keyed aggregates; the running
+    sums are a |buckets|-row window. Exact integer cumsums; ln ratio
+    rounded 6dp per row."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    per_bucket_toks = toks.groupBy(
+        F.expr("doc_id div 20").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_nt"))
+    new_types = (
+        toks.groupBy("token")
+        .agg(F.min("doc_id").alias("_first"))
+        .groupBy(F.expr("_first div 20").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_nv"))
+    )
+    joined = per_bucket_toks.join(new_types, "bucket", "left").select(
+        "bucket", "_nt", F.coalesce("_nv", F.lit(0)).cast("long").alias("_nv")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "bucket",
+        F.sum("_nt").over(w).cast("long").alias("cum_tokens"),
+        F.sum("_nv").over(w).cast("long").alias("cum_vocab"),
+    ).withColumn(
+        "heaps_beta",
+        F.round(
+            F.log(F.col("cum_vocab").cast("double"))
+            / F.log(F.col("cum_tokens").cast("double")),
+            6,
+        ),
+    )
+
+
+ORACLE_HEAPS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+pb AS (
+  SELECT CAST(doc_id // 20 AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM toks GROUP BY 1),
+nv AS (
+  SELECT CAST(first_doc // 20 AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS nv
+  FROM (SELECT token, MIN(doc_id) AS first_doc FROM toks GROUP BY token)
+  GROUP BY 1),
+j AS (
+  SELECT pb.bucket, pb.nt, COALESCE(nv.nv, 0) AS nv
+  FROM pb LEFT JOIN nv USING (bucket)),
+c AS (
+  SELECT bucket,
+         CAST(SUM(nt) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+         CAST(SUM(nv) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+  FROM j)
+SELECT bucket, cum_tokens, cum_vocab,
+       round(ln(CAST(cum_vocab AS DOUBLE)) / ln(CAST(cum_tokens AS DOUBLE)), 6)
+         AS heaps_beta
+FROM c
+"""
+
+QUERIES["heaps_vocab_growth"] = q_heaps_vocab_growth
+ORACLES["heaps_vocab_growth"] = ORACLE_HEAPS
+
+
+def _dp_noise_table(scale: float = 2.0, cells: int = 64) -> list[int]:
+    """Frozen quantile table of a two-sided-geometric (discrete
+    Laplace) mechanism: entry j is the inverse CDF of Laplace(scale)
+    at (j+0.5)/cells, rounded to an integer. Computed ONCE here in
+    Python and inlined as literals into BOTH engines (the
+    hyperplanes/pq_codebooks single-source rule), so the 'draw' is
+    exact integer table lookup — no cross-engine ln()/float hazard."""
+    import math
+
+    out = []
+    for j in range(cells):
+        u = (j + 0.5) / cells - 0.5
+        val = -scale * math.copysign(1.0, u) * math.log(1 - 2 * abs(u))
+        out.append(round(val))
+    return out
+
+
+def q_dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-STYLE noisy release of the event-type ×
+    day-of-week histogram: exact counts plus two-sided-geometric
+    (discrete Laplace) noise drawn by KEYED quantile-table lookup —
+    the noise index comes from the group key's md5 hex (first char ×16
+    + second char, mod 64), the 64-entry quantile table is frozen
+    Python-side literals. Deterministic-by-key sampling is the
+    ORACLE-ABLE stand-in for the production mechanism (which draws
+    fresh randomness per release and never exposes true counts); the
+    Spark plumbing — one hash aggregate, map-only noising, clamp at
+    zero — is exactly the production shape. Grid-sized output."""
+    table = _dp_noise_table()
+    d = load_table(spark, sf_dir, "events")
+    per = d.groupBy(
+        "event_type",
+        F.dayofweek(F.col("ts")).cast("long").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    h = F.md5(F.concat(F.lit("dp:"), F.col("event_type"), F.lit(":"), F.col("dow").cast("string")))
+    hexd = "0123456789abcdef"
+    idx = F.pmod(
+        (F.instr(F.lit(hexd), F.substring(h, 1, 1)) - 1) * 16
+        + (F.instr(F.lit(hexd), F.substring(h, 2, 1)) - 1),
+        F.lit(64),
+    )
+    noise_arr = F.array(*[F.lit(int(v)).cast("long") for v in table])
+    return per.select(
+        "event_type",
+        "dow",
+        "n_true",
+        F.element_at(noise_arr, (idx + 1).cast("int")).alias("noise"),
+    ).withColumn(
+        "n_noisy",
+        F.greatest(F.col("n_true") + F.col("noise"), F.lit(0)).cast("long"),
+    )
+
+
+def _oracle_dp_noisy() -> str:
+    table = _dp_noise_table()
+    arr = ", ".join(str(int(v)) for v in table)
+    return f"""
+WITH per AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM events GROUP BY 1, 2),
+noised AS (
+  SELECT event_type, dow, n_true,
+         ([{arr}])[
+           ((strpos('0123456789abcdef',
+                    substr(md5('dp:' || event_type || ':' || dow), 1, 1)) - 1) * 16
+            + strpos('0123456789abcdef',
+                     substr(md5('dp:' || event_type || ':' || dow), 2, 1)) - 1) % 64
+           + 1] AS noise
+  FROM per)
+SELECT event_type, dow, n_true, CAST(noise AS BIGINT) AS noise,
+       CAST(greatest(n_true + noise, 0) AS BIGINT) AS n_noisy
+FROM noised
+"""
+
+
+QUERIES["dp_noisy_histogram"] = q_dp_noisy_histogram
+ORACLES["dp_noisy_histogram"] = _oracle_dp_noisy()

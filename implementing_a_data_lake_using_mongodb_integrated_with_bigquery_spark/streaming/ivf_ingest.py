@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
     int_centroid_assign,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.maintenance import (
+    compact_store,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.phasing import (
     check_admission_log,
     check_batch_structure,
@@ -90,6 +93,12 @@ def ivf_ingest_phased(
             list(q.recentProgress), phase_counts, "ivf_ingest_phased"
         )
         check_admission_log(ckpt, len(phase_counts), "ivf_ingest_phased")
+        # the ingest appended one file-set per micro-batch — the store
+        # accretes small files forever. Compact cell-clustered under
+        # the footer-count invariant BEFORE the audit reads it (the ops
+        # leg of build-once/ingest-forever: probes always see a
+        # scanner-sized, cell-clustered store).
+        compaction = compact_store(spark, store, cluster_by=["cell"])
         audit = (
             spark.read.parquet(store)
             .groupBy("cell")
@@ -105,5 +114,6 @@ def ivf_ingest_phased(
     stats = {
         "data_batches": len(data),
         "rows_per_batch": [p["numInputRows"] for p in data],
+        "compaction": compaction,
     }
     return audit, stats

@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.scd import (
     scd2_history,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.maintenance import (
+    compact_store,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.phasing import (
     check_admission_log,
     check_batch_structure,
@@ -179,11 +182,16 @@ def scd2_stream_phased(
             list(q.recentProgress), phase_counts, "scd2_stream_phased"
         )
         check_admission_log(ckpt, len(phase_counts), "scd2_stream_phased")
+        # each generation leaves one file per shuffle partition —
+        # compact under the footer-count invariant before the final
+        # readout so the maintained table hands off scanner-sized files
+        compaction = compact_store(spark, store_dir, cluster_by=[key_col])
         result = spark.read.parquet(store_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     stats = {
         "data_batches": len(data),
         "rows_per_batch": [p["numInputRows"] for p in data],
+        "compaction": compaction,
     }
     return result, stats

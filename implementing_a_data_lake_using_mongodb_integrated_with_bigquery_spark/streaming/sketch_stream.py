@@ -34,6 +34,9 @@ from pyspark.sql import functions as F
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sketches import (
     cms_build,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.maintenance import (
+    compact_store,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.phasing import (
     check_admission_log,
     check_batch_structure,
@@ -109,11 +112,16 @@ def cms_stream_phased(
             list(q.recentProgress), phase_counts, "cms_stream_phased"
         )
         check_admission_log(ckpt, len(phase_counts), "cms_stream_phased")
+        # grid-sized store (depth×width rows) still fragments into one
+        # file per shuffle partition per generation — compact under the
+        # footer-count invariant before the readout
+        compaction = compact_store(spark, store_dir)
         result = spark.read.parquet(store_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     stats = {
         "data_batches": len(data),
         "rows_per_batch": [p["numInputRows"] for p in data],
+        "compaction": compaction,
     }
     return result, stats

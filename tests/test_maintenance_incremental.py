@@ -64,3 +64,56 @@ def test_incremental_merge_equals_direct_aggregation(spark, splits):
     d = {key(r): (r.n, r.vmin, r.vmax, r.vsum, r.vavg) for r in direct.collect()}
     b = {key(r): (r.n, r.vmin, r.vmax, r.vsum, r.vavg) for r in batched.collect()}
     assert d == b  # monoid identity: any batching merges to the same state
+
+
+def test_compact_store_in_place_swap_with_footer_invariant(spark, tmp_path):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.maintenance import (
+        compact_store,
+        footer_row_count,
+        parquet_file_count,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.range(8_000).withColumn("cell", F.col("id") % 7)
+    # simulate per-batch appends: many small file-sets at one path
+    for _ in range(6):
+        df.repartition(8).write.mode("append").parquet(store)
+    assert parquet_file_count(store) == 48
+    before = footer_row_count(store)
+    assert before == 48_000
+
+    stats = compact_store(spark, store, target_file_bytes=1 << 30,
+                          cluster_by=["cell"])
+    assert stats["files_before"] == 48
+    assert stats["files_after"] < 48
+    assert stats["rows"] == before
+    back = spark.read.parquet(store)
+    assert back.count() == before
+    # cluster_by must keep `cell` a REAL column (no hive-dir retyping)
+    assert dict(back.dtypes)["cell"] == "bigint"
+
+
+def test_compact_store_refuses_and_preserves_old_generation_on_mismatch(
+    spark, tmp_path, monkeypatch
+):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources import (
+        maintenance,
+    )
+
+    store = str(tmp_path / "store")
+    spark.range(1_000).write.parquet(store)
+    real = maintenance.footer_row_count
+    calls = {"n": 0}
+
+    def lying_counter(path):
+        calls["n"] += 1
+        return real(path) if calls["n"] == 1 else real(path) + 1
+
+    monkeypatch.setattr(maintenance, "footer_row_count", lying_counter)
+    with pytest.raises(RuntimeError, match="invariant violated"):
+        maintenance.compact_store(spark, store)
+    # old generation untouched, tmp generation cleaned up
+    assert real(store) == 1_000
+    assert not any(
+        d.startswith("store.compact") for d in os.listdir(str(tmp_path))
+    )

@@ -206,3 +206,53 @@ def test_runtime_bloom_filter_reduces_fact_before_shuffle(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_no_fact_sized_global_windows_in_fixed_queries(spark):
+    """Round-8 pin: the five queries the round-7 audit flagged for
+    single-partition global windows (plus the two customer-sized watch
+    items) must keep ZERO unpartitioned WindowExec nodes over a
+    fact-sized input. The detector reads RUNTIME input rows off the
+    executed plan, so the |partitions|-row offset cumsum inside
+    global_rank/ntile_exact and post-TakeOrdered rank attaches stay
+    permitted; anything >= 1000 input rows at sf0.01 is a regression."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark import (
+        registry,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.plans.explain import (
+        count_global_windows,
+    )
+
+    fixed = [
+        "woe_binning", "layout_locality_audit", "histogram_selectivity",
+        "item_cooccurrence_similarity", "hybrid_search_rrf",
+        "rfm_segments", "pareto_revenue_curve",
+    ]
+    for name in fixed:
+        df = registry.QUERIES[name](spark, "/root/testdata/sf0.01")
+        df.collect()  # metrics live on the executed tree
+        assert count_global_windows(df, min_input_rows=1000) == 0, name
+
+
+def test_global_window_detector_sees_the_bad_shape(spark):
+    """The detector itself must fire on the anti-pattern, else the pin
+    above passes vacuously."""
+    from pyspark.sql import Window
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.plans.explain import (
+        count_global_windows,
+        global_window_input_rows,
+    )
+
+    df = spark.range(5000).withColumn(
+        "r", F.row_number().over(Window.orderBy("id"))
+    )
+    df.collect()
+    assert global_window_input_rows(df) == [5000]
+    assert count_global_windows(df, min_input_rows=1000) == 1
+    # partitioned windows never count
+    ok = spark.range(5000).withColumn("g", F.col("id") % 7).withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    ok.collect()
+    assert count_global_windows(ok) == 0
