@@ -181,3 +181,40 @@ def asof_join_pandas(
         .cogroup(right.groupBy(on))
         .applyInPandas(lambda l, r: merge(l, r), schema=schema)
     )
+
+
+def asof_tolerance_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    tolerance_us: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """:func:`asof_join` with a staleness bound (pandas
+    ``merge_asof(tolerance=...)`` semantics): a match older than
+    ``tolerance_us`` microseconds is nulled out, row kept. One extra
+    map-only projection over the carried-state window — no additional
+    shuffle."""
+    keys = [on] if isinstance(on, str) else list(on)
+    rcols = right_cols or [
+        c for c in right.columns if c not in keys + [right_ts]
+    ]
+    out = asof_join(
+        left, right, on, left_ts=left_ts, right_ts=right_ts,
+        right_cols=rcols, tiebreak=tiebreak,
+    )
+    fresh = (
+        F.unix_micros(F.col(left_ts).cast("timestamp"))
+        - F.unix_micros(F.col(f"asof_{right_ts}").cast("timestamp"))
+    ) <= F.lit(int(tolerance_us))
+    keep = [c for c in out.columns if not c.startswith("asof_")]
+    return out.select(
+        *keep,
+        *[
+            F.when(fresh, F.col(f"asof_{c}")).alias(f"asof_{c}")
+            for c in [*rcols, right_ts]
+        ],
+    )

@@ -12,12 +12,18 @@ Scale shape: the textbook skyline needs an all-pairs dominance check
 aggregate to DISTINCT (x, y) points with multiplicities — one hash
 aggregate, bounded by the value domain, not the row count — keep only
 the min-y point per x (anything else in the x-group is dominated
-within the group), then a single ordered window over the |distinct x|
-survivors: a point is on the front iff its y is strictly below the
-running min of every strictly-smaller x. Equal points (ties in BOTH
-dims) dominate nothing and survive together, carried by the
-multiplicity count. One shuffle for the aggregate plus one tiny
-window over the distinct-x table.
+within the group), then a strict-prefix running min over x ascending:
+a point is on the front iff its y is strictly below the running min
+of every strictly-smaller x. Equal points (ties in BOTH dims)
+dominate nothing and survive together, carried by the multiplicity
+count.
+
+The prefix min is DISTRIBUTED (the global_rank two-phase shape: range
+sort pinned by an eager localCheckpoint, per-partition prefix min
+inside a partitioned window, the |partitions|-row cross-partition
+carry broadcast back) — the x domain is a value domain (prices,
+sizes), which at 100 TB can be millions of distinct values, too big
+to justify the single-task unpartitioned window the naive form uses.
 """
 
 from __future__ import annotations
@@ -48,14 +54,39 @@ def skyline_2d(
     best = pts.withColumn("_r", F.row_number().over(per_x)).where(
         F.col("_r") == 1
     )
-    # strict-prefix running min over x ascending: dominated iff some
-    # strictly-cheaper x already achieved y <= mine
-    run = Window.orderBy(F.col("x").asc()).rowsBetween(
+    # strict-prefix running min over x ascending, DISTRIBUTED: range
+    # sort on x (one row per distinct x, so x alone is a total order),
+    # pinned so the carry branch and the main branch read one
+    # materialization; within-partition prefix min via a PARTITIONED
+    # window; the cross-partition carry is a |partitions|-row exclusive
+    # running min broadcast back.
+    spark = best.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    sorted_best = (
+        best.repartitionByRange(n_part, F.col("x"))
+        .sortWithinPartitions(F.col("x"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    carry = (
+        sorted_best.groupBy("_pid")
+        .agg(F.min("y").alias("_py"))
+        .withColumn(
+            "_carry",
+            F.min("_py").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("_pid", "_carry")
+    )
+    local_run = Window.partitionBy("_pid").orderBy(F.col("x").asc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    prev_min = F.min("y").over(run)
     return (
-        best.withColumn("_pm", prev_min)
+        sorted_best.join(F.broadcast(carry), "_pid")
+        .withColumn("_pm", F.least(F.min("y").over(local_run), F.col("_carry")))
         .where(F.col("_pm").isNull() | (F.col("y") < F.col("_pm")))
         .select("x", "y", "n_rows", "min_id")
     )

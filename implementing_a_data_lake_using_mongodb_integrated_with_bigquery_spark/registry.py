@@ -12948,3 +12948,320 @@ FROM noised
 
 QUERIES["dp_noisy_histogram"] = q_dp_noisy_histogram
 ORACLES["dp_noisy_histogram"] = _oracle_dp_noisy()
+
+
+def q_asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of attribution
+    (operators.asof.asof_tolerance_join — pandas merge_asof(tolerance)
+    semantics): each purchase takes the same user's most recent click
+    AT MOST 30 minutes old; a staler match is nulled, the purchase
+    kept. Same one-shuffle union-tag carried-state window as
+    asof_purchase_click plus a map-only freshness projection; exact
+    epoch-micros comparison on both engines."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.asof import (
+        asof_tolerance_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event_id"), "ts"
+    )
+    out = asof_tolerance_join(
+        purchases, clicks, on="user_id", tolerance_us=1_800_000_000,
+        left_ts="ts", right_ts="ts",
+        right_cols=["click_event_id"], tiebreak="click_event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("ts_us"),
+        F.col("asof_click_event_id").alias("click_event_id"),
+        epoch_us("asof_ts").alias("click_ts_us"),
+    )
+
+
+ORACLE_ASOF_TOLERANCE = """
+WITH tagged AS (
+  SELECT user_id, ts, 1 AS is_left, event_id,
+         NULL::BIGINT AS r_click_id, NULL::TIMESTAMP AS r_ts
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 0 AS is_left, NULL::BIGINT AS event_id,
+         event_id AS r_click_id, ts AS r_ts
+  FROM events WHERE event_type = 'click'
+),
+carried AS (
+  SELECT user_id, ts, is_left, event_id,
+         last_value(r_click_id IGNORE NULLS) OVER w AS click_event_id,
+         last_value(r_ts IGNORE NULLS) OVER w AS click_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, is_left ASC, r_click_id ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       CASE WHEN epoch_us(ts) - epoch_us(click_ts) <= 1800000000
+            THEN click_event_id END AS click_event_id,
+       CASE WHEN epoch_us(ts) - epoch_us(click_ts) <= 1800000000
+            THEN epoch_us(click_ts) END AS click_ts_us
+FROM carried WHERE is_left = 1
+"""
+
+QUERIES["asof_tolerance_attribution"] = q_asof_tolerance_attribution
+ORACLES["asof_tolerance_attribution"] = ORACLE_ASOF_TOLERANCE
+
+
+def q_chunk_retrieval_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-granularity audit (the RAG chunking question): for
+    each of 3 keyword queries, the top-5 documents under WHOLE-DOC
+    term-occurrence scoring vs under BEST-CHUNK scoring (64-char
+    windows, stride 48 — the operators.chunking geometry; doc score =
+    max chunk score), and how far the two rankings agree. Occurrence
+    counting is the replace-shrinkage integer identity
+    ((len - len(replace))/len(term)), exact on both engines; both
+    top-5 cuts run per-query through a 3-partition window over
+    pre-aggregated per-doc scores (doc-count-sized, keyed). Output:
+    per query the two winners and the top-5 set overlap."""
+    _qterms = [
+        (0, ["join", "stream"]),
+        (1, ["filter", "data"]),
+        (2, ["table", "group"]),
+    ]
+
+    def occ(text_col, term: str):
+        return (
+            (F.length(text_col) - F.length(F.replace(text_col, F.lit(term))))
+            / F.lit(len(term))
+        ).cast("long")
+
+    d = load_table(spark, sf_dir, "documents")
+    whole_parts = []
+    chunk_parts = []
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)), F.lit(48)
+    )
+    chunks = d.select(
+        "doc_id", "text", F.explode(starts).alias("_s")
+    ).select(
+        "doc_id",
+        F.substring(F.col("text"), F.col("_s") + 1, 64).alias("_ck"),
+    )
+    for qid, terms in _qterms:
+        wscore = None
+        cscore = None
+        for t in terms:
+            wterm = occ(F.col("text"), t)
+            cterm = occ(F.col("_ck"), t)
+            wscore = wterm if wscore is None else wscore + wterm
+            cscore = cterm if cscore is None else cscore + cterm
+        whole_parts.append(
+            d.select(
+                F.lit(qid).cast("long").alias("qid"),
+                "doc_id",
+                wscore.alias("score"),
+            )
+        )
+        chunk_parts.append(
+            chunks.select(
+                F.lit(qid).cast("long").alias("qid"),
+                "doc_id",
+                cscore.alias("_cs"),
+            )
+            .groupBy("qid", "doc_id")
+            .agg(F.max("_cs").alias("score"))
+        )
+    from functools import reduce
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        top_k_per_group,
+    )
+
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    wtop = top_k_per_group(
+        reduce(lambda a, b: a.unionByName(b), whole_parts), ["qid"], order, 5
+    )
+    ctop = top_k_per_group(
+        reduce(lambda a, b: a.unionByName(b), chunk_parts), ["qid"], order, 5
+    )
+    overlap = (
+        wtop.select("qid", "doc_id")
+        .join(ctop.select("qid", "doc_id"), ["qid", "doc_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    w1 = wtop.where(F.col("rank") == 1).select(
+        "qid", F.col("doc_id").alias("whole_top_doc")
+    )
+    c1 = ctop.where(F.col("rank") == 1).select(
+        "qid", F.col("doc_id").alias("chunk_top_doc")
+    )
+    return (
+        w1.join(c1, "qid")
+        .join(overlap, "qid", "left")
+        .select(
+            "qid",
+            "whole_top_doc",
+            "chunk_top_doc",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / 5.0, 6).alias(
+                "agreement_at_5"
+            ),
+        )
+    )
+
+
+def _oracle_chunk_retrieval() -> str:
+    qterms = [(0, ["join", "stream"]), (1, ["filter", "data"]), (2, ["table", "group"])]
+
+    def occ(expr: str, term: str) -> str:
+        return (
+            f"((length({expr}) - length(replace({expr}, '{term}', ''))) // {len(term)})"
+        )
+
+    wsel = " UNION ALL ".join(
+        f"SELECT {qid} AS qid, doc_id, "
+        + " + ".join(occ("text", t) for t in terms)
+        + " AS score FROM documents"
+        for qid, terms in qterms
+    )
+    csel = " UNION ALL ".join(
+        f"SELECT {qid} AS qid, doc_id, MAX("
+        + " + ".join(occ("ck", t) for t in terms)
+        + ") AS score FROM chunks GROUP BY 1, 2"
+        for qid, terms in qterms
+    )
+    return f"""
+WITH chunks AS (
+  SELECT doc_id, substr(text, s + 1, 64) AS ck
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, greatest(length(text) - 1, 0), 48)) AS s) g),
+whole AS ({wsel}),
+chunked AS ({csel}),
+wtop AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+    FROM whole) WHERE rank <= 5),
+ctop AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+    FROM chunked) WHERE rank <= 5),
+ov AS (
+  SELECT w.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM wtop w JOIN ctop c ON w.qid = c.qid AND w.doc_id = c.doc_id
+  GROUP BY 1)
+SELECT CAST(w1.qid AS BIGINT) AS qid,
+       w1.doc_id AS whole_top_doc, c1.doc_id AS chunk_top_doc,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       round(COALESCE(ov.n_overlap, 0) / 5.0, 6) AS agreement_at_5
+FROM (SELECT qid, doc_id FROM wtop WHERE rank = 1) w1
+JOIN (SELECT qid, doc_id FROM ctop WHERE rank = 1) c1 USING (qid)
+LEFT JOIN ov USING (qid)
+"""
+
+
+QUERIES["chunk_retrieval_agreement"] = q_chunk_retrieval_agreement
+ORACLES["chunk_retrieval_agreement"] = _oracle_chunk_retrieval()
+
+
+def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN label-prediction accuracy over the embedding
+    corpus — the standard embedding-quality probe (does neighborhood
+    structure recover the labels?). Every 25th vector is an eval
+    query; its 5 nearest OTHER vectors (exact int64 squared euclidean
+    on floor(x·10⁶) ints — engine-exact, no float distance) vote with
+    majority + (count desc, label asc) tiebreak. Output per label:
+    evals, hits, accuracy. Eval set broadcasts onto the corpus
+    (map-only scoring), then everything is keyed by query id — no
+    all-pairs blowup beyond |eval|×|corpus|."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        top_k_per_group,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ints = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    base = emb.select("vec_id", F.col("label").cast("long").alias("label"), ints.alias("_e"))
+    evals = base.where(F.pmod("vec_id", F.lit(25)) == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("_e").alias("_qe"),
+    )
+    dist = F.aggregate(
+        F.zip_with("_e", "_qe", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        base.join(F.broadcast(evals), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "true_label", "vec_id", "label", dist.alias("d"))
+    )
+    nn = top_k_per_group(
+        scored, ["q_id"], [F.col("d").asc(), F.col("vec_id").asc()], 5
+    )
+    votes = nn.groupBy("q_id", "true_label", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("_v")
+    )
+    pred = votes.groupBy("q_id", "true_label").agg(
+        F.max(F.struct(F.col("_v"), (-F.col("label")).alias("_nl"))).alias("_m"),
+    ).select(
+        "q_id",
+        "true_label",
+        (-F.col("_m._nl")).cast("long").alias("pred_label"),
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum((F.col("pred_label") == F.col("true_label")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy", F.round(F.col("n_correct") / F.col("n_eval"), 6)
+        )
+    )
+
+
+ORACLE_KNN_EVAL = """
+WITH base AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e
+  FROM embeddings),
+evals AS (
+  SELECT vec_id AS q_id, label AS true_label, e AS qe
+  FROM base WHERE vec_id % 25 = 0),
+scored AS (
+  SELECT q.q_id, q.true_label, b.vec_id, b.label,
+         list_sum(list_transform(range(1, 65),
+           i -> (b.e[i] - q.qe[i]) * (b.e[i] - q.qe[i]))) AS d
+  FROM base b JOIN evals q ON b.vec_id <> q.q_id),
+nn AS (
+  SELECT q_id, true_label, label FROM (
+    SELECT q_id, true_label, label,
+           row_number() OVER (PARTITION BY q_id ORDER BY d ASC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= 5),
+votes AS (
+  SELECT q_id, true_label, label, COUNT(*) AS v
+  FROM nn GROUP BY 1, 2, 3),
+pred AS (
+  SELECT q_id, true_label, label AS pred_label FROM (
+    SELECT q_id, true_label, label,
+           row_number() OVER (PARTITION BY q_id ORDER BY v DESC, label ASC) AS rn
+    FROM votes) WHERE rn = 1)
+SELECT true_label, CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+FROM pred GROUP BY 1
+"""
+
+QUERIES["knn_label_eval"] = q_knn_label_eval
+ORACLES["knn_label_eval"] = ORACLE_KNN_EVAL

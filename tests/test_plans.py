@@ -226,7 +226,7 @@ def test_no_fact_sized_global_windows_in_fixed_queries(spark):
     fixed = [
         "woe_binning", "layout_locality_audit", "histogram_selectivity",
         "item_cooccurrence_similarity", "hybrid_search_rrf",
-        "rfm_segments", "pareto_revenue_curve",
+        "rfm_segments", "pareto_revenue_curve", "part_skyline",
     ]
     for name in fixed:
         df = registry.QUERIES[name](spark, "/root/testdata/sf0.01")
