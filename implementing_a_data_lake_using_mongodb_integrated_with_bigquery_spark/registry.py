@@ -9645,12 +9645,19 @@ def q_layout_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     x = F.pmod(F.col("user_id"), F.lit(64))
     y = F.pmod(F.round(F.col("value") * 10).cast("long"), F.lit(64))
-    base = with_hilbert_key(
-        e.select("event_id", x.alias("_x"), y.alias("_y")),
-        F.col("_x"),
-        F.col("_y"),
-        bits=6,
-    ).withColumn("zkey", zorder_key(F.col("_x"), F.col("_y"), bits=6))
+    base = (
+        with_hilbert_key(
+            e.select("event_id", x.alias("_x"), y.alias("_y")),
+            F.col("_x"),
+            F.col("_y"),
+            bits=6,
+        )
+        .withColumn("zkey", zorder_key(F.col("_x"), F.col("_y"), bits=6))
+        # three ntile_exact consumers below each start with their own
+        # range shuffle — pin the hilbert/zorder derivation so the
+        # per-level rotation walk runs once, not three times
+        .localCheckpoint(eager=True)
+    )
 
     outs = []
     for name, key in [("linear_x", "_x"), ("zorder", "zkey"), ("hilbert", "hkey")]:
@@ -9981,8 +9988,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_freq",
         "_cents",
     )
-    neg = base.withColumn("_nfreq", -F.col("_freq")).withColumn(
-        "_ncents", -F.col("_cents")
+    # three ntile_exact consumers each open with a range shuffle — pin
+    # the per-customer aggregate so orders is scanned/aggregated once
+    neg = (
+        base.withColumn("_nfreq", -F.col("_freq"))
+        .withColumn("_ncents", -F.col("_cents"))
+        .localCheckpoint(eager=True)
     )
     rb = ntile_exact(
         neg.select("o_custkey", "_rec"), ["_rec", "o_custkey"], 5, bucket_col="_rb"
@@ -13265,3 +13276,124 @@ FROM pred GROUP BY 1
 
 QUERIES["knn_label_eval"] = q_knn_label_eval
 ORACLES["knn_label_eval"] = ORACLE_KNN_EVAL
+
+
+def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the end-to-end IVF-PQ search against exact
+    ground truth — the eval every ANN deployment publishes next to its
+    index parameters. Ground truth: exact int64 squared-euclidean
+    top-10 over the full corpus (queries broadcast); approximate:
+    q_ivf_pq_search's nprobe=2 / 4×4-code pipeline. Per query: the
+    overlap count and recall@10. All-integer distances → both sides
+    engine-exact; the comparison is pure set arithmetic."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        top_k_per_group,
+    )
+
+    approx = q_ivf_pq_search(spark, sf_dir).select("q_id", "vec_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ints = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    base = emb.select("vec_id", ints.alias("_e"))
+    queries = base.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("_e").alias("_qe")
+    )
+    dist = F.aggregate(
+        F.zip_with("_e", "_qe", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        base.where(F.col("vec_id") >= 3)
+        .join(F.broadcast(queries))
+        .select("q_id", "vec_id", dist.alias("d"))
+    )
+    exact = top_k_per_group(
+        scored, ["q_id"], [F.col("d").asc(), F.col("vec_id").asc()], 10
+    ).select("q_id", "vec_id")
+    return (
+        queries.select("q_id")
+        .join(
+            approx.join(exact, ["q_id", "vec_id"])
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap")),
+            "q_id",
+            "left",
+        )
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / 10.0, 6).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
+def _oracle_pq_recall() -> str:
+    ivfpq = _oracle_ivf_pq()
+    return f"""
+WITH approx AS ({ivfpq}),
+ints2 AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e
+  FROM embeddings),
+q2 AS (SELECT vec_id AS q_id, e AS qe FROM ints2 WHERE vec_id < 3),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q2.q_id, b.vec_id,
+           row_number() OVER (PARTITION BY q2.q_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (b.e[i] - q2.qe[i]) * (b.e[i] - q2.qe[i]))) ASC,
+             b.vec_id ASC) AS rn
+    FROM ints2 b CROSS JOIN q2 WHERE b.vec_id >= 3) WHERE rn <= 10),
+ov AS (
+  SELECT a.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM approx a JOIN exact e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  GROUP BY 1)
+SELECT q2.q_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       round(COALESCE(ov.n_overlap, 0) / 10.0, 6) AS recall_at_10
+FROM q2 LEFT JOIN ov USING (q_id)
+"""
+
+
+QUERIES["pq_recall_eval"] = q_pq_recall_eval
+ORACLES["pq_recall_eval"] = _oracle_pq_recall()
+
+
+def q_group_by_all_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL surface parity: the DuckDB-born
+    shorthand Spark 4 adopted — every non-aggregate select item
+    becomes a grouping key. Both engines run the literal same
+    shorthand SQL text; cents stay BIGINT and the ratio casts to
+    DOUBLE explicitly (the SQL-string decimal-literal trap)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gba_orders")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents,
+               round(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS DOUBLE) / COUNT(*) / 100.0, 6) AS avg_price
+        FROM _gba_orders
+        GROUP BY ALL
+    """)
+
+
+ORACLE_GROUP_BY_ALL = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       round(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / COUNT(*) / 100.0, 6) AS avg_price
+FROM orders
+GROUP BY ALL
+"""
+
+QUERIES["group_by_all_rollup"] = q_group_by_all_rollup
+ORACLES["group_by_all_rollup"] = ORACLE_GROUP_BY_ALL

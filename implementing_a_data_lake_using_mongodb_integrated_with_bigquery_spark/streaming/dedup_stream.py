@@ -36,6 +36,9 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.opera
     _shingle_table,
     band_table,
 )
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.maintenance import (
+    compact_store,
+)
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.phasing import (
     check_admission_log,
     check_batch_structure,
@@ -179,7 +182,21 @@ def incremental_dedup_stream(
         check_admission_log(
             os.path.join(root, "ckpt"), len(phase_counts), "incremental_dedup_stream"
         )
+        compaction = None
         if os.path.isdir(results_dir):
+            # the accreting index (shingles + band rows) and the
+            # verdict log each appended one file-set per batch —
+            # compact all three under the footer-count invariant so a
+            # follow-on ingest session (or the readout below) opens
+            # scanner-sized files; the band index clusters on its
+            # bucket key, the probe side of every future banding join
+            compaction = {
+                "results": compact_store(spark, results_dir),
+                "shingles": compact_store(spark, sh_dir),
+                "bands": compact_store(spark, bands_dir, cluster_by=["band_val"])
+                if os.path.isdir(bands_dir)
+                else None,
+            }
             result = spark.read.parquet(results_dir).localCheckpoint(eager=True)
         else:
             # no phase held a single >= n-token doc: nothing was
@@ -196,5 +213,6 @@ def incremental_dedup_stream(
     stats = {
         "data_batches": len(data),
         "rows_per_batch": [p["numInputRows"] for p in data],
+        "compaction": compaction,
     }
     return result, stats
