@@ -13397,3 +13397,282 @@ GROUP BY ALL
 
 QUERIES["group_by_all_rollup"] = q_group_by_all_rollup
 ORACLES["group_by_all_rollup"] = ORACLE_GROUP_BY_ALL
+
+
+def q_percentile_cont_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics) of
+    the cents-exact order price per priority: Spark's exact
+    ``percentile()`` and DuckDB's ``quantile_cont`` share the linear
+    interpolation rule, and interpolating between two BIGINT cents
+    values is exact in double well past 2^52 — so the only float is
+    the output itself (6dp). The exact-percentile aggregate sorts
+    per group inside the aggregation buffer — grouped, never a global
+    window; the approx/pandas-UDAF variants cover the sketch and
+    Arrow paths elsewhere."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select("o_orderpriority", cents.alias("_c"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.expr("percentile(_c, 0.25)") / 100.0, 6).alias("p25"),
+            F.round(F.expr("percentile(_c, 0.5)") / 100.0, 6).alias("median"),
+            F.round(F.expr("percentile(_c, 0.75)") / 100.0, 6).alias("p75"),
+            F.round(F.expr("percentile(_c, 0.99)") / 100.0, 6).alias("p99"),
+        )
+    )
+
+
+ORACLE_PERCENTILE_CONT = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(quantile_cont(c, 0.25) / 100.0, 6) AS p25,
+       round(quantile_cont(c, 0.5) / 100.0, 6) AS median,
+       round(quantile_cont(c, 0.75) / 100.0, 6) AS p75,
+       round(quantile_cont(c, 0.99) / 100.0, 6) AS p99
+FROM (SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders)
+GROUP BY o_orderpriority
+"""
+
+QUERIES["percentile_cont_parity"] = q_percentile_cont_parity
+ORACLES["percentile_cont_parity"] = ORACLE_PERCENTILE_CONT
+
+
+def q_spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event VALUE and event TIME
+    per event type — the robust does-value-drift-over-time statistic.
+    Both rankings use total orders ((metric, event_id) tiebreak → no
+    ties), so rho = 1 - 6·Σd²/(n(n²-1)) is computed from EXACT integer
+    rank differences; the single division is the output. Two
+    per-type-partitioned windows (keyed, never global) + one agg."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("_cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_tus"),
+    )
+    wv = Window.partitionBy("event_type").orderBy(
+        F.col("_cents").asc(), F.col("event_id").asc()
+    )
+    wt = Window.partitionBy("event_type").orderBy(
+        F.col("_tus").asc(), F.col("event_id").asc()
+    )
+    ranked = base.select(
+        "event_type",
+        (F.row_number().over(wv).cast("long") - F.row_number().over(wt).cast("long")).alias("_d"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_d") * F.col("_d")).cast("long").alias("sum_d2"),
+    ).select(
+        "event_type",
+        "n",
+        "sum_d2",
+        F.round(
+            1
+            - (6.0 * F.col("sum_d2"))
+            / (F.col("n").cast("double") * (F.col("n") * F.col("n") - 1)),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+ORACLE_SPEARMAN = """
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS tus
+  FROM events),
+ranked AS (
+  SELECT event_type,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY cents ASC, event_id ASC) AS BIGINT)
+         - CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY tus ASC, event_id ASC) AS BIGINT) AS d
+  FROM base)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(d * d) AS BIGINT) AS sum_d2,
+       round(1 - (6.0 * SUM(d * d))
+             / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) * COUNT(*) - 1)), 6)
+         AS spearman_rho
+FROM ranked GROUP BY event_type
+"""
+
+QUERIES["spearman_rank_correlation"] = q_spearman_rank_correlation
+ORACLES["spearman_rank_correlation"] = ORACLE_SPEARMAN
+
+
+def q_decile_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift/gains chart (the campaign-targeting model eval): users
+    scored by cents-exact total event value, cut into score deciles
+    via the distributed ``ntile_exact`` (descending score negated for
+    the ascending range sort), per decile the purchase-user rate and
+    lift over the base rate, plus the cumulative gains share. Exact
+    integer counts end-to-end; 6dp ratios; the only windows are the
+    10-row decile cumsum and ntile_exact's internal offset table."""
+    from pyspark.sql import Window
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        ntile_exact,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("_score"),
+        F.max((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("_buyer"),
+    )
+    deciled = ntile_exact(
+        per_user.withColumn("_nscore", -F.col("_score")),
+        ["_nscore", "user_id"],
+        10,
+        bucket_col="decile",
+    ).select("decile", "_buyer")
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("_buyer").cast("long").alias("n_buyers"),
+    )
+    tot = per.agg(
+        F.sum("n_users").cast("long").alias("_tu"),
+        F.sum("n_buyers").cast("long").alias("_tb"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_users",
+        "n_buyers",
+        F.round(
+            (F.col("n_buyers") * F.col("_tu")).cast("double")
+            / (F.col("n_users") * F.col("_tb")),
+            6,
+        ).alias("lift"),
+        F.round(
+            F.sum("n_buyers").over(wc) / F.col("_tb").cast("double"), 6
+        ).alias("cum_gains"),
+    )
+
+
+ORACLE_DECILE_LIFT = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS score,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS buyer
+  FROM events GROUP BY 1),
+deciled AS (
+  SELECT buyer, CAST(ntile(10) OVER (ORDER BY score DESC, user_id ASC) AS BIGINT)
+           AS decile
+  FROM per_user),
+per AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(buyer) AS BIGINT) AS n_buyers
+  FROM deciled GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tu,
+               CAST(SUM(n_buyers) AS BIGINT) AS tb FROM per)
+SELECT decile, n_users, n_buyers,
+       round(CAST(n_buyers * tu AS DOUBLE) / (n_users * tb), 6) AS lift,
+       round(CAST(SUM(n_buyers) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             / CAST(tb AS DOUBLE), 6) AS cum_gains
+FROM per CROSS JOIN tot
+"""
+
+QUERIES["decile_lift_curve"] = q_decile_lift_curve
+ORACLES["decile_lift_curve"] = ORACLE_DECILE_LIFT
+
+
+def q_subsample_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling-based uncertainty for total revenue-per-customer:
+    32 deterministic half-sample replicates (customer c enters
+    replicate r iff md5('ci:r:c') starts below '8' — the engine-
+    portable lexicographic coin from operators.sampling), each
+    replicate's doubled total computed as ONE conditional aggregate,
+    so all 32 replicates ride a single map-side pass over orders (no
+    explode, no 32 scans). The replicate spread (exact integer Σx and
+    Σx² → variance) gives the subsampling CI. Output: one row with
+    the point estimate, replicate mean/sd, and the ±2sd band — floats
+    appear only in the final scalars, 6dp."""
+    B = 32
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    inc = [
+        F.substring(
+            F.md5(F.concat(F.lit(f"ci:{r}:"), F.col("o_custkey").cast("string"))),
+            1,
+            1,
+        )
+        < "8"
+        for r in range(B)
+    ]
+    aggs = [
+        F.sum(F.when(inc[r], cents).otherwise(F.lit(0).cast("long")))
+        .cast("long")
+        .alias(f"_s{r}")
+        for r in range(B)
+    ]
+    wide = o.agg(F.sum(cents).cast("long").alias("_tot"), *aggs)
+    # doubled half-sample totals are the replicate estimates; Σx stays
+    # BIGINT-exact, the squares move to double (x² overflows int64) in
+    # a FIXED expression-tree order — identical fold on both engines,
+    # so the rounding is deterministic even though it is float
+    sx = None
+    sx2 = None
+    for r in range(B):
+        x = F.col(f"_s{r}") * 2
+        xd = x.cast("double")
+        sx = x if sx is None else sx + x
+        sx2 = (xd * xd) if sx2 is None else sx2 + (xd * xd)
+    mean = sx.cast("double") / B
+    var = (sx2 - sx.cast("double") * sx.cast("double") / B) / (B - 1)
+    sd = F.sqrt(var)
+    return wide.select(
+        (F.col("_tot") / 100.0).alias("point_revenue"),
+        F.round(mean / 100.0, 6).alias("replicate_mean"),
+        F.round(sd / 100.0, 6).alias("replicate_sd"),
+        F.round((mean - 2 * sd) / 100.0, 6).alias("ci_lo"),
+        F.round((mean + 2 * sd) / 100.0, 6).alias("ci_hi"),
+        F.lit(B).cast("long").alias("n_replicates"),
+    )
+
+
+def _oracle_subsample_ci(B: int = 32) -> str:
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN substr(md5('ci:{r}:' || o_custkey), 1, 1) < '8' "
+        f"THEN c ELSE 0 END) AS BIGINT) AS s{r}"
+        for r in range(B)
+    )
+    sx = " + ".join(f"(s{r} * 2)" for r in range(B))
+    sx2 = " + ".join(
+        f"(CAST(s{r} * 2 AS DOUBLE) * CAST(s{r} * 2 AS DOUBLE))"
+        for r in range(B)
+    )
+    return f"""
+WITH base AS (
+  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+wide AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS tot, {sums} FROM base),
+stats AS (
+  SELECT tot,
+         CAST({sx} AS DOUBLE) / {B} AS mean,
+         (({sx2}) - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE) / {B})
+           / ({B} - 1) AS var
+  FROM wide)
+SELECT tot / 100.0 AS point_revenue,
+       round(mean / 100.0, 6) AS replicate_mean,
+       round(sqrt(var) / 100.0, 6) AS replicate_sd,
+       round((mean - 2 * sqrt(var)) / 100.0, 6) AS ci_lo,
+       round((mean + 2 * sqrt(var)) / 100.0, 6) AS ci_hi,
+       CAST({B} AS BIGINT) AS n_replicates
+FROM stats
+"""
+
+
+QUERIES["subsample_ci_revenue"] = q_subsample_ci_revenue
+ORACLES["subsample_ci_revenue"] = _oracle_subsample_ci()
