@@ -3365,19 +3365,42 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     result-invariant. The bucketed write pays one up-front shuffle;
     every subsequent key join/agg on the table is exchange-free — the
     amortization that matters when the fact table is read hundreds of
-    times at 100 TB."""
+    times at 100 TB.
+
+    Table names are PID-suffixed: the bucketed tables live in the
+    shared spark-warehouse directory, and two engine processes (e.g.
+    the selfcheck and a pytest run) rebuilding the same table name at
+    different SFs corrupt each other mid-read. Stale tables from dead
+    processes are reaped age-thresholded (the sources/pyds staged-file
+    discipline)."""
     import os as _os
     import shutil as _shutil
+    import time as _time
     from urllib.parse import urlparse as _urlparse
 
     from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.layout import (
         write_bucketed_table,
     )
 
+    pid = _os.getpid()
+    t_orders, t_lineitem = f"bkt_orders_{pid}", f"bkt_lineitem_{pid}"
     wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for t in ("bkt_orders", "bkt_lineitem"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        _shutil.rmtree(_os.path.join(wh, t), ignore_errors=True)
+    # reap this process's previous build plus any sibling's leftovers
+    # older than an hour (a live concurrent process is never touched)
+    if _os.path.isdir(wh):
+        for d in _os.listdir(wh):
+            full = _os.path.join(wh, d)
+            if d in (t_orders, t_lineitem):
+                spark.sql(f"DROP TABLE IF EXISTS {d}")
+                _shutil.rmtree(full, ignore_errors=True)
+            elif d.startswith(("bkt_orders", "bkt_lineitem")):
+                try:
+                    stale = _time.time() - _os.path.getmtime(full) > 3600
+                except OSError:
+                    stale = False
+                if stale:
+                    spark.sql(f"DROP TABLE IF EXISTS {d}")
+                    _shutil.rmtree(full, ignore_errors=True)
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
@@ -3385,13 +3408,13 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    write_bucketed_table(o, "bkt_orders", "o_orderkey", num_buckets=8,
+    write_bucketed_table(o, t_orders, "o_orderkey", num_buckets=8,
                          sort_col="o_orderkey")
     write_bucketed_table(
         l.withColumnRenamed("l_orderkey", "o_orderkey"),
-        "bkt_lineitem", "o_orderkey", num_buckets=8, sort_col="o_orderkey",
+        t_lineitem, "o_orderkey", num_buckets=8, sort_col="o_orderkey",
     )
-    j = spark.table("bkt_lineitem").join(spark.table("bkt_orders"), "o_orderkey")
+    j = spark.table(t_lineitem).join(spark.table(t_orders), "o_orderkey")
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         _scaled_sum(
