@@ -13699,3 +13699,208 @@ FROM stats
 
 QUERIES["subsample_ci_revenue"] = q_subsample_ci_revenue
 ORACLES["subsample_ci_revenue"] = _oracle_subsample_ci()
+
+
+def q_sql_udf_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-language UDF (CREATE TEMPORARY FUNCTION ... RETURN
+    <expr> — the catalog-registered, catalyst-inlined kind, NOT a
+    Python UDF): a clamp-to-cents scalar function applied inside a
+    rollup. SQL UDFs inline into the plan (whole-stage codegen, no
+    serialization boundary), which is why they are the preferred
+    extension point before reaching for pandas UDFs. The oracle runs
+    the equivalent expression inline (DuckDB's CREATE MACRO is the
+    same facility, but the driver executes oracles as one statement)."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_udf_events")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION clamp_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(greatest(x, 0) * 100) AS BIGINT)"
+    )
+    return spark.sql("""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(clamp_cents(value)) AS BIGINT) AS clamped_cents,
+               CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clamped
+        FROM _udf_events
+        GROUP BY event_type
+    """)
+
+
+ORACLE_SQL_UDF = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(greatest(value, 0) * 100) AS BIGINT)) AS BIGINT)
+         AS clamped_cents,
+       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+FROM events
+GROUP BY event_type
+"""
+
+QUERIES["sql_udf_rollup"] = q_sql_udf_rollup
+ORACLES["sql_udf_rollup"] = ORACLE_SQL_UDF
+
+
+def q_range_frame_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window coverage (value-range frames, the window
+    surface everything else here leaves untested — ROWS frames count
+    rows, RANGE frames cover a VALUE band, well-defined under ties):
+    events collapsed to distinct (type, cents) with counts, then each
+    cents level gets the total event mass within ±500 cents of it —
+    kernel-style density smoothing as one partitioned window, exact
+    integers throughout."""
+    e = load_table(spark, sf_dir, "events")
+    per = (
+        e.groupBy(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    per.createOrReplaceTempView("_rf_levels")
+    return spark.sql("""
+        SELECT event_type, cents, n,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY cents
+                    RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS BIGINT)
+                 AS band_mass
+        FROM _rf_levels
+    """)
+
+
+ORACLE_RANGE_FRAME = """
+WITH per AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, cents, n,
+       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY cents
+            RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS BIGINT)
+         AS band_mass
+FROM per
+"""
+
+QUERIES["range_frame_smoothing"] = q_range_frame_smoothing
+ORACLES["range_frame_smoothing"] = ORACLE_RANGE_FRAME
+
+
+def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-capped friend-of-friend reach over the part co-purchase
+    graph: per part, the number of DISTINCT parts reachable in exactly
+    ≤2 hops through middle nodes of degree ≤ 32 (the standard hub
+    guard — an uncapped FoF through one hub node is the quadratic
+    blowup the triangle census's degree orientation exists to avoid).
+    Pair generation stays basket-bounded; the 2-hop expansion is one
+    keyed self-join on the capped middle + a distinct aggregate."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i"))
+    b = l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("j"))
+    und = (
+        a.join(b, "o")
+        .where(F.col("i") != F.col("j"))
+        .select("i", "j")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    mid_ok = deg.where(F.col("_d") <= 32).select(F.col("i").alias("_mid"))
+    # hop 1: v -> mid (mid capped); hop 2: mid -> w
+    h1 = und.join(mid_ok, und["j"] == mid_ok["_mid"]).select(
+        F.col("i").alias("v"), F.col("j").alias("m")
+    )
+    h2 = und.select(F.col("i").alias("m"), F.col("j").alias("w"))
+    reach = (
+        h1.join(h2, "m")
+        .where(F.col("v") != F.col("w"))
+        .select("v", "w")
+        .union(und.select(F.col("i").alias("v"), F.col("j").alias("w")))
+        .distinct()
+    )
+    return reach.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reach2")
+    )
+
+
+ORACLE_TWO_HOP = """
+WITH l AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+und AS (
+  SELECT DISTINCT a.p AS i, b.p AS j
+  FROM l a JOIN l b ON a.o = b.o AND a.p <> b.p),
+deg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+mid_ok AS (SELECT i AS mid FROM deg WHERE d <= 32),
+h1 AS (SELECT und.i AS v, und.j AS m FROM und JOIN mid_ok ON und.j = mid_ok.mid),
+h2 AS (SELECT i AS m, j AS w FROM und),
+reach AS (
+  SELECT DISTINCT v, w FROM (
+    SELECT h1.v, h2.w FROM h1 JOIN h2 USING (m) WHERE h1.v <> h2.w
+    UNION ALL
+    SELECT i AS v, j AS w FROM und))
+SELECT v, CAST(COUNT(*) AS BIGINT) AS n_reach2 FROM reach GROUP BY v
+"""
+
+QUERIES["two_hop_reach"] = q_two_hop_reach
+ORACLES["two_hop_reach"] = ORACLE_TWO_HOP
+
+
+def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (the TWAP/monitoring
+    standard — unweighted means over-represent bursts): each event's
+    value holds until the user's next event, so its weight is the gap
+    to the next event in whole seconds (exact integers; the user's
+    last event has no successor and drops, standard TWAP). One
+    per-user window (lead) + one aggregate; Σ(cents·gap) stays in
+    BIGINT (cents ≤ 10⁶, gaps ≤ 10⁸ s, ≤ 10⁴ events/user)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("_cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_tus"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("_tus").asc(), F.col("event_id").asc()
+    )
+    seg = (
+        base.select(
+            "user_id",
+            "_cents",
+            (F.lead("_tus").over(w) - F.col("_tus")).alias("_gap_us"),
+        )
+        # integer div, not double-divide-and-cast (the pinned
+        # Spark-div/DuckDB-// pairing)
+        .select("user_id", "_cents", F.expr("_gap_us div 1000000").alias("_gap_s"))
+        .where(F.col("_gap_s").isNotNull())
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("_gap_s").cast("long").alias("total_seconds"),
+        F.round(
+            F.sum(F.col("_cents") * F.col("_gap_s"))
+            / F.sum("_gap_s").cast("double")
+            / 100.0,
+            6,
+        ).alias("twap"),
+    )
+
+
+ORACLE_TWAP = """
+WITH base AS (
+  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS tus
+  FROM events),
+seg AS (
+  SELECT user_id, cents,
+         (lead(tus) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC)
+          - tus) // 1000000 AS gap_s
+  FROM base)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(gap_s) AS BIGINT) AS total_seconds,
+       round(CAST(SUM(cents * gap_s) AS BIGINT)
+             / CAST(SUM(gap_s) AS DOUBLE) / 100.0, 6) AS twap
+FROM seg WHERE gap_s IS NOT NULL
+GROUP BY user_id
+"""
+
+QUERIES["time_weighted_average"] = q_time_weighted_average
+ORACLES["time_weighted_average"] = ORACLE_TWAP
