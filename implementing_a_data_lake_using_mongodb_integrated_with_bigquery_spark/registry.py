@@ -13618,10 +13618,15 @@ def q_subsample_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable lexicographic coin from operators.sampling), each
     replicate's doubled total computed as ONE conditional aggregate,
     so all 32 replicates ride a single map-side pass over orders (no
-    explode, no 32 scans). The replicate spread (exact integer Σx and
-    Σx² → variance) gives the subsampling CI. Output: one row with
-    the point estimate, replicate mean/sd, and the ±2sd band — floats
-    appear only in the final scalars, 6dp."""
+    explode, no 32 scans). The replicate spread is computed with
+    EXACT integer moments: x² overflows int64 but not DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB), so Σx and Σx² are exact, the variance
+    numerator B·Σx² − (Σx)² is formed exactly, and ONE division (and
+    the sqrt) happens in double at the end — no cancellation-prone
+    double subtraction of ~1e25-magnitude terms (the r8 hash-flake
+    class). Output: one row with the point estimate, replicate
+    mean/sd, and the ±2sd band — floats appear only in the final
+    scalars, 6dp."""
     B = 32
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -13641,19 +13646,24 @@ def q_subsample_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in range(B)
     ]
     wide = o.agg(F.sum(cents).cast("long").alias("_tot"), *aggs)
-    # doubled half-sample totals are the replicate estimates; Σx stays
-    # BIGINT-exact, the squares move to double (x² overflows int64) in
-    # a FIXED expression-tree order — identical fold on both engines,
-    # so the rounding is deterministic even though it is float
+    # doubled half-sample totals are the replicate estimates; Σx is
+    # BIGINT-exact and Σx² is DECIMAL(38,0)-exact (x ≤ ~2^43 so
+    # x² ≤ ~8e25 ≪ 1e38), so the variance numerator B·Σx² − (Σx)² is
+    # an exact integer on both engines; the only float ops are one
+    # division and one sqrt on identical inputs
     sx = None
     sx2 = None
     for r in range(B):
         x = F.col(f"_s{r}") * 2
-        xd = x.cast("double")
+        xd = x.cast("decimal(19,0)")
         sx = x if sx is None else sx + x
         sx2 = (xd * xd) if sx2 is None else sx2 + (xd * xd)
     mean = sx.cast("double") / B
-    var = (sx2 - sx.cast("double") * sx.cast("double") / B) / (B - 1)
+    num = (
+        sx2 * F.lit(B).cast("decimal(19,0)")
+        - sx.cast("decimal(19,0)") * sx.cast("decimal(19,0)")
+    )
+    var = num.cast("double") / (B * (B - 1))
     sd = F.sqrt(var)
     return wide.select(
         (F.col("_tot") / 100.0).alias("point_revenue"),
@@ -13673,7 +13683,7 @@ def _oracle_subsample_ci(B: int = 32) -> str:
     )
     sx = " + ".join(f"(s{r} * 2)" for r in range(B))
     sx2 = " + ".join(
-        f"(CAST(s{r} * 2 AS DOUBLE) * CAST(s{r} * 2 AS DOUBLE))"
+        f"(CAST(s{r} * 2 AS HUGEINT) * CAST(s{r} * 2 AS HUGEINT))"
         for r in range(B)
     )
     return f"""
@@ -13684,8 +13694,9 @@ wide AS (
 stats AS (
   SELECT tot,
          CAST({sx} AS DOUBLE) / {B} AS mean,
-         (({sx2}) - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE) / {B})
-           / ({B} - 1) AS var
+         CAST({B} * ({sx2})
+              - CAST({sx} AS HUGEINT) * CAST({sx} AS HUGEINT) AS DOUBLE)
+           / ({B} * ({B} - 1)) AS var
   FROM wide)
 SELECT tot / 100.0 AS point_revenue,
        round(mean / 100.0, 6) AS replicate_mean,
