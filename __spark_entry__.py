@@ -148,6 +148,24 @@ _DRIVER_VERIFIED = frozenset(
         "stream_ivf_ingest", "stream_scd2_maintenance",
         "stream_semi_attribution", "stream_union_hourly",
         "t_closeness_audit", "timed_funnel", "weekend_revenue_split",
+        # round 8 (49 green rows in CORRECTNESS_r08.json — the 16 r7
+        # stragglers plus the 18 r8 queries plus fragile re-checks; the
+        # round's lone red, subsample_ci_revenue, had its variance
+        # rebuilt on exact decimal moments and leads the r9 window)
+        "asof_tolerance_attribution", "audience_overlap_matrix",
+        "bigram_familiarity", "blocking_quality_report",
+        "cascade_delete_plan", "chunk_retrieval_agreement",
+        "cms_join_size", "curriculum_plan", "decile_lift_curve",
+        "dp_noisy_histogram", "embedding_truncation_audit",
+        "group_by_all_rollup", "heaps_vocab_growth",
+        "histogram_selectivity", "ivf_pq_search", "join_skew_report",
+        "knn_label_eval", "modal_imputation", "mv_rewrite_rollup",
+        "order_streaks", "part_skyline", "percentile_cont_parity",
+        "pipe_syntax_rollup", "pq_recall_eval", "range_frame_smoothing",
+        "rolling_distinct_users", "span_corruption_plan",
+        "spearman_rank_correlation", "sql_udf_rollup",
+        "time_weighted_average", "two_hop_reach", "woe_binning",
+        "zipf_rank_frequency",
     }
 )
 

@@ -210,7 +210,11 @@ def asof_tolerance_join(
         F.unix_micros(F.col(left_ts).cast("timestamp"))
         - F.unix_micros(F.col(f"asof_{right_ts}").cast("timestamp"))
     ) <= F.lit(int(tolerance_us))
-    keep = [c for c in out.columns if not c.startswith("asof_")]
+    # exclude exactly the columns asof_join attached — a prefix match
+    # would silently drop a left-side column that happens to be named
+    # asof_* (asof_join passes left columns through verbatim)
+    attached = {f"asof_{c}" for c in [*rcols, right_ts]}
+    keep = [c for c in out.columns if c not in attached]
     return out.select(
         *keep,
         *[

@@ -125,8 +125,19 @@ def compact_store(
             f"{rows_before} rows before, {rows_after} after — old "
             "generation left untouched"
         )
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    # Swap discipline: the live path must always point at a COMPLETE
+    # generation. Rename the old generation aside first (atomic), then
+    # the new one in (atomic), and only then delete the old dir — a
+    # crash between any two steps leaves either the old or the new
+    # generation recoverable, never a missing store.
+    old = f"{tmp}.old"
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back: old generation restored
+        raise
+    shutil.rmtree(old)
     return {
         "files_before": files_before,
         "files_after": parquet_file_count(path),

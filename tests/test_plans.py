@@ -208,7 +208,7 @@ def test_runtime_bloom_filter_reduces_fact_before_shuffle(spark, sf_dir):
             spark.conf.set(k, v)
 
 
-def test_no_fact_sized_global_windows_in_fixed_queries(spark):
+def test_no_fact_sized_global_windows_in_fixed_queries(spark, sf01_dir):
     """Round-8 pin: the five queries the round-7 audit flagged for
     single-partition global windows (plus the two customer-sized watch
     items) must keep ZERO unpartitioned WindowExec nodes over a
@@ -229,7 +229,7 @@ def test_no_fact_sized_global_windows_in_fixed_queries(spark):
         "rfm_segments", "pareto_revenue_curve", "part_skyline",
     ]
     for name in fixed:
-        df = registry.QUERIES[name](spark, "/root/testdata/sf0.01")
+        df = registry.QUERIES[name](spark, sf01_dir)
         df.collect()  # metrics live on the executed tree
         assert count_global_windows(df, min_input_rows=1000) == 0, name
 

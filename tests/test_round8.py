@@ -144,7 +144,7 @@ def test_dp_noise_table_is_symmetric_and_bounded():
     assert max(abs(x) for x in t) <= 12
 
 
-def test_new_queries_plan_shapes(spark):
+def test_new_queries_plan_shapes(spark, sf01_dir):
     """ivf_pq_search: corpus side must reach the probe join via
     broadcast (fact never shuffles for candidate generation);
     curriculum/zipf: no fact-sized global window."""
@@ -157,7 +157,7 @@ def test_new_queries_plan_shapes(spark):
         uses_broadcast_join,
     )
 
-    sf = "/root/testdata/sf0.01"
+    sf = sf01_dir
     pq = registry.QUERIES["ivf_pq_search"](spark, sf)
     pq.collect()
     assert uses_broadcast_join(pq)
