@@ -13923,3 +13923,79 @@ GROUP BY user_id
 
 QUERIES["time_weighted_average"] = q_time_weighted_average
 ORACLES["time_weighted_average"] = ORACLE_TWAP
+
+
+# ------------------------------------------------------- round 9
+
+def q_stream_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join executed as a real streaming job
+    (streaming.joins.attribution_full_outer_join_once) — the two-sided
+    completion of the attribution join family: clicks with no purchase
+    AND purchases with no preceding click both emit null-padded once
+    the global watermark proves no match can still arrive. Aggregated
+    per user (coalesced key) into matched / left-only / right-only
+    counts; the oracle replays the emission rule — batch FULL interval
+    join + min-of-both-sides ms-truncated watermark, left rows cut at
+    eviction point left_ts + horizon < W, right rows cut at right_ts <
+    W (both strict; boundary-probed in tests/test_round9.py)."""
+    import os as _os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.joins import (
+        attribution_full_outer_join_once,
+    )
+
+    out = attribution_full_outer_join_once(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    return (
+        out.groupBy(F.coalesce(F.col("k"), F.col("k2")).alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_if(F.col("right_id").isNull())
+            .cast("long")
+            .alias("n_left_only"),
+            F.count_if(F.col("left_id").isNull())
+            .cast("long")
+            .alias("n_right_only"),
+            _scaled_sum(F.coalesce(F.col("right_value"), F.lit(0.0)), 10000,
+                        "attributed_value"),
+        )
+    )
+
+
+ORACLE_STREAM_FULL_OUTER_ATTRIBUTION = """
+WITH l AS (
+  SELECT user_id, event_id AS left_id, ts AS left_ts
+  FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT user_id, event_id AS right_id, ts AS right_ts, value AS right_value
+  FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT least(
+    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+      WHERE event_type = 'click'),
+    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+      WHERE event_type = 'purchase')) - 7200000000 AS v),
+j AS (
+  SELECT coalesce(l.user_id, r.user_id) AS user_id,
+         l.left_id, l.left_ts, r.right_id, r.right_ts, r.right_value
+  FROM l FULL JOIN r
+    ON l.user_id = r.user_id
+   AND r.right_ts >= l.left_ts
+   AND r.right_ts <= l.left_ts + INTERVAL 30 MINUTE),
+emitted AS (
+  SELECT * FROM j, wm
+  WHERE (left_id IS NOT NULL AND right_id IS NOT NULL)
+     OR (right_id IS NULL AND epoch_us(left_ts + INTERVAL 30 MINUTE) < wm.v)
+     OR (left_id IS NULL AND epoch_us(right_ts) < wm.v))
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(count_if(right_id IS NULL) AS BIGINT) AS n_left_only,
+       CAST(count_if(left_id IS NULL) AS BIGINT) AS n_right_only,
+       CAST(SUM(CAST(round(coalesce(right_value, 0.0) * 10000) AS BIGINT))
+            AS BIGINT) / 10000.0 AS attributed_value
+FROM emitted GROUP BY 1
+"""
+
+QUERIES["stream_full_outer_attribution"] = q_stream_full_outer_attribution
+ORACLES["stream_full_outer_attribution"] = ORACLE_STREAM_FULL_OUTER_ATTRIBUTION

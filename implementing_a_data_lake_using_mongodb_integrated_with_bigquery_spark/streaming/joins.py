@@ -302,6 +302,69 @@ def chained_join_window_once(
     return spark.table(sink)
 
 
+def attribution_full_outer_join_once(
+    spark: SparkSession,
+    events_path: str,
+    key_col: str = "user_id",
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "30 minutes",
+    lateness: str = "2 hours",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """FULL OUTER stream-stream join on a bounded replay — the
+    two-sided completion of the join family (inner:
+    ``attribution_join_once``, left outer:
+    ``attribution_outer_join_once``, left semi:
+    ``attribution_semi_join_once``): unmatched rows on EITHER side emit
+    null-padded once the global watermark proves their match can no
+    longer arrive. On an unbounded stream this is the full attribution
+    ledger — every click and every purchase appears exactly once,
+    matched or not (purchases with no preceding click are the organic /
+    untracked-campaign feed the one-sided joins silently drop).
+
+    Bounded-replay emission rule (empirically pinned in
+    ``tests/test_round9.py``, W = min over both sides of (ms-truncated
+    max event time − lateness), Spark's multiple-watermark min policy):
+    matches emit eagerly; a null-padded LEFT row emits iff its
+    state-eviction point ``left_ts + horizon`` < W (same as left
+    outer); a null-padded RIGHT row emits iff ``right_ts`` < W — the
+    right side's eviction point is its own event time, because a right
+    row at t can only match left rows with ``left_ts ∈ [t − horizon,
+    t]`` and left arrivals below the watermark are inadmissible, so
+    once W passes t no future left can reach it. Both cuts are STRICT
+    (a row exactly at W is withheld — probed at the boundary).
+
+    Output carries both keys (``k`` null on right-only rows, ``k2``
+    null on left-only rows) so callers can group on
+    ``coalesce(k, k2)``.
+    """
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    left, right = _watermarked_pair(
+        spark, events_path, key_col, left_type, right_type, lateness
+    )
+    joined = _interval_join(left, right, horizon, "full_outer")
+    sink = f"attribution_full_outer_{next(_SINK_SEQ)}"
+    try:
+        q = (
+            joined.select(
+                "k", "k2", "left_id", "right_id", "left_ts", "right_ts",
+                "right_value",
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink)
+
+
 def attribution_semi_join_once(
     spark: SparkSession,
     events_path: str,

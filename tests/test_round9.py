@@ -122,3 +122,54 @@ def test_subsample_ci_decimal_exactness(spark, sf_dir):
     var = (B * sx2 - sx * sx) / (B * (B - 1))
     sd = var**0.5 / 100.0
     assert abs(row.replicate_sd - round(sd, 6)) < 1e-6
+
+
+def test_full_outer_stream_join_emission_boundaries(spark, tmp_path):
+    """Empirical pin of the FULL OUTER bounded-replay emission rule:
+    W = min(ms-truncated max event time per side) - lateness; unmatched
+    LEFT emits iff left_ts + horizon < W (strict), unmatched RIGHT
+    emits iff right_ts < W (strict) - including the right row at
+    exactly W (withheld) and one inside (W - horizon, W) (emitted,
+    discriminating right_ts < W from right_ts + horizon < W)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.joins import (
+        attribution_full_outer_join_once,
+    )
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(t_min, typ, uid):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, T0 + dt.timedelta(minutes=t_min), uid, typ, 1.0, "{}"))
+
+    # anchors: max click 600m, max purchase 540m, lateness 2h -> W = 420m
+    ev(60, "click", 1)
+    ev(70, "purchase", 1)  # matched pair
+    ev(120, "click", 2)  # evict 150 < 420 -> null-left emits
+    ev(400, "click", 3)  # evict 430 > 420 -> withheld
+    ev(100, "purchase", 4)  # 100 < 420 -> null-right emits
+    ev(395, "purchase", 5)  # inside (W-h, W) -> emits (rule is right_ts < W)
+    ev(420, "purchase", 6)  # exactly W -> withheld (strict)
+    ev(600, "click", 7)
+    ev(540, "purchase", 8)
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+    out = attribution_full_outer_join_once(spark, path)
+    got = {
+        (r.k, r.k2, r.left_id is not None, r.right_id is not None)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1, True, True),  # match
+        (2, None, True, False),  # early unmatched click
+        (None, 4, False, True),  # early unmatched purchase
+        (None, 5, False, True),  # purchase inside (W - horizon, W)
+    }
