@@ -67,16 +67,21 @@ def main() -> None:
     # plan compile, GC pauses, cache population for shared pipelines —
     # observed 2x run-to-run swings on the iterative queries), while
     # min-of-2 measures the steady-state latency a long-lived cluster
-    # actually serves. Every run still fully materializes the result.
-    # One raising query must NEVER abort the run: the contract is that
-    # this script ALWAYS prints its one JSON line. Failures are recorded
-    # per-query as {"err": ...} and excluded from the total.
+    # actually serves. Multi-phase streaming replays (stream_*) get
+    # min-of-3: their micro-batch scheduling + checkpoint-I/O noise is
+    # wider (r8 observed 4.5→18.3 s on the SAME code across runs) and
+    # two samples cannot bound it; they are ~15 of 290 queries so the
+    # extra pass is cheap. Every run still fully materializes the
+    # result. One raising query must NEVER abort the run: the contract
+    # is that this script ALWAYS prints its one JSON line. Failures are
+    # recorded per-query as {"err": ...} and excluded from the total.
     timings: dict[str, object] = {}
     errors = 0
     for name in names:
         best = float("inf")
+        n_runs = 3 if name.startswith("stream_") else 2
         try:
-            for _ in range(2):
+            for _ in range(n_runs):
                 t0 = time.time()
                 df = qs[name](spark, sf_dir)
                 n = len(df.collect())  # full materialization of the result

@@ -347,6 +347,124 @@ def extract_features(
 
 
 # ---------------------------------------------------------------------------
+# Perceptual hash (aHash): the image near-dup primitive — 8×8
+# grayscale, mean-threshold each pixel, pack 64 bits. Real byte path:
+# the hash is computed from PIXELS RECOVERED FROM PNG CONTAINER BYTES
+# (inflate + un-filter), never from the generating formula.
+# ---------------------------------------------------------------------------
+
+_AHASH_MOD = 1 << 48  # synthetic hashes keep the top 16 bits clear
+
+
+def build_hash_png(h: int) -> bytes:
+    """8×8 grayscale PNG whose pixels encode the 64 bits of ``h``
+    (pixel y*8+x = 255·bit, filter 0) — the deterministic fixture for
+    the aHash path: with binary pixels, mean-thresholding recovers
+    exactly the encoded bits, so a SQL oracle predicts the hash by
+    arithmetic while the Spark side earns it through real container
+    bytes."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00"
+        + bytes(255 if (h >> (y * 8 + x)) & 1 else 0 for x in range(8))
+        for y in range(8)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def ahash_from_png(payload: bytes) -> int:
+    """Average hash of an 8×8 grayscale PNG: inflate IDAT, un-filter
+    (filter 0 only — the builder's output), threshold each pixel
+    against the image mean (strictly greater), pack row-major into a
+    64-bit int. The standard aHash recipe minus the downsample step
+    (inputs are already 8×8)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    assert payload[:8] == _PNG_SIG, "not a PNG"
+    pos, idat = 8, b""
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + clen]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    raw = zlib.decompress(idat)
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(8, 9)
+    if (mat[:, 0] != 0).any():  # pragma: no cover - builder emits filter 0
+        raise NotImplementedError("aHash expects filter-0 scanlines")
+    px = mat[:, 1:].astype(np.int64)
+    mean = px.mean()
+    bits = (px > mean).astype(np.int64).reshape(-1)
+    return int((bits << np.arange(64, dtype=np.int64)).sum())
+
+
+def image_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column → (doc_id, ahash): synthesize an 8×8 PNG per id in one
+    mapInPandas stage (hash seed = (id div 8)·2654435761 mod 2^48, so
+    every 8 consecutive ids share an identical image — the planted
+    near-dup groups), ship the BYTES across the Arrow boundary, and
+    compute the aHash from decoded pixels in a second stage. Map-only:
+    payloads never shuffle."""
+
+    def gen(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": ids.map(
+                        lambda i: build_hash_png(
+                            (int(i) // 8) * 2654435761 % _AHASH_MOD
+                        )
+                    ),
+                }
+            )
+
+    def hashes(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "ahash": pdf["payload"].map(
+                        lambda b: ahash_from_png(bytes(b))
+                    ).astype("int64"),
+                }
+            )
+
+    payloads = df.select(id_col).mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    return payloads.mapInPandas(
+        hashes,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("ahash", T.LongType()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Resize + frame-sample: the remaining two mapInPandas media stages,
 # also real byte work (inflate → pixel ops → re-encode; container
 # walk → per-frame decode). Together with decode_media this covers

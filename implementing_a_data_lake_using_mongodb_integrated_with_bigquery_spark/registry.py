@@ -13999,3 +13999,85 @@ FROM emitted GROUP BY 1
 
 QUERIES["stream_full_outer_attribution"] = q_stream_full_outer_attribution
 ORACLES["stream_full_outer_attribution"] = ORACLE_STREAM_FULL_OUTER_ATTRIBUTION
+
+
+def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection over REAL container bytes: each
+    doc synthesizes an 8×8 grayscale PNG (every 8 consecutive ids share
+    one image — the planted dup groups), the bytes cross the Arrow
+    boundary, pixels are recovered by actual IDAT inflate + un-filter,
+    and the perceptual hash (aHash: mean-threshold, 64-bit pack) is
+    computed from the DECODED pixels (operators.multimodal.image_ahash).
+    Candidates come from 16-bit LSH bands over the hash (never
+    all-pairs on the Spark side); survivors are exact-verified at
+    hamming ≤ 6 via bit_count(xor). The oracle predicts the hash by
+    arithmetic — with binary pixels, mean-thresholding provably
+    recovers the encoded bits — and applies the same band-candidate +
+    hamming rule, so a value match proves the byte-level decode chain
+    end-to-end. Output is LSH-candidate semantics (a ≤6-hamming pair
+    spread 2+2+2 across bands is out of recall, as documented)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.multimodal import (
+        image_ahash,
+    )
+
+    d = parallelize(load_table(spark, sf_dir, "documents").select("doc_id"))
+    h = image_ahash(d)
+    bands = h.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bi"),
+                        F.shiftright(F.col("ahash"), 16 * b)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("bv"),
+                    )
+                    for b in range(3)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "ahash", "band.bi", "band.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("_ha"),
+            F.col("b.ahash").alias("_hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        .cast("long")
+        .alias("hamming"),
+    ).where(F.col("hamming") <= 6)
+
+
+ORACLE_IMAGE_AHASH = """
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id // 8) * 2654435761) % 281474976710656 AS ah
+  FROM documents),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         xor(a.ah, b.ah) AS x
+  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(x) AS BIGINT) AS hamming
+FROM p
+WHERE ((x & 65535) = 0 OR ((x >> 16) & 65535) = 0 OR ((x >> 32) & 65535) = 0)
+  AND bit_count(x) <= 6
+"""
+
+QUERIES["image_ahash_neardup"] = q_image_ahash_neardup
+ORACLES["image_ahash_neardup"] = ORACLE_IMAGE_AHASH

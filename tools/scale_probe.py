@@ -1,0 +1,159 @@
+"""Scale demonstration: build a scratch ~sf1 replica (10× key-remapped
+unions of the sf0.1 fixtures — `/root/testdata` is read-only, so the
+replica lives in a scratch dir) and run the heaviest registry queries
+against it, recording runtime evidence that the plans behave at 10×:
+wall time, the LARGEST single reduce-partition (max task shuffle
+input, from each shuffle stage's `mapStats`), and total shuffle bytes.
+
+Key remapping: every key/FK column referencing a REPLICATED table is
+shifted by copy_index × 10^12, so the keyspace grows 10× with FK
+validity preserved. Dimension tables (nation/region) are copied
+verbatim — their FKs (c_nationkey, s_nationkey) stay in range.
+Timestamps are left unshifted: windows get ~10× denser, which is the
+scale-up being demonstrated. Text/embeddings repeat verbatim, so the
+dedup/ANN families face a 10-way exact-duplicate stress — the
+dup-heavy regime those operators exist for.
+
+Usage: python tools/scale_probe.py [out_dir] [query ...]
+Writes SCALE_SF1.md next to the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark import get_spark
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.plans.explain import (
+    _plan_children,
+)
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+OFF = 10**12
+
+# key/FK columns to shift per table (columns referencing nation/region
+# are deliberately absent — those dims are not replicated)
+KEYMAP: dict[str, list[str]] = {
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "nation": [],
+    "region": [],
+}
+
+DEFAULT_QUERIES = [
+    # 10 heaviest from BENCH_DETAIL (r9) + the r9-rebuilt spearman +
+    # the exact-decimal subsampling CI
+    "copurchase_triangles", "stream_update_merge_hourly",
+    "stream_incremental_dedup", "pq_recall_eval", "stream_ivf_ingest",
+    "ivf_pq_search", "purchase_pagerank", "boilerplate_flags",
+    "stream_dedup_then_window", "bpe_train_merges",
+    "spearman_rank_correlation", "subsample_ci_revenue",
+]
+
+
+def build_replica(out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    for table, keys in KEYMAP.items():
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.exists(dst):
+            continue
+        cols = [
+            c[0]
+            for c in con.execute(
+                f"DESCRIBE SELECT * FROM '{SRC}/{table}.parquet'"
+            ).fetchall()
+        ]
+        if not keys:
+            shutil.copyfile(f"{SRC}/{table}.parquet", dst)
+            continue
+        parts = []
+        for i in range(COPIES):
+            sel = ", ".join(
+                f"({c} + {i * OFF}) AS {c}" if c in keys else c for c in cols
+            )
+            parts.append(f"SELECT {sel} FROM '{SRC}/{table}.parquet'")
+        union = " UNION ALL ".join(parts)
+        con.execute(f"COPY ({union}) TO '{dst}' (FORMAT PARQUET)")
+        print(f"built {table}: {COPIES}x")
+
+
+def shuffle_stats(df) -> tuple[int, int]:
+    """(max single reduce-partition bytes, total shuffle bytes) across
+    every shuffle stage in the EXECUTED plan — max task shuffle input
+    is the serialization-into-one-task detector at scale."""
+    roots = [df._jdf.queryExecution().executedPlan()]
+    seen: set[int] = set()
+    max_part = 0
+    total = 0
+    while roots:
+        node = roots.pop(0)
+        nid = node.id()
+        if nid in seen:
+            continue
+        seen.add(nid)
+        if node.getClass().getSimpleName() == "ShuffleQueryStageExec":
+            try:
+                ms = node.mapStats()
+                if ms.isDefined():
+                    b = list(ms.get().bytesByPartitionId())
+                    if b:
+                        max_part = max(max_part, max(b))
+                        total += sum(b)
+            except Exception:
+                pass
+        roots.extend(_plan_children(node))
+    return max_part, total
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_replica"
+    names = sys.argv[2:] or DEFAULT_QUERIES
+    build_replica(out_dir)
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = []
+    for name in names:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, out_dir)
+            n = len(df.collect())
+            wall = time.time() - t0
+            mx, tot = shuffle_stats(df)
+            results.append(
+                {
+                    "query": name,
+                    "wall_s": round(wall, 2),
+                    "rows": n,
+                    "max_task_shuffle_mb": round(mx / 1e6, 2),
+                    "total_shuffle_mb": round(tot / 1e6, 2),
+                }
+            )
+            print(results[-1])
+        except Exception as exc:  # noqa: BLE001
+            results.append({"query": name, "err": f"{type(exc).__name__}: {exc}"[:300]})
+            print(results[-1])
+    with open("/root/repo/SCALE_SF1.json", "w") as fh:
+        json.dump(results, fh, indent=1)
+    print("wrote SCALE_SF1.json")
+
+
+if __name__ == "__main__":
+    main()
