@@ -21,7 +21,7 @@ Three strategies, in increasing scale-headroom order:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.tables import (
@@ -753,4 +753,112 @@ def blocking_quality(
         F.round(
             F.lit(1.0) - F.col("n_candidates") / F.lit(float(total_pairs)), 6
         ).alias("reduction_ratio"),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): char
+    k-gram hashes, keep the MINIMUM hash of every window of ``w``
+    consecutive grams, return the distinct (doc, fingerprint) set.
+
+    Winnowing's guarantee: any shared substring of length ≥ k + w − 1
+    yields at least one shared selected fingerprint, while the selected
+    set is ~2/(w+1) of all gram hashes — the density/recall tradeoff
+    that makes substring-overlap detection affordable at corpus scale.
+
+    Engine-portable hashing: the gram hash is the md5 HEX STRING and
+    the window minimum is the LEXICOGRAPHIC min — identical on Spark
+    and DuckDB with no hex→int parsing (the repo's standard md5-string
+    trick). Tie handling is irrelevant to the output: only the SET of
+    selected hash values survives the distinct, and a window's min
+    VALUE is position-independent.
+
+    Scale shape: the explode is |chars| rows but stays inside one
+    whole-stage-codegen span (generate → substring → md5 → window);
+    the only shuffle keys on ``id_col`` (high-cardinality), and the
+    per-doc window is bounded by document length, never corpus size.
+    """
+    npos = F.length(F.col(text_col)) - k + 1
+    grams = (
+        docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            npos.alias("_npos"),
+        )
+        .where(F.col("_npos") >= w)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.col("_npos"))).alias("_p"),
+            F.col(text_col),
+            "_npos",
+        )
+        .select(
+            id_col,
+            "_p",
+            "_npos",
+            F.md5(F.substring(F.col(text_col), F.col("_p"), k).cast("binary")).alias("_h"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy("_p").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("_minh", F.min("_h").over(win))
+        .where(F.col("_p") <= F.col("_npos") - w + 1)
+        .select(F.col(id_col), F.col("_minh").alias("fingerprint"))
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 6,
+    max_df: int = 20,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-overlap candidate pairs from winnowed fingerprints —
+    the MOSS pipeline: shared selected fingerprints (each appearing in
+    at most ``max_df`` docs — overly common grams are discarded, the
+    standard too-frequent-to-be-evidence rule that also bounds the
+    bucket join at ≤ max_df² pairs per fingerprint), pairs keeping
+    ``min_shared``+ shared prints, scored by containment
+    (shared / smaller fingerprint set). Never all-pairs."""
+    fp = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("_nfp"))
+    rare = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("fingerprint")
+    )
+    kept = fp.join(rare, "fingerprint")
+    a = kept.select(F.col("fingerprint"), F.col(id_col).alias("doc_a"))
+    b = kept.select(F.col("fingerprint"), F.col(id_col).alias("doc_b"))
+    shared = (
+        a.join(b, "fingerprint")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fp"))
+        .where(F.col("shared_fp") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("_nfp").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_nfp").alias("_nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fp",
+            F.round(
+                F.col("shared_fp") / F.least("_na", "_nb").cast("double"), 6
+            ).alias("containment"),
+        )
     )

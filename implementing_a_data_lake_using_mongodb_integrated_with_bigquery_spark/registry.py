@@ -14081,3 +14081,312 @@ WHERE ((x & 65535) = 0 OR ((x >> 16) & 65535) = 0 OR ((x >> 32) & 65535) = 0)
 
 QUERIES["image_ahash_neardup"] = q_image_ahash_neardup
 ORACLES["image_ahash_neardup"] = ORACLE_IMAGE_AHASH
+
+
+def q_percentile_disc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC parity (the discrete sibling of
+    percentile_cont_parity): both engines pick the FIRST value whose
+    cumulative distribution reaches q (the ceil(q·n)-th order
+    statistic) — verified element-identical, so unlike the
+    interpolated variant the result is integer-EXACT end-to-end (no
+    float appears until the final /100 display scale). Grouped
+    aggregate, never a global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_c"),
+    ).createOrReplaceTempView("_pdisc_orders")
+    return spark.sql("""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY _c) AS BIGINT) AS p25_cents,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY _c) AS BIGINT) AS median_cents,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY _c) AS BIGINT) AS p90_cents
+FROM _pdisc_orders GROUP BY o_orderpriority
+""")
+
+
+ORACLE_PERCENTILE_DISC = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(quantile_disc(c, 0.25) AS BIGINT) AS p25_cents,
+       CAST(quantile_disc(c, 0.5) AS BIGINT) AS median_cents,
+       CAST(quantile_disc(c, 0.9) AS BIGINT) AS p90_cents
+FROM (SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders)
+GROUP BY o_orderpriority
+"""
+
+QUERIES["percentile_disc_parity"] = q_percentile_disc_parity
+ORACLES["percentile_disc_parity"] = ORACLE_PERCENTILE_DISC
+
+
+def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (mean absolute scaled error) of the seasonal-naive
+    forecaster per event type: hourly value totals (exact cents), the
+    season-24h naive forecast ŷ(h)=y(h−24) scored against the
+    one-step naive baseline ŷ(h)=y(h−1) — the standard scale-free
+    forecast-eval statistic. Error sums are exact BIGINT |diff|s over
+    hour-index equi-joins (missing hours pair only where both sides
+    exist, counted); ONE division at the end, 6dp. Three keyed
+    aggregates + two hour-index joins — no windows at all, so nothing
+    serializes regardless of type cardinality."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
+        .cast("long")
+        .alias("h"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    cur = hourly.alias("cur")
+    seas = hourly.alias("seas")
+    base = hourly.alias("base")
+    s_err = (
+        cur.join(
+            seas,
+            (F.col("cur.event_type") == F.col("seas.event_type"))
+            & (F.col("cur.h") == F.col("seas.h") + 24),
+        )
+        .groupBy(F.col("cur.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seasonal"),
+            F.sum(F.abs(F.col("cur.c") - F.col("seas.c")))
+            .cast("long")
+            .alias("_se"),
+        )
+    )
+    n_err = (
+        cur.join(
+            base,
+            (F.col("cur.event_type") == F.col("base.event_type"))
+            & (F.col("cur.h") == F.col("base.h") + 1),
+        )
+        .groupBy(F.col("cur.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_naive"),
+            F.sum(F.abs(F.col("cur.c") - F.col("base.c")))
+            .cast("long")
+            .alias("_ne"),
+        )
+    )
+    return s_err.join(n_err, "event_type").select(
+        "event_type",
+        "n_seasonal",
+        "n_naive",
+        F.round(
+            (F.col("_se").cast("double") / F.col("n_seasonal"))
+            / (F.col("_ne").cast("double") / F.col("n_naive")),
+            6,
+        ).alias("mase"),
+    )
+
+
+ORACLE_SEASONAL_MASE = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT cur.event_type, CAST(COUNT(*) AS BIGINT) AS n_seasonal,
+         CAST(SUM(abs(cur.c - seas.c)) AS BIGINT) AS se
+  FROM hourly cur JOIN hourly seas
+    ON cur.event_type = seas.event_type AND cur.h = seas.h + 24
+  GROUP BY 1),
+b AS (
+  SELECT cur.event_type, CAST(COUNT(*) AS BIGINT) AS n_naive,
+         CAST(SUM(abs(cur.c - base.c)) AS BIGINT) AS ne
+  FROM hourly cur JOIN hourly base
+    ON cur.event_type = base.event_type AND cur.h = base.h + 1
+  GROUP BY 1)
+SELECT s.event_type, n_seasonal, n_naive,
+       round((CAST(se AS DOUBLE) / n_seasonal)
+             / (CAST(ne AS DOUBLE) / n_naive), 6) AS mase
+FROM s JOIN b ON s.event_type = b.event_type
+"""
+
+QUERIES["seasonal_naive_mase"] = q_seasonal_naive_mase
+ORACLES["seasonal_naive_mase"] = ORACLE_SEASONAL_MASE
+
+
+def q_acf_hourly_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags 1–3
+    per event type — the seasonality probe run before picking a
+    forecast season. Pearson r over (c(h), c(h−k)) pairs where both
+    hours exist, with EXACT integer moments per the round-9 decimal
+    discipline: Σx, Σy, Σxy, Σx², Σy² in BIGINT, the numerator
+    n·Σxy − Σx·Σy and both denominator pieces n·Σx² − (Σx)² formed in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), and floats appearing
+    only in the two sqrts + one division. One lag-exploded self-join
+    on (type, hour) + one aggregate — the series table is
+    |types × hours|, never the event stream."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cur = hourly.select(
+        "event_type", "h", F.col("c").alias("x"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("lag"),
+    ).alias("cur")
+    lagged = hourly.select(
+        F.col("event_type").alias("l_type"),
+        F.col("h").alias("l_h"),
+        F.col("c").alias("y"),
+    ).alias("lagged")
+    pairs = cur.join(
+        lagged,
+        (F.col("cur.event_type") == F.col("lagged.l_type"))
+        & (F.col("cur.h") == F.col("lagged.l_h") + F.col("cur.lag")),
+    ).select("cur.event_type", "lag", "x", "y")
+    mom = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("_sx"),
+        F.sum("y").cast("long").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("_syy"),
+    )
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    num = d("n") * d("_sxy") - d("_sx") * d("_sy")
+    dx = d("n") * d("_sxx") - d("_sx") * d("_sx")
+    dy = d("n") * d("_syy") - d("_sy") * d("_sy")
+    return mom.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        "n",
+        F.round(
+            num.cast("double")
+            / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+            6,
+        ).alias("acf"),
+    )
+
+
+ORACLE_ACF_LAGS = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT cur.event_type, lags.lag, cur.c AS x, lagged.c AS y
+  FROM hourly cur
+  CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) lags
+  JOIN hourly lagged
+    ON cur.event_type = lagged.event_type AND cur.h = lagged.h + lags.lag),
+mom AS (
+  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
+       round(CAST(n * CAST(sxy AS HUGEINT) - CAST(sx AS HUGEINT) * sy
+                  AS DOUBLE)
+             / (sqrt(CAST(n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx
+                          AS DOUBLE))
+                * sqrt(CAST(n * CAST(syy AS HUGEINT) - CAST(sy AS HUGEINT) * sy
+                            AS DOUBLE))), 6) AS acf
+FROM mom
+"""
+
+QUERIES["acf_hourly_lags"] = q_acf_hourly_lags
+ORACLES["acf_hourly_lags"] = ORACLE_ACF_LAGS
+
+
+def q_identifier_clause_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 IDENTIFIER() clause — the injection-safe way to
+    parameterize TABLE/COLUMN names (string→identifier promotion is a
+    parse-time cast, so a malicious name cannot smuggle expressions;
+    the third member of the injection-safe family next to
+    parameterized_sql's bind variables and sql_variables_rollup's
+    session variables, which cover VALUES). The table and the grouping
+    column both arrive as parameters. The oracle inlines the resolved
+    names — resolution is the thing under test, not the rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_ident_orders")
+    return spark.sql(
+        """
+SELECT IDENTIFIER(:col) AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS DOUBLE) AS total_revenue
+FROM IDENTIFIER(:tab)
+GROUP BY IDENTIFIER(:col)
+""",
+        args={"col": "o_orderpriority", "tab": "_ident_orders"},
+    )
+
+
+ORACLE_IDENTIFIER_ROLLUP = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_revenue
+FROM orders GROUP BY o_orderpriority
+"""
+
+QUERIES["identifier_clause_rollup"] = q_identifier_clause_rollup
+ORACLES["identifier_clause_rollup"] = ORACLE_IDENTIFIER_ROLLUP
+
+
+def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing substring-overlap detection
+    (operators.dedup_near.winnow_fingerprints/winnow_overlap_pairs):
+    char-8-gram md5 fingerprints, minimum per 6-gram window (any shared
+    substring of length ≥ 13 is guaranteed a shared fingerprint),
+    fingerprints appearing in ≤ 20 docs bucket-joined into candidate
+    pairs, kept at ≥ 2 shared prints, scored by containment. The
+    engine-portable lexicographic-min-over-md5-hex trick makes both
+    engines select the identical fingerprint set. The top-100 strongest
+    pairs by (shared_fp, doc_a, doc_b) total order — plagiarism-style
+    overlap without an all-pairs comparison anywhere."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        winnow_overlap_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = winnow_overlap_pairs(d)
+    return pairs.orderBy(
+        F.col("shared_fp").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(100)
+
+
+ORACLE_WINNOWING = """
+WITH base AS (
+  SELECT doc_id, text, length(text) - 8 + 1 AS npos
+  FROM documents WHERE length(text) - 8 + 1 >= 6),
+grams AS (
+  SELECT doc_id, p, npos, md5(substr(text, CAST(p AS INTEGER), 8)) AS h
+  FROM base, unnest(generate_series(1, npos)) AS t(p)),
+winmin AS (
+  SELECT doc_id, p, npos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS fingerprint
+  FROM grams),
+fp AS (
+  SELECT DISTINCT doc_id, fingerprint FROM winmin WHERE p <= npos - 6 + 1),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp FROM fp GROUP BY 1),
+rare AS (
+  SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) <= 20),
+kept AS (SELECT fp.* FROM fp JOIN rare USING (fingerprint)),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_fp
+  FROM kept a JOIN kept b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT doc_a, doc_b, shared_fp,
+       round(shared_fp / CAST(least(sa.nfp, sb.nfp) AS DOUBLE), 6)
+         AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY shared_fp DESC, doc_a ASC, doc_b ASC LIMIT 100
+"""
+
+QUERIES["winnowing_overlap"] = q_winnowing_overlap
+ORACLES["winnowing_overlap"] = ORACLE_WINNOWING
