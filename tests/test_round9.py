@@ -173,3 +173,66 @@ def test_full_outer_stream_join_emission_boundaries(spark, tmp_path):
         (None, 4, False, True),  # early unmatched purchase
         (None, 5, False, True),  # purchase inside (W - horizon, W)
     }
+
+
+def test_ahash_roundtrip_and_builder():
+    """aHash computed from decoded PNG bytes must equal the encoded
+    bit pattern (binary pixels: mean-threshold provably recovers the
+    bits), including the all-zero edge case."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.multimodal import (
+        ahash_from_png,
+        build_hash_png,
+    )
+
+    for h in (0, 1, 0xDEADBEEF, (1 << 48) - 1, 2654435761 * 123 % (1 << 48)):
+        assert ahash_from_png(build_hash_png(h)) == h
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing's contract: any shared substring of length >= k+w-1
+    must yield >= 1 shared fingerprint; the selected set is a small
+    fraction of all grams."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        winnow_fingerprints,
+    )
+
+    k, w = 8, 6
+    common = "the quick brown fox jumps over"  # 30 chars >= k+w-1 = 13
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa xxxx " + common + " yyy zzzz padding one"),
+            (2, "bbbb qqqq " + common + " rrr ssss padding two"),
+            (3, "totally unrelated content with no overlap here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnow_fingerprints(docs, k=k, w=w).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    # density: selected fingerprints are far fewer than gram positions
+    n_pos = len("aaaa xxxx " + common + " yyy zzzz padding one") - k + 1
+    assert len(by_doc[1]) < n_pos
+
+
+def test_winnowing_overlap_pairs_scores(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        winnow_overlap_pairs,
+    )
+
+    same = "shared plagiarized passage appears verbatim in both docs"
+    docs = spark.createDataFrame(
+        [
+            (1, same + " tail one padding padding"),
+            (2, same + " tail two other padding!!"),
+            (3, "independent text with zero common substrings of length"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = winnow_overlap_pairs(docs, min_shared=2).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in rows}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r.shared_fp >= 2 and 0 < r.containment <= 1.0
+    assert not any(3 in p for p in pairs)
