@@ -14390,3 +14390,147 @@ ORDER BY shared_fp DESC, doc_a ASC, doc_b ASC LIMIT 100
 
 QUERIES["winnowing_overlap"] = q_winnowing_overlap
 ORACLES["winnowing_overlap"] = ORACLE_WINNOWING
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: directional
+    A→B rules with support ≥ 3 co-purchases, scored by confidence
+    (co/n_A) and lift (N·co / (n_A·n_B)) — the classic recommender /
+    cross-sell miner. Pair generation is bounded by the BASKET (≤7
+    lineitems per order ⇒ ≤42 directed pairs), never the catalog; one
+    pair aggregate + two broadcast degree joins + a 1-row basket-count
+    broadcast. Exact BIGINT counts end-to-end; the two scores are
+    single divisions, 6dp. Top-20 rules by (lift, confidence, A, B)
+    total order via TakeOrderedAndProject."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("ante"))
+    b = l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("cons"))
+    co = (
+        a.join(b, "o")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= 3)
+    )
+    deg = l.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    n_baskets = l.select(F.countDistinct("l_orderkey").cast("long").alias("_nb"))
+    scored = (
+        co.join(
+            F.broadcast(
+                deg.withColumnRenamed("p", "ante").withColumnRenamed("n", "_na")
+            ),
+            "ante",
+        )
+        .join(
+            F.broadcast(
+                deg.withColumnRenamed("p", "cons").withColumnRenamed("n", "_nc")
+            ),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "ante",
+            "cons",
+            "support",
+            F.round(F.col("support") / F.col("_na").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("support").cast("double") * F.col("_nb"))
+                / (F.col("_na").cast("double") * F.col("_nc")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(),
+        F.col("confidence").desc(),
+        F.col("ante").asc(),
+        F.col("cons").asc(),
+    ).limit(20)
+
+
+ORACLE_ASSOCIATION_RULES = """
+WITH l AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM l),
+co AS (
+  SELECT a.p AS ante, b.p AS cons, CAST(COUNT(*) AS BIGINT) AS support
+  FROM l a JOIN l b ON a.o = b.o AND a.p != b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY 1)
+SELECT ante, cons, support,
+       round(support / CAST(da.n AS DOUBLE), 6) AS confidence,
+       round((CAST(support AS DOUBLE) * n_baskets)
+             / (CAST(da.n AS DOUBLE) * dc.n), 6) AS lift
+FROM co JOIN deg da ON co.ante = da.p
+JOIN deg dc ON co.cons = dc.p
+CROSS JOIN nb
+ORDER BY lift DESC, confidence DESC, ante ASC, cons ASC LIMIT 20
+"""
+
+QUERIES["association_rules"] = q_association_rules
+ORACLES["association_rules"] = ORACLE_ASSOCIATION_RULES
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate per event type: the MEDIAN of
+    all pairwise slopes of the hourly-count series — one wild hour
+    moves OLS arbitrarily, moves the slope median not at all (the
+    robust sibling of hourly_value_regression). Slopes are held exact:
+    (Δcount·10⁶) div Δhours with both engines truncating toward zero
+    (Spark `div` == DuckDB `//`, including negatives — pinned here),
+    so the median is a pure-integer percentile_disc/quantile_disc
+    (verified element-identical semantics), never a float. Pair count
+    is O(hours²) per type — bounded by the TIME RANGE of the series,
+    not by data volume: at 100 TB the hourly table is still
+    |types × hours|."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    h1 = hourly.select(
+        "event_type", F.col("h").alias("h1"), F.col("c").alias("c1")
+    ).alias("p1")
+    h2 = hourly.select(
+        F.col("event_type").alias("et2"),
+        F.col("h").alias("h2"),
+        F.col("c").alias("c2"),
+    ).alias("p2")
+    slopes = h1.join(
+        h2,
+        (F.col("event_type") == F.col("et2")) & (F.col("h1") < F.col("h2")),
+    ).select(
+        "event_type",
+        F.expr("((c2 - c1) * 1000000) div (h2 - h1)").alias("_sq"),
+    )
+    slopes.createOrReplaceTempView("_ts_slopes")
+    return spark.sql("""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY _sq) AS BIGINT)
+         AS slope_per_hour_ppm
+FROM _ts_slopes GROUP BY event_type
+""")
+
+
+ORACLE_THEIL_SEN = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+slopes AS (
+  SELECT a.event_type, ((b.c - a.c) * 1000000) // (b.h - a.h) AS sq
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND a.h < b.h)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(quantile_disc(sq, 0.5) AS BIGINT) AS slope_per_hour_ppm
+FROM slopes GROUP BY event_type
+"""
+
+QUERIES["theil_sen_trend"] = q_theil_sen_trend
+ORACLES["theil_sen_trend"] = ORACLE_THEIL_SEN
