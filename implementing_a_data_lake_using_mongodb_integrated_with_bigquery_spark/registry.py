@@ -14534,3 +14534,150 @@ FROM slopes GROUP BY event_type
 
 QUERIES["theil_sen_trend"] = q_theil_sen_trend
 ORACLES["theil_sen_trend"] = ORACLE_THEIL_SEN
+
+
+def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance — the delta algebra
+    Δ(O ⋈ C) = ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC applied to a revenue-per-segment
+    join view (the join generalization of incremental_rollup_cdc's
+    aggregate-only maintenance). Spark side: the base view's state is
+    the big O_base⋈C_base rollup computed ONCE; the refresh applies
+    the three delta terms, each a join where at least one side is a
+    small delta (broadcast) — at 100 TB the refresh never re-touches
+    base⋈base. The final view must equal a full recompute over the
+    full tables, which is exactly what the oracle runs — the IVM
+    correctness check, not a restatement of the plan. Exact cents."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_c"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ob = o.where(F.col("o_orderkey") % 7 != 0)
+    do = o.where(F.col("o_orderkey") % 7 == 0)
+    cb = c.where(F.col("c_custkey") % 11 != 0)
+    dc = c.where(F.col("c_custkey") % 11 == 0)
+
+    def rollup(orders, custs, bcast_cust=False):
+        side = F.broadcast(custs) if bcast_cust else custs
+        return (
+            orders.join(side, orders["o_custkey"] == side["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("_c").cast("long").alias("s"),
+            )
+        )
+
+    base = rollup(ob, cb)  # the materialized view state (one big join)
+    terms = [
+        rollup(do, cb),  # ΔO ⋈ C_base  (delta orders — small left side)
+        rollup(ob, dc, bcast_cust=True),  # O_base ⋈ ΔC (broadcast delta dim)
+        rollup(do, dc, bcast_cust=True),  # ΔO ⋈ ΔC
+    ]
+    merged = base
+    for t in terms:
+        merged = merged.unionAll(t)
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("s").cast("long").alias("_cents"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            (F.col("_cents") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_IJM = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+QUERIES["incremental_join_maintenance"] = q_incremental_join_maintenance
+ORACLES["incremental_join_maintenance"] = ORACLE_IJM
+
+
+def q_touch_attribution_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch attribution: for every purchase, the
+    earliest and latest click of the same user inside the 30-minute
+    lookback window — the marketing-credit split the one-row-per-match
+    joins can't express. Candidates come from a 30-minute TIME-BUCKET
+    join (purchase bucket b joins click buckets {b−1, b}, so a click
+    is never compared against the whole purchase table); first/last
+    are deterministic struct-min/max argmins with the click id as the
+    total-order tiebreak (Spark struct ordering == DuckDB ROW
+    ordering, lexicographic — pinned by this oracle)."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_tus"),
+    )
+    bucket_us = 1_800_000_000
+    p = base.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("_pu"),
+        F.col("_tus").alias("_pt"),
+        F.explode(
+            F.array(
+                F.expr(f"_tus div {bucket_us} - 1"),
+                F.expr(f"_tus div {bucket_us}"),
+            )
+        ).alias("_b"),
+    )
+    k = base.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("_cid"),
+        F.col("user_id").alias("_cu"),
+        F.col("_tus").alias("_ct"),
+        F.expr(f"_tus div {bucket_us}").alias("_b"),
+    )
+    cand = p.join(k, ["_b"]).where(
+        (F.col("_pu") == F.col("_cu"))
+        & (F.col("_ct") <= F.col("_pt"))
+        & (F.col("_ct") > F.col("_pt") - bucket_us)
+    )
+    return (
+        cand.groupBy("purchase_id")
+        .agg(
+            F.countDistinct("_cid").cast("long").alias("n_touches"),
+            F.min(F.struct(F.col("_ct"), F.col("_cid"))).alias("_f"),
+            F.max(F.struct(F.col("_ct"), F.col("_cid"))).alias("_l"),
+        )
+        .select(
+            "purchase_id",
+            "n_touches",
+            F.col("_f._cid").alias("first_click_id"),
+            F.col("_l._cid").alias("last_click_id"),
+        )
+    )
+
+
+ORACLE_TOUCH_ATTRIBUTION = """
+WITH base AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+p AS (SELECT event_id AS purchase_id, user_id, tus FROM base
+      WHERE event_type = 'purchase'),
+k AS (SELECT event_id AS cid, user_id, tus FROM base
+      WHERE event_type = 'click'),
+cand AS (
+  SELECT p.purchase_id, k.cid, k.tus AS ct
+  FROM p JOIN k ON p.user_id = k.user_id
+   AND k.tus <= p.tus AND k.tus > p.tus - 1800000000)
+SELECT purchase_id,
+       CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_touches,
+       (min({'t': ct, 'i': cid})).i AS first_click_id,
+       (max({'t': ct, 'i': cid})).i AS last_click_id
+FROM cand GROUP BY purchase_id
+"""
+
+QUERIES["touch_attribution_split"] = q_touch_attribution_split
+ORACLES["touch_attribution_split"] = ORACLE_TOUCH_ATTRIBUTION
