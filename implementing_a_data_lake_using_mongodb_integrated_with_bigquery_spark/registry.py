@@ -14681,3 +14681,155 @@ FROM cand GROUP BY purchase_id
 
 QUERIES["touch_attribution_split"] = q_touch_attribution_split
 ORACLES["touch_attribution_split"] = ORACLE_TOUCH_ATTRIBUTION
+
+
+def q_kmv_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta) distinct sketches, ENGINE-EXACT:
+    the estimator the repo's HLL notes warn is NOT oracle-able when the
+    library owns the hash becomes exactly reproducible when the sketch
+    is built from first principles — retained set = the k smallest
+    md5-derived 60-bit hashes of distinct users (a deterministic SET,
+    order-independent by construction), estimate = (k−1)·2⁶⁰ / h_k,
+    sketches ≤ k rows and MERGEABLE (union = k smallest of the merged
+    retained sets — how 1000 executors estimate a global distinct
+    without moving users). Per-type retention runs through
+    grouped_rank (never a 5-partition fact window); hex→int via
+    Spark conv == DuckDB '0x'-cast, 15 hex chars (60 bits, exact in
+    BIGINT on both engines — parity pinned in tests). Output compares
+    click/purchase estimates and their inclusion–exclusion overlap
+    against exact truth; sketches shorter than k are exact by rule."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        grouped_rank,
+    )
+
+    K = 64
+    SPACE = float(1 << 60)
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    du = e.select("event_type", "user_id").distinct()
+    hashed = du.select(
+        "event_type",
+        "user_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    retained = grouped_rank(hashed, ["event_type"], ["h"], "_r").where(
+        F.col("_r") <= K
+    )
+
+    def est(n_col, hk_col):
+        # sketch shorter than k => exact; else (k-1)*2^60 / h_k
+        return F.when(F.col(n_col) < K, F.col(n_col).cast("double")).otherwise(
+            F.lit(float(K - 1)) * F.lit(SPACE) / F.col(hk_col)
+        )
+
+    per_type = retained.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ret"),
+        F.max("h").cast("double").alias("hk"),
+    )
+    a = per_type.where(F.col("event_type") == "click").select(
+        F.col("n_ret").alias("_na"), F.col("hk").alias("_hka")
+    )
+    b = per_type.where(F.col("event_type") == "purchase").select(
+        F.col("n_ret").alias("_nb"), F.col("hk").alias("_hkb")
+    )
+    # union sketch: k smallest of the merged retained hash SETS
+    u = (
+        retained.select("h")
+        .distinct()
+        .orderBy(F.col("h").asc())
+        .limit(K)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nu"),
+            F.max("h").cast("double").alias("_hku"),
+        )
+    )
+    exact = (
+        du.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("_c"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("_p"),
+        )
+        .agg(
+            F.sum("_c").cast("long").alias("exact_click"),
+            F.sum("_p").cast("long").alias("exact_purchase"),
+            F.sum(F.col("_c") * F.col("_p")).cast("long").alias("exact_overlap"),
+        )
+    )
+    est_a, est_b = est("_na", "_hka"), est("_nb", "_hkb")
+    est_u = est("_nu", "_hku")
+    return (
+        exact.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(u))
+        .select(
+            F.lit(K).cast("long").alias("k"),
+            "exact_click",
+            "exact_purchase",
+            "exact_overlap",
+            F.round(est_a, 6).alias("est_click"),
+            F.round(est_b, 6).alias("est_purchase"),
+            F.round(est_a + est_b - est_u, 6).alias("est_overlap"),
+        )
+    )
+
+
+ORACLE_KMV_OVERLAP = """
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IN ('click', 'purchase')),
+hashed AS (
+  SELECT event_type, user_id,
+         ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS h
+  FROM du),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS r
+  FROM hashed),
+retained AS (SELECT event_type, h FROM ranked WHERE r <= 64),
+per_type AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ret,
+         CAST(MAX(h) AS DOUBLE) AS hk
+  FROM retained GROUP BY 1),
+uni AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nu, CAST(MAX(h) AS DOUBLE) AS hku
+  FROM (SELECT DISTINCT h FROM retained ORDER BY h ASC LIMIT 64)),
+exact AS (
+  SELECT CAST(count_if(c > 0) AS BIGINT) AS exact_click,
+         CAST(count_if(p > 0) AS BIGINT) AS exact_purchase,
+         CAST(count_if(c > 0 AND p > 0) AS BIGINT) AS exact_overlap
+  FROM (SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        FROM du GROUP BY user_id)),
+ests AS (
+  SELECT
+    (SELECT CASE WHEN n_ret < 64 THEN CAST(n_ret AS DOUBLE)
+                 ELSE 63.0 * 1152921504606846976.0 / hk END
+     FROM per_type WHERE event_type = 'click') AS ea,
+    (SELECT CASE WHEN n_ret < 64 THEN CAST(n_ret AS DOUBLE)
+                 ELSE 63.0 * 1152921504606846976.0 / hk END
+     FROM per_type WHERE event_type = 'purchase') AS eb,
+    (SELECT CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+                 ELSE 63.0 * 1152921504606846976.0 / hku END
+     FROM uni) AS eu)
+SELECT CAST(64 AS BIGINT) AS k,
+       exact_click, exact_purchase, exact_overlap,
+       round(ea, 6) AS est_click,
+       round(eb, 6) AS est_purchase,
+       round(ea + eb - eu, 6) AS est_overlap
+FROM exact CROSS JOIN ests
+"""
+
+QUERIES["kmv_sketch_overlap"] = q_kmv_sketch_overlap
+ORACLES["kmv_sketch_overlap"] = ORACLE_KMV_OVERLAP

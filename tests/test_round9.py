@@ -263,3 +263,43 @@ def test_scale_md_low_par_window_allowlist():
     # the column must actually exist (guards against a stale SCALE.md)
     with open("/root/repo/SCALE.md") as fh:
         assert "low-par windows" in fh.read()
+
+
+def test_hex_to_int_parity_with_duckdb(spark):
+    """kmv_sketch_overlap depends on Spark conv(hex,16,10) == DuckDB
+    ('0x'||hex)::BIGINT for 15 lowercase hex chars (60 bits)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.range(50)
+        .select(
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .collect()
+    )
+    duck = duckdb.connect().execute(
+        "SELECT ('0x' || substr(md5(CAST(r AS VARCHAR)), 1, 15))::BIGINT "
+        "FROM range(50) t(r) ORDER BY r"
+    ).fetchall()
+    assert [r.h for r in rows] == [d[0] for d in duck]
+
+
+def test_kmv_estimate_within_error_band(spark, sf_dir):
+    """KMV with k=64 has relative standard error ~1/sqrt(k-2) ~ 13%;
+    assert the estimates land within 5 RSE of truth (loose, flake-proof)
+    and that the exact-when-short rule engages at tiny SF."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark import (
+        registry,
+    )
+
+    row = registry.QUERIES["kmv_sketch_overlap"](spark, sf_dir).collect()[0]
+    for est, exact in (
+        (row.est_click, row.exact_click),
+        (row.est_purchase, row.exact_purchase),
+    ):
+        assert exact > 0
+        assert abs(est - exact) <= max(5 * 0.13 * exact, 1.0), (est, exact)
