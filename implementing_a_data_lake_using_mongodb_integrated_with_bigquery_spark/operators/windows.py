@@ -351,6 +351,38 @@ def grouped_rank(
     )
 
 
+def grouped_ntile_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    buckets: int,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact per-group equal-frequency binning (SQL ``NTILE(k) OVER
+    (PARTITION BY group)`` semantics: within each group the first
+    ``n mod k`` buckets hold one extra row) built on
+    :func:`grouped_rank` — the group-keyed twin of :func:`ntile_exact`,
+    safe for LOW-CARDINALITY group keys where a partitioned window
+    would collapse into a few fact-sized single-task sorts. Per-group
+    totals are a |groups|-row aggregate joined back by broadcast."""
+    ranked = grouped_rank(df, group_cols, order_cols, rank_col="_grank")
+    totals = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_gn")
+    )
+    q = F.floor(F.col("_gn") / buckets).cast("long")
+    m = F.col("_gn") % buckets
+    r0 = F.col("_grank") - 1
+    big_span = (q + 1) * m
+    bucket = F.when(m == 0, r0 / q).when(r0 < big_span, r0 / (q + 1)).otherwise(
+        m + (r0 - big_span) / q
+    )
+    return (
+        ranked.join(F.broadcast(totals), group_cols)
+        .withColumn(bucket_col, (F.floor(bucket) + 1).cast("long"))
+        .drop("_grank", "_gn")
+    )
+
+
 def ntile_exact(
     df: DataFrame,
     order_cols: list[str],

@@ -14833,3 +14833,124 @@ FROM exact CROSS JOIN ests
 
 QUERIES["kmv_sketch_overlap"] = q_kmv_sketch_overlap
 ORACLES["kmv_sketch_overlap"] = ORACLE_KMV_OVERLAP
+
+
+def q_grouped_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-type user quartiles by exact cents spend — NTILE(4) OVER
+    (PARTITION BY event_type ...) semantics WITHOUT the partitioned
+    window: event_type has ~5 distinct values, so the window form is a
+    handful of fact-sized single-task sorts at 100× (the round-8
+    perf-weak class). operators.windows.grouped_ntile_exact instead
+    range-sorts the composite (type, spend, user) key via grouped_rank
+    and broadcasts |groups|-row totals back. Per (type, quartile):
+    user count + exact revenue share. The oracle IS the window form —
+    rank/bucket assignments must match it exactly."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        grouped_ntile_exact,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("_cents")
+    )
+    binned = grouped_ntile_exact(
+        per_user, ["event_type"], ["_cents", "user_id"], 4, bucket_col="quartile"
+    )
+    grp = binned.groupBy("event_type", "quartile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("_cents").cast("long").alias("_qc"),
+    )
+    tot = binned.groupBy(F.col("event_type").alias("_et")).agg(
+        F.sum("_cents").cast("long").alias("_tc")
+    )
+    return grp.join(
+        F.broadcast(tot), grp["event_type"] == tot["_et"]
+    ).select(
+        "event_type",
+        "quartile",
+        "n_users",
+        (F.col("_qc") / 100.0).alias("quartile_value"),
+        F.round(F.col("_qc") / F.col("_tc").cast("double"), 6).alias(
+            "value_share"
+        ),
+    )
+
+
+ORACLE_GROUPED_QUARTILES = """
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+binned AS (
+  SELECT event_type, cents,
+         CAST(ntile(4) OVER (PARTITION BY event_type
+              ORDER BY cents ASC, user_id ASC) AS BIGINT) AS quartile
+  FROM per_user),
+grp AS (
+  SELECT event_type, quartile, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(cents) AS BIGINT) AS qc
+  FROM binned GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(SUM(cents) AS BIGINT) AS tc
+        FROM per_user GROUP BY 1)
+SELECT g.event_type, quartile, n_users,
+       qc / 100.0 AS quartile_value,
+       round(qc / CAST(tc AS DOUBLE), 6) AS value_share
+FROM grp g JOIN tot t ON g.event_type = t.event_type
+"""
+
+QUERIES["grouped_value_quartiles"] = q_grouped_value_quartiles
+ORACLES["grouped_value_quartiles"] = ORACLE_GROUPED_QUARTILES
+
+
+def q_grouped_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median of the raw event values per event type — computed
+    scale-safely. Spark's exact ``percentile()`` aggregate buffers
+    every value of a group in one aggregation buffer (OOM at 100 TB
+    group sizes), and the window-rank form is a low-cardinality
+    partitioned sort (the round-8 perf-weak class). Here:
+    grouped_rank over (type, cents, event_id) + a |groups|-row count
+    broadcast, keep ranks ⌊(n+1)/2⌋ and ⌊(n+2)/2⌋, average — exact
+    SQL median semantics with every task bounded by
+    |data|/|partitions|. Ties are immaterial: ranks select by
+    POSITION in the (cents, id) total order, and the median is a
+    function of the sorted multiset. Oracle: quantile_cont(0.5), the
+    same avg-of-middles rule."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        grouped_rank,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    vals = e.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("_cents"),
+    )
+    ranked = grouped_rank(vals, ["event_type"], ["_cents", "event_id"], "_r")
+    counts = ranked.groupBy(F.col("event_type").alias("_et")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    mid = ranked.join(
+        F.broadcast(counts), ranked["event_type"] == counts["_et"]
+    ).where(
+        (F.col("_r") == F.expr("(_n + 1) div 2"))
+        | (F.col("_r") == F.expr("(_n + 2) div 2"))
+    )
+    return (
+        mid.groupBy("event_type")
+        .agg(
+            F.max("_n").cast("long").alias("n_events"),
+            F.round(F.avg(F.col("_cents")) / 100.0, 6).alias("median_value"),
+        )
+    )
+
+
+ORACLE_GROUPED_MEDIAN = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) / 100.0, 6)
+         AS median_value
+FROM events GROUP BY event_type
+"""
+
+QUERIES["grouped_exact_median"] = q_grouped_exact_median
+ORACLES["grouped_exact_median"] = ORACLE_GROUPED_MEDIAN

@@ -303,3 +303,21 @@ def test_kmv_estimate_within_error_band(spark, sf_dir):
     ):
         assert exact > 0
         assert abs(est - exact) <= max(5 * 0.13 * exact, 1.0), (est, exact)
+
+
+def test_grouped_ntile_matches_window_ntile(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        grouped_ntile_exact,
+    )
+
+    df = spark.range(3001).select(
+        (F.col("id") % 5).alias("g"),
+        ((F.col("id") * 97) % 773).alias("v"),
+        F.col("id"),
+    )
+    got = grouped_ntile_exact(df, ["g"], ["v", "id"], 4, bucket_col="b")
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    want = df.withColumn("b", F.ntile(4).over(w).cast("long"))
+    assert sorted(map(tuple, got.select("g", "id", "b").collect())) == sorted(
+        map(tuple, want.select("g", "id", "b").collect())
+    )
