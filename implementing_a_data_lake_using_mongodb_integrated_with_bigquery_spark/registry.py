@@ -14954,3 +14954,79 @@ FROM events GROUP BY event_type
 
 QUERIES["grouped_exact_median"] = q_grouped_exact_median
 ORACLES["grouped_exact_median"] = ORACLE_GROUPED_MEDIAN
+
+
+def q_stream_restart_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER interval join across a checkpoint RESTART
+    (streaming.joins.restart_attribution_join) — the join-buffer twin
+    of stream_restart_hourly: even-event_id events arrive first,
+    matches emit eagerly, and the checkpoint persists BOTH sides' join
+    state plus watermark W1; odd-event_id events then land, the query
+    restarts, phase-2 rows at or below W1 are late-dropped on BOTH
+    sides (the input filter is the GLOBAL watermark — strictly kept
+    iff ts > W1, pinned empirically in tests/test_round9.py), and
+    survivors match against the restored phase-1 buffers. The oracle's
+    emission rule collapses to: every interval pair whose phase-2
+    members all have ts > W1 — phase-1 state below W1 still matches
+    (eviction points left_ts+horizon / right_ts make an evicted
+    partner's matches inadmissible anyway, so eviction is subsumed).
+    Aggregated per user into match counts + attributed value."""
+    import os as _os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.joins import (
+        restart_attribution_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out, stats = restart_attribution_join(
+        spark,
+        phase1=e.filter(F.col("event_id") % 2 == 0),
+        phase2=e.filter(F.col("event_id") % 2 != 0),
+    )
+    for tag in ("phase1", "phase2"):
+        if stats[tag]["data_batches"] != 1:
+            raise RuntimeError(
+                f"restart replay lost batch isolation: {stats}"
+            )
+    return (
+        out.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            _scaled_sum(F.col("right_value"), 10000, "attributed_value"),
+        )
+        .withColumnRenamed("k", "user_id")
+    )
+
+
+ORACLE_STREAM_RESTART_ATTRIBUTION = """
+WITH l AS (
+  SELECT user_id, event_id AS lid, ts AS lts, epoch_us(ts) AS ltus
+  FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT user_id, event_id AS rid, ts AS rts, epoch_us(ts) AS rtus,
+         value AS rv
+  FROM events WHERE event_type = 'purchase'),
+w1 AS (
+  SELECT least(
+    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+      WHERE event_type = 'click' AND event_id % 2 = 0),
+    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+      WHERE event_type = 'purchase' AND event_id % 2 = 0)) - 7200000000 AS v),
+emitted AS (
+  SELECT l.user_id, r.rv
+  FROM l JOIN r
+    ON l.user_id = r.user_id
+   AND r.rts >= l.lts
+   AND r.rts <= l.lts + INTERVAL 30 MINUTE
+  CROSS JOIN w1
+  WHERE (l.lid % 2 = 0 OR l.ltus > w1.v)
+    AND (r.rid % 2 = 0 OR r.rtus > w1.v))
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(SUM(CAST(round(rv * 10000) AS BIGINT)) AS BIGINT) / 10000.0
+         AS attributed_value
+FROM emitted GROUP BY user_id
+"""
+
+QUERIES["stream_restart_attribution"] = q_stream_restart_attribution
+ORACLES["stream_restart_attribution"] = ORACLE_STREAM_RESTART_ATTRIBUTION

@@ -365,6 +365,94 @@ def attribution_full_outer_join_once(
     return spark.table(sink)
 
 
+def restart_attribution_join(
+    spark: SparkSession,
+    phase1: DataFrame,
+    phase2: DataFrame,
+    key_col: str = "user_id",
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "30 minutes",
+    lateness: str = "2 hours",
+    state_partitions: int | None = 8,
+) -> tuple[DataFrame, dict]:
+    """Stream-stream INNER interval join across a checkpoint RESTART
+    with a genuinely advancing watermark — the join-buffer twin of
+    ``streaming.windowed.restart_append_counts``: two ``availableNow``
+    runs over ONE checkpoint and a fault-tolerant parquet sink.
+
+    Run 1 processes ``phase1``'s file: co-resident matches emit, the
+    checkpoint persists BOTH sides' join state and watermark
+    W1 = min over both types of (ms-truncated max phase-1 event time)
+    − lateness. ``phase2`` then lands as a new file and the query
+    restarts: phase-2 rows at or below W1 are dropped as late
+    (empirically: the input filter is ``ts ≥ W1`` kept, i.e. strictly
+    older than W1 dropped — pinned in tests/test_round9.py together
+    with the state-eviction boundaries), surviving phase-2 rows match
+    against the RESTORED phase-1 buffers (minus rows W1 already
+    evicted: clicks with left_ts + horizon < W1, purchases with
+    right_ts < W1) and against each other. The union of both runs'
+    emissions is returned with a stats dict of per-run progress facts.
+    """
+    import os as _os
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="restart_join_")
+    input_dir = _os.path.join(root, "input")
+    ckpt = _os.path.join(root, "ckpt")
+    out_dir = _os.path.join(root, "out")
+    stage2 = _os.path.join(root, "p2stage")
+    phase1.coalesce(1).write.parquet(input_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+
+    def run_phase() -> list:
+        left, right = _watermarked_pair(
+            spark, input_dir + "/", key_col, left_type, right_type, lateness
+        )
+        joined = _interval_join(left, right, horizon, "inner").select(
+            "k", "left_id", "right_id", "left_ts", "right_ts", "right_value"
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return list(q.recentProgress)
+
+    try:
+        prog1 = run_phase()
+        phase2.coalesce(1).write.parquet(stage2)
+        for f in _os.listdir(stage2):
+            if f.endswith(".parquet"):
+                _os.link(
+                    _os.path.join(stage2, f), _os.path.join(input_dir, f"p2-{f}")
+                )
+        prog2 = run_phase()
+        result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
+
+    def facts(progress: list) -> dict:
+        data = [p for p in progress if p["numInputRows"] > 0]
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in progress
+            for op in p.get("stateOperators", [])
+        )
+        return {"data_batches": len(data), "rows_dropped": dropped}
+
+    return result, {"phase1": facts(prog1), "phase2": facts(prog2)}
+
+
 def attribution_semi_join_once(
     spark: SparkSession,
     events_path: str,

@@ -321,3 +321,59 @@ def test_grouped_ntile_matches_window_ntile(spark):
     assert sorted(map(tuple, got.select("g", "id", "b").collect())) == sorted(
         map(tuple, want.select("g", "id", "b").collect())
     )
+
+
+def test_join_restart_boundary_pins(spark):
+    """Empirical pins for the stream-stream join RESTART semantics
+    (W1 = min ms-truncated per-type phase-1 max - 2h lateness = 480m):
+    - phase-2 input at ts == W1 is DROPPED on either side (admission
+      is strictly ts > W1, using the GLOBAL watermark on both sides);
+    - phase-1 state BELOW W1 still matches an admitted phase-2 row
+      (state eviction point left_ts + horizon, not the input filter);
+    - new-new and new-old pairs emit; drop counter sees exactly the
+      late rows."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.joins import (
+        restart_attribution_join,
+    )
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def mk(rows):
+        return pd.DataFrame(
+            [
+                (i + 1, T0 + dt.timedelta(minutes=t), u, ty, 1.0, "{}")
+                for i, (t, ty, u) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+
+    p1 = mk([
+        (60, "click", 1),
+        (460, "click", 2),   # kept state (490 >= 480), below W1
+        (440, "click", 3),   # evicted (470 < 480)
+        (455, "click", 4),   # kept (485 >= 480)
+        (505, "purchase", 7),
+        (600, "purchase", 9),  # purchase watermark anchor
+        (700, "click", 8),     # click watermark anchor
+    ])
+    p2 = mk([
+        (485, "purchase", 2),  # > W1, matches stored click@460 -> EMIT
+        (465, "purchase", 3),  # < W1 -> dropped
+        (480, "purchase", 4),  # == W1 -> dropped (strict)
+        (490, "click", 5), (500, "purchase", 5),  # new-new -> EMIT
+        (470, "click", 6), (490, "purchase", 6),  # click <= W1 -> dropped
+        (485, "click", 7),     # new click x stored purchase@505 -> EMIT
+    ])
+    out, stats = restart_attribution_join(
+        spark, spark.createDataFrame(p1), spark.createDataFrame(p2)
+    )
+    got = {(r.k, int(r.left_ts.timestamp() // 60 % 1440),
+            int(r.right_ts.timestamp() // 60 % 1440)) for r in out.collect()}
+    assert got == {(2, 460, 485), (5, 490, 500), (7, 485, 505)}
+    assert stats["phase2"]["rows_dropped"] == 3
+    assert stats["phase1"]["data_batches"] == 1
+    assert stats["phase2"]["data_batches"] == 1
