@@ -15030,3 +15030,70 @@ FROM emitted GROUP BY user_id
 
 QUERIES["stream_restart_attribution"] = q_stream_restart_attribution
 ORACLES["stream_restart_attribution"] = ORACLE_STREAM_RESTART_ATTRIBUTION
+
+
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP higher-order-function surface (the map siblings of
+    array_functions' lambda toolkit): per event type an hour→count MAP
+    is built with map_from_entries over the SORTED entry list (sorted
+    for deterministic construction; the map is built from the
+    pre-aggregated |types × hours| table, never raw events), then
+    transform_values, map_filter, map_zip_with, map_keys/map_values +
+    aggregate reduce it back to scalars. The oracle computes the same
+    facts relationally — content equality proves the map round-trip.
+    All integers; one bounded collect_list per type."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    mapped = hourly.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col("h"), F.col("c"))))
+        ).alias("m")
+    )
+    doubled = F.transform_values(F.col("m"), lambda _k, v: v * 2)
+    busy = F.map_filter(F.col("m"), lambda _k, v: v >= 10)
+    # map_zip_with over (m, busy): value kept only where both present
+    both = F.map_zip_with(
+        F.col("m"), busy, lambda _k, v1, v2: F.when(v2.isNotNull(), v1)
+    )
+    tot = lambda m: F.aggregate(  # noqa: E731
+        F.map_values(m), F.lit(0).cast("long"),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0).cast("long")),
+    )
+    return mapped.select(
+        "event_type",
+        F.size(F.map_keys(F.col("m"))).cast("long").alias("n_hours"),
+        F.size(busy).cast("long").alias("n_busy_hours"),
+        tot(F.col("m")).alias("total_events"),
+        tot(doubled).alias("doubled_total"),
+        tot(both).alias("busy_events"),
+        F.aggregate(
+            F.map_keys(F.col("m")),
+            F.lit(None).cast("long"),
+            lambda acc, k: F.when(acc.isNull() | (k < acc), k).otherwise(acc),
+        ).alias("first_hour"),
+    )
+
+
+ORACLE_MAP_FUNCTIONS = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(count_if(c >= 10) AS BIGINT) AS n_busy_hours,
+       CAST(SUM(c) AS BIGINT) AS total_events,
+       CAST(SUM(c * 2) AS BIGINT) AS doubled_total,
+       CAST(SUM(CASE WHEN c >= 10 THEN c ELSE 0 END) AS BIGINT)
+         AS busy_events,
+       CAST(MIN(h) AS BIGINT) AS first_hour
+FROM hourly GROUP BY event_type
+"""
+
+QUERIES["map_functions"] = q_map_functions
+ORACLES["map_functions"] = ORACLE_MAP_FUNCTIONS
