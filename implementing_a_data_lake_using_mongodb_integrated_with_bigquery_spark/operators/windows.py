@@ -383,6 +383,93 @@ def grouped_ntile_exact(
     )
 
 
+def grouped_percentile_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_col: str,
+    ps: dict[str, float],
+) -> DataFrame:
+    """EXACT interpolated percentiles per group WITHOUT per-group
+    buffering — the scale-safe replacement for Spark's
+    ``percentile()`` aggregate, whose buffer holds EVERY value of a
+    group (an OOM at 100 TB group sizes; the aggregation-buffer twin
+    of the partitioned-window scale-killer).
+
+    SQL PERCENTILE_CONT semantics, reproduced from order statistics:
+    0-based position h = p·(n−1); the values at positions ⌊h⌋ and ⌈h⌉
+    come from :func:`grouped_rank` (composite range sort — every task
+    handles ~|data|/|partitions| rows regardless of group
+    cardinality), and the interpolation uses the TWO-PRODUCT form
+    ``v_lo·(⌈h⌉−h) + v_hi·(h−⌊h⌋)`` (integral h short-circuits to
+    v_lo) — bit-for-bit the expression BOTH Spark's percentile() and
+    DuckDB's quantile_cont() evaluate internally; the one-product
+    ``v_lo + (v_hi−v_lo)·frac`` form is 1 ULP off either engine and
+    hash-mismatches (measured).
+
+    Ties are immaterial: ranks select by POSITION in the
+    (value, tiebreak) total order and the percentile is a function of
+    the sorted multiset. ``ps`` maps output column name → p.
+    Output: one row per group, one double column per entry of ``ps``.
+    """
+    ranked = grouped_rank(
+        df, group_cols, [value_col, tiebreak_col], rank_col="_r"
+    )
+    counts = ranked.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    # per (group, p): the one or two ranks needed — |groups|·|ps| rows
+    need = (
+        counts.select(
+            *group_cols,
+            "_n",
+            F.explode(
+                F.array(*[F.lit(float(p)) for p in ps.values()])
+            ).alias("_p"),
+        )
+        .select(
+            *group_cols,
+            "_p",
+            (F.col("_p") * (F.col("_n") - 1)).alias("_h"),  # 0-based
+        )
+        .select(
+            *group_cols,
+            "_p",
+            "_h",
+            F.floor(F.col("_h")).cast("long").alias("_lo"),
+            F.ceil(F.col("_h")).cast("long").alias("_hi"),
+        )
+    )
+    # grouped_rank is 1-based; positions are 0-based → rank = pos + 1
+    lo = need.select(*group_cols, "_p", "_h", "_lo", "_hi",
+                     (F.col("_lo") + 1).alias("_r"))
+    hi = need.where(F.col("_hi") != F.col("_lo")).select(
+        *group_cols, "_p", "_h", "_lo", "_hi", (F.col("_hi") + 1).alias("_r")
+    )
+    wanted = lo.unionAll(hi)
+    hit = ranked.join(F.broadcast(wanted), [*group_cols, "_r"], "inner")
+    per_p = hit.groupBy(*group_cols, "_p").agg(
+        F.max("_h").alias("_hh"),
+        F.max("_lo").alias("_ll"),
+        F.max("_hi").alias("_gg"),
+        F.max(F.when(F.col("_r") == F.col("_lo") + 1, F.col(value_col))).alias(
+            "_vlo"
+        ),
+        F.max(F.when(F.col("_r") == F.col("_hi") + 1, F.col(value_col))).alias(
+            "_vhi"
+        ),
+    )
+    val = F.when(F.col("_gg") == F.col("_ll"), F.col("_vlo")).otherwise(
+        F.col("_vlo") * (F.col("_gg") - F.col("_hh"))
+        + F.coalesce(F.col("_vhi"), F.col("_vlo"))
+        * (F.col("_hh") - F.col("_ll"))
+    )
+    return per_p.groupBy(*group_cols).agg(
+        *[
+            F.max(F.when(F.col("_p") == float(p), val)).alias(name)
+            for name, p in ps.items()
+        ]
+    )
+
+
 def ntile_exact(
     df: DataFrame,
     order_cols: list[str],

@@ -1443,13 +1443,30 @@ ORACLES.update(
 
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation) of event value per
-    type — `F.percentile` (exact, sort-based) mirrored by DuckDB
-    `quantile_cont`."""
+    type, mirrored by DuckDB `quantile_cont` — computed via
+    operators.windows.grouped_percentile_exact (grouped_rank order
+    statistics + the engines' shared two-product interpolation)
+    instead of the `percentile()` aggregate, whose buffer holds every
+    value of a group: event_type is a ~5-value key, so at 100 TB that
+    is five fact-sized aggregation buffers (the round-9 audit's
+    unbounded-buffer class). Bit-identical output, scale-safe plan."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        grouped_percentile_exact,
+    )
+
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
-        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    pct = grouped_percentile_exact(
+        e.select("event_type", "value", "event_id"),
+        ["event_type"],
+        "value",
+        "event_id",
+        {"_p50": 0.5, "_p90": 0.9, "_p99": 0.99},
+    )
+    return pct.select(
+        "event_type",
+        F.round(F.col("_p50"), 6).alias("p50"),
+        F.round(F.col("_p90"), 6).alias("p90"),
+        F.round(F.col("_p99"), 6).alias("p99"),
     )
 
 
@@ -4163,24 +4180,45 @@ def q_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     boolean asserting Spark's ``approx_percentile`` sketch (the 100 TB
     fast path, mergeable across partitions) lands within a generous
     tolerance of them. The oracle computes the exact values and
-    TRUE — a hash match means the sketch stayed in-bounds."""
+    TRUE — a hash match means the sketch stayed in-bounds. The exact
+    side runs through grouped_percentile_exact (r9: the `percentile()`
+    aggregate buffers a whole group per aggregation buffer — the
+    unbounded-buffer class); the sketch side keeps the fixed-size
+    mergeable `approx_percentile` aggregate, which is the point."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        grouped_percentile_exact,
+    )
+
     e = load_table(spark, sf_dir, "events")
+    exact = grouped_percentile_exact(
+        e.select("event_type", "value", "event_id"),
+        ["event_type"],
+        "value",
+        "event_id",
+        {"_e50": 0.5, "_e90": 0.9},
+    )
+    sketch = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("_a50"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("_a90"),
+    )
 
     # The sketch's rank error is ~n/accuracy rows; the VALUE error that
     # induces is one inter-sample gap around the target rank (the exact
     # side interpolates, the sketch returns a member value), so the
     # tolerance is relative with an absolute floor — generous at any SF.
-    def in_tol(p):
-        exact = F.percentile("value", F.lit(p))
-        approx = F.percentile_approx("value", F.lit(p), F.lit(10000))
-        return F.abs(approx - exact) <= F.greatest(F.lit(1.0), F.abs(exact) * 0.02)
+    def in_tol(a, x):
+        return F.abs(F.col(a) - F.col(x)) <= F.greatest(
+            F.lit(1.0), F.abs(F.col(x)) * 0.02
+        )
 
-    return e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("exact_p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 6).alias("exact_p90"),
-        in_tol(0.5).alias("p50_in_tolerance"),
-        in_tol(0.9).alias("p90_in_tolerance"),
+    return sketch.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "n_events",
+        F.round(F.col("_e50"), 6).alias("exact_p50"),
+        F.round(F.col("_e90"), 6).alias("exact_p90"),
+        in_tol("_a50", "_e50").alias("p50_in_tolerance"),
+        in_tol("_a90", "_e90").alias("p90_in_tolerance"),
     )
 
 
@@ -9384,23 +9422,45 @@ def q_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust dispersion: median absolute deviation per event type —
     the outlier-resistant sibling of value_moments' stddev (one wild
     value moves stddev arbitrarily, moves MAD not at all). Exact
-    two-pass plan: exact interpolated median per group (F.percentile /
-    quantile_cont parity, the value_percentiles convention), broadcast
-    back, exact median of |v − med|. Rounding happens only at the
-    output; the deviation uses the UNROUNDED median on both engines."""
+    two-pass plan: exact interpolated median per group (quantile_cont
+    parity), broadcast back, exact median of |v − med|. Rounding
+    happens only at the output; the deviation uses the UNROUNDED
+    median on both engines. Both medians run through
+    grouped_percentile_exact (r9): the `percentile()` aggregate
+    buffers a whole group per aggregation buffer, and event_type is a
+    ~5-value key — the unbounded-buffer class at 100 TB."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        grouped_percentile_exact,
+    )
+
     e = load_table(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("_med")
+    med = grouped_percentile_exact(
+        e.select("event_type", "value", "event_id"),
+        ["event_type"],
+        "value",
+        "event_id",
+        {"_med": 0.5},
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "_med",
+        F.abs(F.col("value") - F.col("_med")).alias("_dev"),
+    )
+    mad = grouped_percentile_exact(
+        dev, ["event_type"], "_dev", "event_id", {"_mad": 0.5}
+    )
+    counts = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
     )
     return (
-        e.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.min("_med"), 6).alias("median"),
-            F.round(
-                F.percentile(F.abs(F.col("value") - F.col("_med")), F.lit(0.5)), 6
-            ).alias("mad"),
+        counts.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("_med"), 6).alias("median"),
+            F.round(F.col("_mad"), 6).alias("mad"),
         )
     )
 
@@ -13428,22 +13488,40 @@ def q_percentile_cont_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile()`` and DuckDB's ``quantile_cont`` share the linear
     interpolation rule, and interpolating between two BIGINT cents
     values is exact in double well past 2^52 — so the only float is
-    the output itself (6dp). The exact-percentile aggregate sorts
-    per group inside the aggregation buffer — grouped, never a global
-    window; the approx/pandas-UDAF variants cover the sketch and
-    Arrow paths elsewhere."""
+    the output itself (6dp). Computed via grouped_percentile_exact
+    (r9): the `percentile()` aggregate buffers every value of a group
+    and o_orderpriority has 5 distinct values — five fact-sized
+    aggregation buffers at 100 TB (the unbounded-buffer class); the
+    order-statistics form is bit-identical and scale-safe. The
+    approx/pandas-UDAF variants cover the sketch and Arrow paths
+    elsewhere."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        grouped_percentile_exact,
+    )
+
     o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    return (
-        o.select("o_orderpriority", cents.alias("_c"))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.round(F.expr("percentile(_c, 0.25)") / 100.0, 6).alias("p25"),
-            F.round(F.expr("percentile(_c, 0.5)") / 100.0, 6).alias("median"),
-            F.round(F.expr("percentile(_c, 0.75)") / 100.0, 6).alias("p75"),
-            F.round(F.expr("percentile(_c, 0.99)") / 100.0, 6).alias("p99"),
-        )
+    cents = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_c"),
+    )
+    pct = grouped_percentile_exact(
+        cents,
+        ["o_orderpriority"],
+        "_c",
+        "o_orderkey",
+        {"_p25": 0.25, "_p50": 0.5, "_p75": 0.75, "_p99": 0.99},
+    )
+    counts = cents.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return counts.join(F.broadcast(pct), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("_p25") / 100.0, 6).alias("p25"),
+        F.round(F.col("_p50") / 100.0, 6).alias("median"),
+        F.round(F.col("_p75") / 100.0, 6).alias("p75"),
+        F.round(F.col("_p99") / 100.0, 6).alias("p99"),
     )
 
 

@@ -377,3 +377,38 @@ def test_join_restart_boundary_pins(spark):
     assert stats["phase2"]["rows_dropped"] == 3
     assert stats["phase1"]["data_batches"] == 1
     assert stats["phase2"]["data_batches"] == 1
+
+
+def test_grouped_percentile_exact_bit_parity(spark):
+    """grouped_percentile_exact must be BIT-equal to Spark's
+    percentile() aggregate (which is itself bit-equal to DuckDB
+    quantile_cont): same 0-based position and the two-product
+    interpolation form — the one-product form is 1 ULP off."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        grouped_percentile_exact,
+    )
+
+    df = spark.range(5011).select(
+        (F.col("id") % 7).alias("g"),
+        (F.sin(F.col("id").cast("double")) * 1000).alias("v"),
+        F.col("id"),
+    )
+    mine = grouped_percentile_exact(
+        df, ["g"], "v", "id", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    )
+    ref = df.groupBy("g").agg(
+        F.percentile("v", F.lit(0.5)).alias("p50"),
+        F.percentile("v", F.lit(0.9)).alias("p90"),
+        F.percentile("v", F.lit(0.99)).alias("p99"),
+    )
+    m = {r.g: (r.p50, r.p90, r.p99) for r in mine.collect()}
+    rf = {r.g: (r.p50, r.p90, r.p99) for r in ref.collect()}
+    assert m == rf  # bit-equal, not approx
+    # single-row group short-circuit
+    one = grouped_percentile_exact(
+        spark.range(1).select(
+            F.lit(9).alias("g"), F.lit(42.5).alias("v"), F.col("id")
+        ),
+        ["g"], "v", "id", {"p50": 0.5},
+    ).collect()
+    assert one[0].p50 == 42.5
