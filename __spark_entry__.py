@@ -180,6 +180,11 @@ _DRIVER_VERIFIED = frozenset(
 #      quantiles) — tolerance / engine-numerics risk;
 #   4. everything else, stable registry order.
 _FRAGILE_FIRST = (
+    # reimplemented in round 9 (grouped_rank / grouped_percentile_exact
+    # rebuilds of scale-weak shapes) — green history, new code: must
+    # re-verify ahead of the stability set
+    "value_percentiles", "approx_quantile_check", "mad_by_type",
+    "percentile_cont_parity", "spearman_rank_correlation",
     # streaming replays and stateful pipelines
     "stream_restart_hourly", "stream_update_merge_hourly",
     "stream_join_then_window", "stream_outer_attribution",

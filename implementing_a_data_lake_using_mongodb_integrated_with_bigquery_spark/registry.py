@@ -15175,3 +15175,41 @@ FROM hourly GROUP BY event_type
 
 QUERIES["map_functions"] = q_map_functions
 ORACLES["map_functions"] = ORACLE_MAP_FUNCTIONS
+
+
+_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE tree(doc_id, depth) AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS depth FROM documents WHERE doc_id = 0
+  UNION ALL
+  SELECT c.doc_id, t.depth + 1
+  FROM documents c JOIN tree t
+    ON c.doc_id >= t.doc_id * 4 + CASE WHEN t.doc_id = 0 THEN 1 ELSE 0 END
+   AND c.doc_id <= t.doc_id * 4 + 3
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM tree GROUP BY depth
+"""
+
+
+def q_recursive_cte_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (Spark 4's recursive CTE, SPARK-24497):
+    depth labeling of the implicit 4-ary doc hierarchy (parent =
+    doc_id div 4, encoded join-side as a multiplication range so the
+    IDENTICAL SQL text runs on BOTH engines — no div/`//` dialect
+    split). Each recursion step is one equi-range join; depth is
+    log₄(N), so the iteration count is ~12 even at 100 TB doc counts.
+    The repo's iterative-DataFrame recursions (recursive_doc_tree,
+    recursive_ancestor_rollup) hand-manage the loop + localCheckpoint
+    lineage cuts; this is the declarative engine-native counterpart
+    the planner unrolls itself."""
+    d = load_table(spark, sf_dir, "documents")
+    d.select("doc_id").createOrReplaceTempView("documents")
+    out = spark.sql(_RECURSIVE_CTE_SQL)
+    spark.catalog.dropTempView("documents")
+    return out
+
+
+QUERIES["recursive_cte_depth"] = q_recursive_cte_depth
+ORACLES["recursive_cte_depth"] = _RECURSIVE_CTE_SQL
