@@ -465,6 +465,115 @@ def image_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio content analysis: square-wave WAV fixtures whose PCM is
+# arithmetic in doc_id, analyzed from the PARSED sample stream (zero
+# crossings, RMS amplitude, DC numerator) — the audio sibling of the
+# aHash path: the oracle predicts every feature by arithmetic, the
+# Spark side earns it through real RIFF/PCM bytes.
+# ---------------------------------------------------------------------------
+
+
+def build_tone_wav(doc_id: int) -> bytes:
+    """Mono PCM16 WAV square wave: half-period h = 1 + doc_id % 8
+    samples, amplitude A = 100·(1 + doc_id % 50),
+    n = 400 + doc_id % 100 samples at 16 kHz — every decoded feature
+    is closed-form in doc_id."""
+    import struct
+
+    h = 1 + doc_id % 8
+    amp = 100 * (1 + doc_id % 50)
+    n = 400 + doc_id % 100
+    data = b"".join(
+        struct.pack("<h", amp if (i // h) % 2 == 0 else -amp)
+        for i in range(n)
+    )
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
+        16000, 32000, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def wav_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column → (doc_id, n_samples, zero_crossings, rms_amp,
+    dc_numerator): synthesize the tone WAV per id in one mapInPandas
+    stage, ship the container bytes across the Arrow boundary, parse
+    the RIFF chunks + PCM frames for real in a second stage and
+    compute signal features with numpy. All-integer outputs (RMS of a
+    square wave is the amplitude; the DC numerator is Σ samples —
+    exact), so the features hash-compare exactly."""
+    import struct
+
+    import numpy as np
+
+    def gen(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": ids.map(lambda i: build_tone_wav(int(i))),
+                }
+            )
+
+    def feats(it: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf["doc_id"].astype("int64"), pdf["payload"]):
+                b = bytes(b)
+                assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+                pos, samples = 12, None
+                while pos + 8 <= len(b):
+                    ctype = b[pos : pos + 4]
+                    (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                    if ctype == b"data":
+                        samples = np.frombuffer(
+                            b[pos + 8 : pos + 8 + clen], dtype="<i2"
+                        ).astype(np.int64)
+                    pos += 8 + clen + (clen & 1)
+                assert samples is not None
+                sq_mean = int((samples * samples).sum()) // samples.size
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "n_samples": int(samples.size),
+                        "zero_crossings": int(
+                            (samples[1:] * samples[:-1] < 0).sum()
+                        ),
+                        "rms_amp": int(round(sq_mean**0.5)),
+                        "dc_numerator": int(samples.sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "zero_crossings", "rms_amp",
+                    "dc_numerator",
+                ],
+            )
+
+    schema_payload = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    schema_out = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("zero_crossings", T.LongType()),
+            T.StructField("rms_amp", T.LongType()),
+            T.StructField("dc_numerator", T.LongType()),
+        ]
+    )
+    return df.select(id_col).mapInPandas(gen, schema_payload).mapInPandas(
+        feats, schema_out
+    )
+
+
+# ---------------------------------------------------------------------------
 # Resize + frame-sample: the remaining two mapInPandas media stages,
 # also real byte work (inflate → pixel ops → re-encode; container
 # walk → per-frame decode). Together with decode_media this covers

@@ -15213,3 +15213,44 @@ def q_recursive_cte_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["recursive_cte_depth"] = q_recursive_cte_depth
 ORACLES["recursive_cte_depth"] = _RECURSIVE_CTE_SQL
+
+
+def q_audio_signal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio content analysis over REAL container bytes
+    (operators.multimodal.wav_audio_features): per doc a square-wave
+    PCM16 WAV is synthesized (half-period/amplitude/length arithmetic
+    in doc_id), the bytes cross the Arrow boundary, the RIFF chunks
+    and PCM frames are parsed for real, and zero-crossing count / RMS
+    amplitude / DC numerator are computed from the SAMPLES with numpy
+    — the audio sibling of image_ahash_neardup. All-integer features
+    (square-wave RMS is the amplitude; DC is Σ samples exactly); the
+    oracle predicts each by closed-form arithmetic: h = 1+id%8,
+    n = 400+id%100, A = 100·(1+id%50), zc = (n−1)//h, and the DC
+    remainder term from the partial final half-period. Map-only
+    end-to-end."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.multimodal import (
+        wav_audio_features,
+    )
+
+    d = parallelize(load_table(spark, sf_dir, "documents").select("doc_id"))
+    return wav_audio_features(d)
+
+
+ORACLE_AUDIO_FEATURES = """
+WITH p AS (
+  SELECT doc_id,
+         1 + doc_id % 8 AS h,
+         100 * (1 + doc_id % 50) AS a,
+         400 + doc_id % 100 AS n
+  FROM documents)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST((n - 1) // h AS BIGINT) AS zero_crossings,
+       CAST(a AS BIGINT) AS rms_amp,
+       CAST(a * (least(n % (2 * h), h)
+                 - greatest(n % (2 * h) - h, 0)) AS BIGINT) AS dc_numerator
+FROM p
+"""
+
+QUERIES["audio_signal_features"] = q_audio_signal_features
+ORACLES["audio_signal_features"] = ORACLE_AUDIO_FEATURES
