@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterable, Iterator
+from functools import lru_cache as _lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -356,6 +357,7 @@ def extract_features(
 _AHASH_MOD = 1 << 48  # synthetic hashes keep the top 16 bits clear
 
 
+@_lru_cache(maxsize=4096)
 def build_hash_png(h: int) -> bytes:
     """8×8 grayscale PNG whose pixels encode the 64 bits of ``h``
     (pixel y*8+x = 255·bit, filter 0) — the deterministic fixture for
