@@ -412,8 +412,12 @@ def grouped_percentile_exact(
     the sorted multiset. ``ps`` maps output column name → p.
     Output: one row per group, one double column per entry of ``ps``.
     """
+    reserved = {"_gp_rank", "_p", "_h", "_lo", "_hi", "_n"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"grouped_percentile_exact: rename columns {clash}")
     ranked = grouped_rank(
-        df, group_cols, [value_col, tiebreak_col], rank_col="_r"
+        df, group_cols, [value_col, tiebreak_col], rank_col="_gp_rank"
     )
     counts = ranked.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
     # per (group, p): the one or two ranks needed — |groups|·|ps| rows
@@ -440,22 +444,23 @@ def grouped_percentile_exact(
     )
     # grouped_rank is 1-based; positions are 0-based → rank = pos + 1
     lo = need.select(*group_cols, "_p", "_h", "_lo", "_hi",
-                     (F.col("_lo") + 1).alias("_r"))
+                     (F.col("_lo") + 1).alias("_gp_rank"))
     hi = need.where(F.col("_hi") != F.col("_lo")).select(
-        *group_cols, "_p", "_h", "_lo", "_hi", (F.col("_hi") + 1).alias("_r")
+        *group_cols, "_p", "_h", "_lo", "_hi",
+        (F.col("_hi") + 1).alias("_gp_rank")
     )
     wanted = lo.unionAll(hi)
-    hit = ranked.join(F.broadcast(wanted), [*group_cols, "_r"], "inner")
+    hit = ranked.join(F.broadcast(wanted), [*group_cols, "_gp_rank"], "inner")
     per_p = hit.groupBy(*group_cols, "_p").agg(
         F.max("_h").alias("_hh"),
         F.max("_lo").alias("_ll"),
         F.max("_hi").alias("_gg"),
-        F.max(F.when(F.col("_r") == F.col("_lo") + 1, F.col(value_col))).alias(
-            "_vlo"
-        ),
-        F.max(F.when(F.col("_r") == F.col("_hi") + 1, F.col(value_col))).alias(
-            "_vhi"
-        ),
+        F.max(
+            F.when(F.col("_gp_rank") == F.col("_lo") + 1, F.col(value_col))
+        ).alias("_vlo"),
+        F.max(
+            F.when(F.col("_gp_rank") == F.col("_hi") + 1, F.col(value_col))
+        ).alias("_vhi"),
     )
     val = F.when(F.col("_gg") == F.col("_ll"), F.col("_vlo")).otherwise(
         F.col("_vlo") * (F.col("_gg") - F.col("_hh"))

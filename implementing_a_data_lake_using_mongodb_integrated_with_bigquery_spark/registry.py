@@ -15254,3 +15254,102 @@ FROM p
 
 QUERIES["audio_signal_features"] = q_audio_signal_features
 ORACLES["audio_signal_features"] = ORACLE_AUDIO_FEATURES
+
+
+def q_forecast_conformal_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction band for the seasonal-naive hourly
+    forecaster (the distribution-free uncertainty wrapper every
+    forecast ships with): calibration = even hour indices, evaluation
+    = odd; the per-type band is the p90 of |actual − y(h−24)| on the
+    calibration pairs, computed with grouped_percentile_exact over
+    EXACT integer cents residuals (never the group-buffering
+    percentile() aggregate); evaluation coverage is the fraction of
+    eval pairs falling inside the band — conformal theory says ~0.9.
+    Exact integers until the two output ratios; hour-index equi-joins
+    only, no windows. Composes the round-9 primitive with the
+    seasonal_naive_mase forecaster."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        grouped_percentile_exact,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
+        .cast("long")
+        .alias("h"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    cur = hourly.alias("cur")
+    seas = hourly.select(
+        F.col("event_type").alias("s_type"),
+        F.col("h").alias("s_h"),
+        F.col("c").alias("s_c"),
+    ).alias("seas")
+    resid = cur.join(
+        seas,
+        (F.col("cur.event_type") == F.col("seas.s_type"))
+        & (F.col("cur.h") == F.col("seas.s_h") + 24),
+    ).select(
+        "cur.event_type",
+        "cur.h",
+        F.abs(F.col("cur.c") - F.col("seas.s_c")).alias("_resid"),
+    )
+    calib = resid.where(F.col("h") % 2 == 0)
+    eval_ = resid.where(F.col("h") % 2 != 0)
+    band = grouped_percentile_exact(
+        calib, ["event_type"], "_resid", "h", {"_band": 0.9}
+    )
+    cov = (
+        eval_.join(F.broadcast(band), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.count_if(F.col("_resid") <= F.col("_band"))
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    n_cal = calib.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calib")
+    )
+    return (
+        n_cal.join(F.broadcast(band), "event_type")
+        .join(cov, "event_type")
+        .select(
+            "event_type",
+            "n_calib",
+            "n_eval",
+            F.round(F.col("_band") / 100.0, 6).alias("band_width"),
+            F.round(
+                F.col("n_covered") / F.col("n_eval").cast("double"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+ORACLE_CONFORMAL_BAND = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+resid AS (
+  SELECT cur.event_type, cur.h, abs(cur.c - seas.c) AS r
+  FROM hourly cur JOIN hourly seas
+    ON cur.event_type = seas.event_type AND cur.h = seas.h + 24),
+band AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_calib,
+         quantile_cont(r, 0.9) AS b
+  FROM resid WHERE h % 2 = 0 GROUP BY 1),
+ev AS (
+  SELECT resid.event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+         CAST(count_if(r <= b) AS BIGINT) AS n_covered
+  FROM resid JOIN band USING (event_type)
+  WHERE h % 2 != 0 GROUP BY 1)
+SELECT event_type, n_calib, n_eval,
+       round(b / 100.0, 6) AS band_width,
+       round(n_covered / CAST(n_eval AS DOUBLE), 6) AS coverage
+FROM band JOIN ev USING (event_type)
+"""
+
+QUERIES["forecast_conformal_band"] = q_forecast_conformal_band
+ORACLES["forecast_conformal_band"] = ORACLE_CONFORMAL_BAND
