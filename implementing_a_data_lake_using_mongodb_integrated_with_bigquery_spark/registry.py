@@ -15353,3 +15353,71 @@ FROM band JOIN ev USING (event_type)
 
 QUERIES["forecast_conformal_band"] = q_forecast_conformal_band
 ORACLES["forecast_conformal_band"] = ORACLE_CONFORMAL_BAND
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of (nonnegative-clamped) customer balances per
+    nation — the concentration metric behind every "top-x% hold y%"
+    report, computed EXACTLY from the rank-sum identity
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted cents.
+    Ranks come from grouped_rank (nationkey is a 25-value key — the
+    window form is the low-cardinality partitioned sort the r9
+    detector flags); Σ i·x and the numerator are formed in
+    DECIMAL(38,0) / HUGEINT (the r9 exact-moments discipline), ONE
+    division to double at the end. Ties are immaterial: within equal
+    x, Σ i·x over a tie block is rank-permutation-invariant."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        grouped_rank,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)) * 100)
+        .cast("long")
+        .alias("_cents"),
+    )
+    ranked = grouped_rank(c, ["c_nationkey"], ["_cents", "c_custkey"], "_i")
+    d = lambda col: F.col(col).cast("decimal(19,0)")  # noqa: E731
+    mom = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("_cents").cast("long").alias("_sx"),
+        F.sum(d("_i") * d("_cents")).alias("_six"),
+    )
+    num = (
+        F.lit(2).cast("decimal(19,0)") * F.col("_six")
+        - (d("n_customers") + 1) * d("_sx")
+    )
+    den = d("n_customers") * d("_sx")
+    return mom.select(
+        "c_nationkey",
+        "n_customers",
+        (F.col("_sx") / 100.0).alias("total_balance"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    )
+
+
+ORACLE_GINI = """
+WITH c AS (
+  SELECT c_nationkey, c_custkey,
+         CAST(round(greatest(c_acctbal, 0.0) * 100) AS BIGINT) AS cents
+  FROM customer),
+ranked AS (
+  SELECT c_nationkey, cents,
+         CAST(row_number() OVER (PARTITION BY c_nationkey
+              ORDER BY cents ASC, c_custkey ASC) AS BIGINT) AS i
+  FROM c),
+mom AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS sx,
+         SUM(CAST(i AS HUGEINT) * cents) AS six
+  FROM ranked GROUP BY 1)
+SELECT c_nationkey, n_customers,
+       sx / 100.0 AS total_balance,
+       round(CAST(2 * six - (CAST(n_customers AS HUGEINT) + 1) * sx AS DOUBLE)
+             / CAST(CAST(n_customers AS HUGEINT) * sx AS DOUBLE), 6) AS gini
+FROM mom
+"""
+
+QUERIES["gini_concentration"] = q_gini_concentration
+ORACLES["gini_concentration"] = ORACLE_GINI
