@@ -15421,3 +15421,106 @@ FROM mom
 
 QUERIES["gini_concentration"] = q_gini_concentration
 ORACLES["gini_concentration"] = ORACLE_GINI
+
+
+def q_stream_restart_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows across a checkpoint RESTART
+    (streaming.windowed.restart_session_windows) — the third stateful
+    family restarted (aggregates: stream_restart_hourly; joins:
+    stream_restart_attribution). Even-event_id events sessionize
+    first: sessions with end ≤ W1 emit AND EVICT; open sessions
+    persist in the checkpoint. Odd-id events then land: a row is
+    admitted iff ts + gap > W1 (strict, the SESSION end is what the
+    late filter tests — boundary-pinned in tests/test_round9.py),
+    admitted rows merge with restored OPEN sessions (sessions
+    genuinely spanning the restart) but can never re-merge with an
+    emitted one — the stream emits TWO sessions where batch
+    sessionization finds one, and the oracle models exactly that:
+    phase-1 islands cut at W1, then interval-merge of open sessions
+    with admitted phase-2 points, final cut end ≤ W2."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        restart_session_windows,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out, stats = restart_session_windows(
+        spark,
+        phase1=e.filter(F.col("event_id") % 2 == 0),
+        phase2=e.filter(F.col("event_id") % 2 != 0),
+        gap="30 minutes",
+        lateness="1 hour",
+    )
+    for tag in ("phase1", "phase2"):
+        if stats[tag]["data_batches"] != 1:
+            raise RuntimeError(f"restart replay lost batch isolation: {stats}")
+    return out.select(
+        "user_id",
+        epoch_us("session_start").alias("session_start_us"),
+        epoch_us("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+# Two-phase session-emission replay. Gap 30 min (1.8e9 us), lateness
+# 1 h (3.6e9 us); W1/W2 ms-truncated (session-oracle convention).
+# Islands twice: phase-1 points; then open phase-1 SESSIONS as
+# intervals ∪ admitted phase-2 points, merged by the running-max-end
+# rule (merge iff start < chain end).
+ORACLE_STREAM_RESTART_SESSIONS = """
+WITH p1 AS (
+  SELECT user_id, epoch_us(ts) AS tus FROM events WHERE event_id % 2 = 0),
+p2 AS (
+  SELECT user_id, epoch_us(ts) AS tus FROM events WHERE event_id % 2 = 1),
+w1 AS (SELECT (MAX(tus) // 1000) * 1000 - 3600000000 AS v FROM p1),
+w2 AS (
+  SELECT (epoch_us(MAX(ts)) // 1000) * 1000 - 3600000000 AS v FROM events),
+s1 AS (
+  SELECT user_id, tus,
+         CASE WHEN tus - lag(tus) OVER
+              (PARTITION BY user_id ORDER BY tus ASC) >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM p1),
+g1 AS (
+  SELECT user_id, tus,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY tus ASC
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s1),
+sess1 AS (
+  SELECT user_id, sid, MIN(tus) AS start_us,
+         MAX(tus) + 1800000000 AS end_us,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM g1 GROUP BY 1, 2),
+emitted1 AS (
+  SELECT user_id, start_us, end_us, n FROM sess1, w1 WHERE end_us <= w1.v),
+elems AS (
+  SELECT user_id, start_us, end_us, n FROM sess1, w1 WHERE end_us > w1.v
+  UNION ALL
+  SELECT user_id, tus AS start_us, tus + 1800000000 AS end_us,
+         CAST(1 AS BIGINT) AS n
+  FROM p2, w1 WHERE tus + 1800000000 > w1.v),
+m AS (
+  SELECT user_id, start_us, end_us, n,
+         CASE WHEN start_us >= MAX(end_us) OVER
+              (PARTITION BY user_id ORDER BY start_us ASC, end_us ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM elems),
+g2 AS (
+  SELECT user_id, start_us, end_us, n,
+         SUM(brk) OVER (PARTITION BY user_id
+                        ORDER BY start_us ASC, end_us ASC
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m),
+sess2 AS (
+  SELECT user_id, sid, MIN(start_us) AS start_us, MAX(end_us) AS end_us,
+         CAST(SUM(n) AS BIGINT) AS n
+  FROM g2 GROUP BY 1, 2),
+emitted2 AS (
+  SELECT user_id, start_us, end_us, n FROM sess2, w2 WHERE end_us <= w2.v)
+SELECT user_id, start_us AS session_start_us, end_us AS session_end_us,
+       n AS n_events
+FROM (SELECT * FROM emitted1 UNION ALL SELECT * FROM emitted2)
+"""
+
+QUERIES["stream_restart_sessions"] = q_stream_restart_sessions
+ORACLES["stream_restart_sessions"] = ORACLE_STREAM_RESTART_SESSIONS

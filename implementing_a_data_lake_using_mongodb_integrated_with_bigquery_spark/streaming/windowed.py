@@ -242,6 +242,109 @@ def session_windows_once(
     return result
 
 
+def restart_session_windows(
+    spark: SparkSession,
+    phase1: DataFrame,
+    phase2: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    lateness: str = "1 hour",
+    group_cols: list[str] | None = None,
+    state_partitions: int | None = 16,
+) -> tuple[DataFrame, dict]:
+    """Session windows across a checkpoint RESTART — the third stateful
+    family to get the two-run/one-checkpoint treatment (aggregates:
+    ``restart_append_counts``; joins: ``joins.restart_attribution_join``).
+
+    Run 1 sessionizes ``phase1``: sessions with end ≤ W1 (ms-truncated
+    max phase-1 event time − lateness) EMIT and evict; open sessions
+    (end > W1) persist in the checkpointed state. ``phase2`` lands and
+    the query restarts: a phase-2 row is admitted iff its provisional
+    session end ``ts + gap`` exceeds W1 (empirically pinned, strict —
+    the SESSION-WINDOW end is what the late filter tests, not the raw
+    event time), admitted rows MERGE with restored open sessions when
+    in-gap (a session genuinely spanning the restart) but can NEVER
+    re-merge with an already-emitted session (its state is gone — the
+    stream emits two sessions where batch sessionization would emit
+    one; the oracle must model exactly that), and the final watermark
+    W2 emits every session it passes. Returns (emissions-union, stats).
+    """
+    import os as _os
+    import shutil
+    import tempfile
+
+    group_cols = group_cols if group_cols is not None else ["user_id"]
+    root = tempfile.mkdtemp(prefix="restart_sessions_")
+    input_dir = _os.path.join(root, "input")
+    ckpt = _os.path.join(root, "ckpt")
+    out_dir = _os.path.join(root, "out")
+    stage2 = _os.path.join(root, "p2stage")
+    phase1.coalesce(1).write.parquet(input_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+
+    ntz_event_time = False
+
+    def run_phase() -> list:
+        nonlocal ntz_event_time
+        stream, ntz_event_time = _open_event_stream(spark, input_dir, ts_col)
+        aggd = (
+            stream.withWatermark(ts_col, lateness)
+            .groupBy(F.session_window(ts_col, gap).alias("w"), *group_cols)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        )
+        out = aggd.select(
+            *group_cols,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return list(q.recentProgress)
+
+    try:
+        prog1 = run_phase()
+        phase2.coalesce(1).write.parquet(stage2)
+        for f in _os.listdir(stage2):
+            if f.endswith(".parquet"):
+                _os.link(
+                    _os.path.join(stage2, f), _os.path.join(input_dir, f"p2-{f}")
+                )
+        prog2 = run_phase()
+        result = spark.read.parquet(out_dir)
+        if ntz_event_time:
+            result = result.withColumn(
+                "session_start", F.col("session_start").cast("timestamp_ntz")
+            ).withColumn(
+                "session_end", F.col("session_end").cast("timestamp_ntz")
+            )
+        result = result.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
+
+    def facts(progress: list) -> dict:
+        data = [p for p in progress if p["numInputRows"] > 0]
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in progress
+            for op in p.get("stateOperators", [])
+        )
+        return {"data_batches": len(data), "rows_dropped": dropped}
+
+    return result, {"phase1": facts(prog1), "phase2": facts(prog2)}
+
+
 def restart_append_counts(
     spark: SparkSession,
     phase1: DataFrame,

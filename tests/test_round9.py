@@ -412,3 +412,68 @@ def test_grouped_percentile_exact_bit_parity(spark):
         ["g"], "v", "id", {"p50": 0.5},
     ).collect()
     assert one[0].p50 == 42.5
+
+
+def test_session_restart_boundary_pins(spark):
+    """Session-window RESTART semantics (gap 30m, lateness 1h,
+    W1 = 540m, W2 = 640m): emitted phase-1 sessions EVICT (a phase-2
+    in-gap row starts a NEW session, never re-merges); open sessions
+    MERGE with admitted phase-2 rows across the restart; phase-2
+    admission is strict ts + gap > W1 (a row whose provisional session
+    end equals W1 is dropped); final cut end <= W2."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        restart_session_windows,
+    )
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def mk(rows):
+        return pd.DataFrame(
+            [
+                (i + 1, T0 + dt.timedelta(minutes=t), u, "click", 1.0, "{}")
+                for i, (t, u) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+
+    p1 = mk([
+        (100, 1), (110, 1),  # emitted phase 1: [100,140)
+        (530, 2),            # open [530,560)
+        (505, 3),            # emitted phase 1: [505,535)
+        (600, 9),            # anchor; open [600,630)
+    ])
+    p2 = mk([
+        (512, 3),  # admitted, in gap of EMITTED session -> NEW [512,542)
+        (545, 2),  # merges with open -> [530,575)
+        (560, 4), (570, 4),  # p2-only [560,600)
+        (510, 6),  # provisional end == W1 -> dropped (strict)
+        (515, 7),  # end 545 > W1 -> [515,545)
+        (700, 8),  # anchor; open [700,730) withheld
+    ])
+    out, stats = restart_session_windows(
+        spark, spark.createDataFrame(p1), spark.createDataFrame(p2)
+    )
+    base = T0.timestamp()
+    got = {
+        (
+            r.user_id,
+            int((r.session_start.timestamp() - base) // 60),
+            int((r.session_end.timestamp() - base) // 60),
+            r.n_events,
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 100, 140, 2),
+        (2, 530, 575, 2),   # spans the restart
+        (3, 505, 535, 1),   # phase-1 emission
+        (3, 512, 542, 1),   # no re-merge with the emitted one
+        (4, 560, 600, 2),
+        (7, 515, 545, 1),
+        (9, 600, 630, 1),
+    }
+    assert stats["phase2"]["rows_dropped"] == 1
