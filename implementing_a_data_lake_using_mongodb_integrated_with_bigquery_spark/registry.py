@@ -15524,3 +15524,59 @@ FROM (SELECT * FROM emitted1 UNION ALL SELECT * FROM emitted2)
 
 QUERIES["stream_restart_sessions"] = q_stream_restart_sessions
 ORACLES["stream_restart_sessions"] = ORACLE_STREAM_RESTART_SESSIONS
+
+
+def q_stream_restart_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup state across a checkpoint RESTART — the fourth
+    stateful family restarted (streaming.windowed.restart_stream_dedup):
+    phase 1 processes the even-event_id rows through
+    dropDuplicatesWithinWatermark(event_id); phase 2 REDELIVERS the
+    whole table (every even row again — the crash-redelivery scenario
+    — plus the odd rows). Pinned semantics: phase-2 admission is
+    strictly ts > W1; a key's state lives until its FIRST occurrence's
+    ts + delay falls at or below the watermark (duplicates do NOT
+    extend expiry, and with event_id keys first-ts is deterministic —
+    multi-timestamp keys would make the stored expiry
+    partition-order-dependent, the documented reason this query keys
+    on event_id); an admitted redelivery always satisfies
+    ts + delay > W1, so effectively-once SURVIVES the restart by
+    construction. Emission set: all evens once + odds with ts > W1,
+    exactly what the oracle counts per type."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        restart_stream_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out, stats = restart_stream_dedup(
+        spark,
+        phase1=e.filter(F.col("event_id") % 2 == 0),
+        phase2=e,
+        key_cols=["event_id", "event_type"],
+        delay="1 hour",
+    )
+    for tag in ("phase1", "phase2"):
+        if stats[tag]["data_batches"] != 1:
+            raise RuntimeError(f"restart replay lost batch isolation: {stats}")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_emitted"),
+        F.countDistinct("event_id").cast("long").alias("n_distinct"),
+    )
+
+
+ORACLE_STREAM_RESTART_DEDUP = """
+WITH w1 AS (
+  SELECT (epoch_us(MAX(ts)) // 1000) * 1000 - 3600000000 AS v
+  FROM events WHERE event_id % 2 = 0),
+emitted AS (
+  SELECT event_id, event_type FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_id, event_type FROM events, w1
+  WHERE event_id % 2 = 1 AND epoch_us(ts) > w1.v)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_emitted,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+FROM emitted GROUP BY event_type
+"""
+
+QUERIES["stream_restart_dedup"] = q_stream_restart_dedup
+ORACLES["stream_restart_dedup"] = ORACLE_STREAM_RESTART_DEDUP

@@ -345,6 +345,86 @@ def restart_session_windows(
     return result, {"phase1": facts(prog1), "phase2": facts(prog2)}
 
 
+def restart_stream_dedup(
+    spark: SparkSession,
+    phase1: DataFrame,
+    phase2: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+    state_partitions: int | None = 16,
+) -> tuple[DataFrame, dict]:
+    """``dropDuplicatesWithinWatermark`` across a checkpoint RESTART —
+    the fourth stateful family restarted (aggregates, joins, sessions:
+    see the sibling restart_* operators). Run 1 emits each key's first
+    occurrence and checkpoints the dedup state (per-key expiry =
+    max event time seen + delay, EXTENDED by every duplicate); run 2
+    admits phase-2 rows above the restored watermark, suppresses keys
+    whose state is still alive, and RE-EMITS keys whose state W1
+    already evicted — the documented within-the-delay guarantee
+    boundary, observable only across a restart. Returns
+    (emissions-union, stats); emitted ROW choice within a batch is
+    partition-order-nondeterministic, so callers must aggregate to
+    per-key emission counts (deterministic under the rules above)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    key_cols = key_cols or ["user_id", "event_type"]
+    root = tempfile.mkdtemp(prefix="restart_dedup_")
+    input_dir = _os.path.join(root, "input")
+    ckpt = _os.path.join(root, "ckpt")
+    out_dir = _os.path.join(root, "out")
+    stage2 = _os.path.join(root, "p2stage")
+    phase1.coalesce(1).write.parquet(input_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+
+    def run_phase() -> list:
+        stream, _ntz = _open_event_stream(spark, input_dir, ts_col)
+        deduped = stream.withWatermark(
+            ts_col, delay
+        ).dropDuplicatesWithinWatermark(key_cols)
+        q = (
+            deduped.select(*key_cols)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return list(q.recentProgress)
+
+    try:
+        prog1 = run_phase()
+        phase2.coalesce(1).write.parquet(stage2)
+        for f in _os.listdir(stage2):
+            if f.endswith(".parquet"):
+                _os.link(
+                    _os.path.join(stage2, f), _os.path.join(input_dir, f"p2-{f}")
+                )
+        prog2 = run_phase()
+        result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
+
+    def facts(progress: list) -> dict:
+        data = [p for p in progress if p["numInputRows"] > 0]
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in progress
+            for op in p.get("stateOperators", [])
+        )
+        return {"data_batches": len(data), "rows_dropped": dropped}
+
+    return result, {"phase1": facts(prog1), "phase2": facts(prog2)}
+
+
 def restart_append_counts(
     spark: SparkSession,
     phase1: DataFrame,

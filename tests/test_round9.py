@@ -477,3 +477,67 @@ def test_session_restart_boundary_pins(spark):
         (9, 600, 630, 1),
     }
     assert stats["phase2"]["rows_dropped"] == 1
+
+
+def test_dedup_restart_boundary_pins(spark):
+    """dropDuplicatesWithinWatermark across a RESTART (delay 1h,
+    W1 = 540m): phase-2 admission strictly ts > W1 (row at exactly W1
+    dropped); a single-occurrence key's state lives iff
+    first_ts + delay > W1 (expiry exactly at W1 -> evicted -> the
+    admitted redelivery RE-EMITS: the within-the-delay guarantee
+    boundary); alive state suppresses. A key with MULTIPLE distinct
+    phase-1 timestamps straddling the boundary is partition-order-
+    nondeterministic (stored expiry = FIRST-processed row's ts+delay)
+    — asserted as such, and the reason registry keys are per-event."""
+    import collections
+    import datetime as dt
+
+    import pandas as pd
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        restart_stream_dedup,
+    )
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def mk(rows):
+        return pd.DataFrame(
+            [
+                (i + 1, T0 + dt.timedelta(minutes=t), u, ty, 1.0, "{}")
+                for i, (t, ty, u) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+
+    p1 = mk([
+        (100, "click", 1),   # expiry 160 <= 540 -> evicted
+        (100, "click", 2), (520, "click", 2),  # straddling multi-ts key
+        (500, "click", 3),   # expiry 560 > 540 -> alive
+        (470, "click", 4),   # expiry 530 <= 540 -> evicted
+        (480, "click", 5),   # expiry 540 == W1 -> evicted (strict >)
+        (600, "click", 9),   # watermark anchor
+    ])
+    p2 = mk([
+        (550, "click", 1),  # re-emits (state gone)
+        (550, "click", 2),  # nondeterministic (see docstring)
+        (550, "click", 3),  # suppressed
+        (550, "click", 4),  # re-emits
+        (550, "click", 5),  # re-emits (boundary)
+        (530, "click", 6),  # ts < W1 -> dropped
+        (540, "click", 7),  # ts == W1 -> dropped (strict)
+        (545, "click", 8),  # fresh -> emits
+        (700, "click", 10),  # anchor + fresh -> emits
+    ])
+    out, stats = restart_stream_dedup(
+        spark,
+        spark.createDataFrame(p1),
+        spark.createDataFrame(p2),
+        key_cols=["user_id", "event_type"],
+    )
+    cnt = collections.Counter(r.user_id for r in out.collect())
+    assert cnt[1] == 2 and cnt[4] == 2 and cnt[5] == 2  # evicted -> re-emit
+    assert cnt[3] == 1  # alive -> suppressed
+    assert cnt[6] == 0 and cnt[7] == 0  # late drops, strict ts > W1
+    assert cnt[8] == 1 and cnt[9] == 1 and cnt[10] == 1
+    assert cnt[2] in (1, 2)  # straddling multi-ts key: nondeterministic
+    assert stats["phase2"]["rows_dropped"] == 2
