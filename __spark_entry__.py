@@ -166,6 +166,19 @@ _DRIVER_VERIFIED = frozenset(
         "spearman_rank_correlation", "sql_udf_rollup",
         "time_weighted_average", "two_hop_reach", "woe_binning",
         "zipf_rank_frequency",
+        # round 9 (50 green rows in CORRECTNESS_r09.json — the 23 new
+        # r9 queries below plus 27 fragile-first re-verifications;
+        # cumulative 308/308 distinct queries driver-green)
+        "acf_hourly_lags", "association_rules", "audio_signal_features",
+        "forecast_conformal_band", "gini_concentration",
+        "grouped_exact_median", "grouped_value_quartiles",
+        "identifier_clause_rollup", "image_ahash_neardup",
+        "incremental_join_maintenance", "kmv_sketch_overlap",
+        "map_functions", "percentile_disc_parity", "recursive_cte_depth",
+        "seasonal_naive_mase", "stream_full_outer_attribution",
+        "stream_restart_attribution", "stream_restart_dedup",
+        "stream_restart_sessions", "subsample_ci_revenue",
+        "theil_sen_trend", "touch_attribution_split", "winnowing_overlap",
     }
 )
 
@@ -180,9 +193,19 @@ _DRIVER_VERIFIED = frozenset(
 #      quantiles) — tolerance / engine-numerics risk;
 #   4. everything else, stable registry order.
 _FRAGILE_FIRST = (
-    # reimplemented in round 9 (grouped_rank / grouped_percentile_exact
-    # rebuilds of scale-weak shapes) — green history, new code: must
+    # touched in round 10 (winsorize rebuilt on grouped_percentile_exact;
+    # ntile_exact/grouped_ntile_exact bucket math moved to BIGINT div;
+    # reserved-name guards added to global_rank/grouped_rank) — green
+    # history, new code: every query through those operators must
     # re-verify ahead of the stability set
+    "value_winsorized", "global_value_ntile", "global_value_rank",
+    "curriculum_plan", "rfm_segments", "decile_lift_curve",
+    "woe_binning", "gini_concentration", "pareto_revenue_curve",
+    "grouped_value_quartiles", "grouped_exact_median",
+    "forecast_conformal_band", "layout_locality_audit",
+    "kmv_sketch_overlap",
+    # reimplemented in round 9 (grouped_rank / grouped_percentile_exact
+    # rebuilds of scale-weak shapes)
     "value_percentiles", "approx_quantile_check", "mad_by_type",
     "percentile_cont_parity", "spearman_rank_correlation",
     # streaming replays and stateful pipelines

@@ -21,8 +21,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def flatten_weather(raw: DataFrame) -> DataFrame:
+def flatten_weather(raw: DataFrame, passthrough: list[str] | None = None) -> DataFrame:
+    """``passthrough``: extra top-level columns of ``raw`` carried
+    through unchanged (e.g. the CDC event timestamp the update path's
+    last-write-wins collapse orders by — carrying it through the
+    projection keeps post-image↔timestamp pairing row-accurate, where
+    a re-join by id would cross-pair multiple updates to one key)."""
     flat = raw.select(
+        *(passthrough or []),
         F.col("_id").cast("string").alias("id"),
         F.col("place_id"),
         F.col("current.*"),

@@ -8,11 +8,21 @@ broadcast join back onto the fact stream and a map-only row
 transform. The corpus is scanned twice but never shuffled — at 100 TB
 the second scan is the cheap part and the stats table is bytes.
 
-Determinism: winsor bounds use exact sort-based percentiles
-(``F.percentile`` ↔ DuckDB ``quantile_cont`` — the established
-``value_percentiles`` parity); z-scores derive from exact
-scaled-integer power sums (the ``value_moments`` convention), never
-the order-sensitive streaming ``stddev``.
+Determinism: winsor bounds use exact order-statistics percentiles
+(:func:`..windows.grouped_percentile_exact` — bit-equal to both
+``F.percentile`` and DuckDB ``quantile_cont``, proven by
+``test_grouped_percentile_exact_bit_parity``); z-scores derive from
+exact scaled-integer power sums (the ``value_moments`` convention),
+never the order-sensitive streaming ``stddev``.
+
+Scale note (r10): the bounds table is NOT computed with the
+``percentile()`` aggregate — its buffer holds EVERY value of a group,
+so a ~5-value group key over a fact table is five fact-sized
+aggregation buffers at 100 TB (the r9 audit's unbounded-buffer
+class). ``grouped_percentile_exact`` range-sorts on the composite
+(group, value) key instead, so every task handles ~|data|/|tasks|
+rows regardless of group cardinality; the resulting |groups|-row
+bounds table is then genuinely tiny and broadcast back.
 """
 
 from __future__ import annotations
@@ -20,19 +30,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .windows import grouped_percentile_exact
+
 
 def winsorize(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
+    tiebreak_col: str,
     lo: float = 0.01,
     hi: float = 0.99,
 ) -> DataFrame:
     """Clip ``value_col`` to its per-group [lo, hi] exact percentile
-    band: adds ``<value>_clipped`` (6dp) and ``was_clipped``."""
-    bounds = df.groupBy(*group_cols).agg(
-        F.percentile(value_col, F.lit(lo)).alias("_lo"),
-        F.percentile(value_col, F.lit(hi)).alias("_hi"),
+    band: adds ``<value>_clipped`` (6dp) and ``was_clipped``.
+    ``tiebreak_col`` must make (value, tiebreak) a per-group total
+    order (any unique id column)."""
+    bounds = grouped_percentile_exact(
+        df.select(*group_cols, value_col, tiebreak_col),
+        group_cols,
+        value_col,
+        tiebreak_col,
+        {"_lo": lo, "_hi": hi},
     )
     v = F.col(value_col)
     clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))

@@ -236,6 +236,10 @@ def global_rank(
     boundaries, so the operator is deterministic even though the range
     sampler isn't pinned.
     """
+    reserved = {"_pid", "_local", "_offset", "_cnt"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"global_rank: rename columns {clash}")
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
@@ -315,6 +319,10 @@ def grouped_rank(
     unique tiebreak) — then ranks are unique per group and independent
     of partition boundaries.
     """
+    reserved = {"_pid", "_local", "_goff", "_cnt", "_start"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"grouped_rank: rename columns {clash}")
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in [*group_cols, *order_cols]]
@@ -364,21 +372,29 @@ def grouped_ntile_exact(
     :func:`grouped_rank` — the group-keyed twin of :func:`ntile_exact`,
     safe for LOW-CARDINALITY group keys where a partitioned window
     would collapse into a few fact-sized single-task sorts. Per-group
-    totals are a |groups|-row aggregate joined back by broadcast."""
+    totals are a |groups|-row aggregate joined back by broadcast.
+
+    The bucket index is pure BIGINT arithmetic (``div``, the repo's
+    integer-division discipline) — the earlier double-divide+floor
+    form was exact only below ~2^53 ranks."""
+    reserved = {"_grank", "_gn"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"grouped_ntile_exact: rename columns {clash}")
     ranked = grouped_rank(df, group_cols, order_cols, rank_col="_grank")
     totals = ranked.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("_gn")
     )
-    q = F.floor(F.col("_gn") / buckets).cast("long")
-    m = F.col("_gn") % buckets
-    r0 = F.col("_grank") - 1
-    big_span = (q + 1) * m
-    bucket = F.when(m == 0, r0 / q).when(r0 < big_span, r0 / (q + 1)).otherwise(
-        m + (r0 - big_span) / q
+    joined = ranked.join(F.broadcast(totals), group_cols)
+    bucket = F.expr(
+        f"CASE WHEN _gn % {buckets} = 0 THEN (_grank - 1) div (_gn div {buckets}) "
+        f"WHEN _grank - 1 < (_gn div {buckets} + 1) * (_gn % {buckets}) "
+        f"THEN (_grank - 1) div (_gn div {buckets} + 1) "
+        f"ELSE _gn % {buckets} + (_grank - 1 - (_gn div {buckets} + 1) * (_gn % {buckets})) "
+        f"div (_gn div {buckets}) END"
     )
     return (
-        ranked.join(F.broadcast(totals), group_cols)
-        .withColumn(bucket_col, (F.floor(bucket) + 1).cast("long"))
+        joined.withColumn(bucket_col, (bucket + 1).cast("long"))
         .drop("_grank", "_gn")
     )
 
@@ -484,18 +500,24 @@ def ntile_exact(
     """Exact equal-frequency binning (SQL ``NTILE`` semantics: the first
     ``n mod k`` buckets hold one extra row) built on :func:`global_rank`
     — distributed, no single-partition window. The total row count is a
-    1-row aggregate joined back by broadcast."""
+    1-row aggregate joined back by broadcast. Bucket index in pure
+    BIGINT ``div`` arithmetic (exact at any rank, unlike
+    double-divide+floor)."""
+    reserved = {"_grank", "_n"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"ntile_exact: rename columns {clash}")
     ranked = global_rank(df, order_cols, rank_col="_grank")
     total = ranked.agg(F.count(F.lit(1)).alias("_n"))
-    q = F.floor(F.col("_n") / buckets).cast("long")  # base bucket size
-    m = F.col("_n") % buckets  # buckets holding q+1 rows
-    r0 = F.col("_grank") - 1  # 0-based rank
-    big_span = (q + 1) * m  # rows covered by the larger buckets
-    bucket = F.when(m == 0, r0 / q).when(r0 < big_span, r0 / (q + 1)).otherwise(
-        m + (r0 - big_span) / q
+    joined = ranked.crossJoin(F.broadcast(total))
+    bucket = F.expr(
+        f"CASE WHEN _n % {buckets} = 0 THEN (_grank - 1) div (_n div {buckets}) "
+        f"WHEN _grank - 1 < (_n div {buckets} + 1) * (_n % {buckets}) "
+        f"THEN (_grank - 1) div (_n div {buckets} + 1) "
+        f"ELSE _n % {buckets} + (_grank - 1 - (_n div {buckets} + 1) * (_n % {buckets})) "
+        f"div (_n div {buckets}) END"
     )
     return (
-        ranked.crossJoin(F.broadcast(total))
-        .withColumn(bucket_col, (F.floor(bucket) + 1).cast("long"))
+        joined.withColumn(bucket_col, (bucket + 1).cast("long"))
         .drop("_grank", "_n")
     )

@@ -220,6 +220,97 @@ def count_low_parallelism_windows(
     return n
 
 
+import re as _re
+
+# Aggregate functions whose per-group buffer grows with the data fed
+# into the group — exact percentile/median buffer EVERY row's value,
+# collect_list/listagg every row, collect_set/mode every DISTINCT
+# value. AggregateExpression.toString carries the phase as a prefix
+# (partial_/merge_/finalmerge_), matched explicitly;
+# `percentile_approx`/`approx_percentile` deliberately do NOT match
+# (no \b after the `approx_` underscore, and `approx_` is not an
+# allowed prefix) — their buffers are bounded by the accuracy param.
+_BUFFERING_AGG_RE = _re.compile(
+    r"\b(?:partial_|merge_|finalmerge_|final_)?"
+    r"(percentile|median|collect_list|collect_set|mode|listagg"
+    r"|array_agg|string_agg|histogram_numeric)\("
+)
+
+
+def unbounded_agg_buffer_stats(df: DataFrame) -> list[dict]:
+    """For every ObjectHashAggregateExec/SortAggregateExec in the
+    EXECUTED plan whose aggregate expressions contain a buffering
+    function (see ``_BUFFERING_AGG_RE``): the matched function names,
+    the runtime input rows (nearest descendant metric, -1 unknown) and
+    the node's own output rows (groups for a final aggregate,
+    per-task partials for a partial one — buffering functions have no
+    map-side reduction, so BOTH phases hold the full per-group state).
+
+    This is the aggregation-buffer twin of
+    :func:`partitioned_window_stats` — the round-9/10 audit class: an
+    exact ``percentile()`` grouped by a ~5-value key over a fact table
+    is five fact-sized aggregation buffers at 100 TB even though the
+    RESULT is five rows. The plan must have run (metrics live on the
+    executed tree)."""
+    roots = [df._jdf.queryExecution().executedPlan()]
+    out: list[dict] = []
+    seen_ids: set[int] = set()
+    while roots:
+        node = roots.pop(0)
+        nid = node.id()
+        if nid in seen_ids:
+            continue
+        seen_ids.add(nid)
+        cls = node.getClass().getSimpleName()
+        if cls in ("ObjectHashAggregateExec", "SortAggregateExec"):
+            try:
+                aggs = node.aggregateExpressions()
+                exprs = [aggs.apply(i).toString() for i in range(aggs.size())]
+            except Exception:
+                exprs = []
+            funcs = sorted(
+                {m.group(1) for e in exprs for m in _BUFFERING_AGG_RE.finditer(e)}
+            )
+            if funcs:
+                out.append(
+                    {
+                        "functions": funcs,
+                        "input_rows": _subtree_input_rows(node),
+                        "output_rows": _node_metric(node, "numOutputRows"),
+                    }
+                )
+        roots.extend(_plan_children(node))
+    return out
+
+
+def count_unbounded_agg_buffers(
+    df: DataFrame,
+    min_input_rows: int = 1000,
+    min_ratio: float = 64.0,
+) -> int:
+    """Buffering-aggregate nodes whose runtime input was fact-sized AND
+    whose rows-per-group ratio (input rows ÷ node output rows) exceeds
+    ``min_ratio`` — i.e. the per-group buffer genuinely accumulates a
+    data-volume-dependent slice, not a domain-bounded handful.
+
+    Small-group collects (per-order lines ≤7, per-(type,hour) maps)
+    pass the ratio test by construction; a percentile over a ~5-value
+    key (ratio ≈ |rows|/5/|tasks| per partial) flags. Unknown input
+    (-1) counts as large — the conservative reading."""
+    n = 0
+    for st in unbounded_agg_buffer_stats(df):
+        rows = st["input_rows"]
+        if 0 <= rows < min_input_rows:
+            continue
+        if rows < 0:
+            n += 1
+            continue
+        groups = st["output_rows"] or 1
+        if rows / groups >= min_ratio:
+            n += 1
+    return n
+
+
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
     """True if the parquet scan's PushedFilters mentions ``fragment``."""
     plan = physical_plan(df)

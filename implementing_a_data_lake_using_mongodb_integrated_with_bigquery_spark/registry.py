@@ -3085,15 +3085,19 @@ ORACLES["sliding_hour_windows"] = ORACLE_SLIDING
 
 def q_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type winsorization (operators.outliers.winsorize): clip
-    event values into the exact [p05, p95] band of their type. Tiny
-    percentile aggregate broadcast back; the fact scan never
-    shuffles."""
+    event values into the exact [p05, p95] band of their type. Bounds
+    come from grouped_percentile_exact (r10: composite-key range sort,
+    bit-equal to percentile()/quantile_cont) — NOT the percentile()
+    aggregate, whose buffer holds every value of a group and makes a
+    ~5-value group key five fact-sized buffers at 100 TB. The
+    resulting 5-row bounds table is broadcast back; the fact scan
+    never hash-shuffles."""
     from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.outliers import (
         winsorize,
     )
 
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    out = winsorize(e, ["event_type"], "value", lo=0.05, hi=0.95)
+    out = winsorize(e, ["event_type"], "value", "event_id", lo=0.05, hi=0.95)
     return out.select(
         "event_id", "event_type",
         F.round("value", 6).alias("value"),

@@ -193,9 +193,12 @@ def apply_cdc_batch(
                 "append"
             ).json(os.path.join(dlq_path, "fk_violations"))
         upd_docs = fk_filter(upd_docs, places_dim, "place_id")
-        flat_upd = flatten_weather(upd_docs.drop("ts")).join(
-            upd_docs.select(F.col("_id").cast("string").alias("id"), "ts"), "id"
-        )
+        # ts rides THROUGH the flatten projection (passthrough) — the
+        # earlier re-join by id cross-paired post-images with timestamps
+        # when one batch carried two updates for one key, making the
+        # LWW pick nondeterministic (regression-pinned in
+        # tests/test_round10.py)
+        flat_upd = flatten_weather(upd_docs, passthrough=["ts"])
         newest = last_write_wins(flat_upd, "id", "ts").drop("ts")
         if target is None:
             with_bucket(newest).write.mode("overwrite").partitionBy(
@@ -215,6 +218,93 @@ def cdc_foreach_batch(target_path: str, places_dim: DataFrame, dlq_path: str):
         apply_cdc_batch(batch_df, batch_id, target_path, places_dim, dlq_path)
 
     return _body
+
+
+def cdc_merge_replay(
+    spark: SparkSession,
+    phases: list[DataFrame],
+    places_dim: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Deterministic phased replay of the FULL CDC merge — the
+    reference's daemon loop (T1 dispatch → insert path → LWW update
+    path → delete no-op → unknown-op DLQ,
+    ``src/process_insert_update_weather_data.py:166-187``) executed as
+    real micro-batches: each phase lands as one parquet file with
+    strictly increasing mtimes (``streaming/phasing.py``), and
+    ``maxFilesPerTrigger=1`` maps phase i → micro-batch i, so the
+    cross-batch state (the target table itself — inserts in batch 0
+    are update targets in batch 1) is a pure function of the phase
+    construction and hence relationally oracle-able.
+
+    Returns (fact, dlq_fk, dlq_unknown) as batch DataFrames read back
+    from the target and dead-letter sinks, each eagerly
+    localCheckpoint-ed so the temp stores can be deleted. The
+    phase→batch mapping is guarded both by row counts
+    (``check_batch_structure``) and by file paths
+    (``check_admission_log``)."""
+    import shutil
+    import tempfile
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.schemas import (
+        CDC_EVENT,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.phasing import (
+        check_admission_log,
+        check_batch_structure,
+        stage_phase_files,
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_replay_")
+    input_dir = os.path.join(root, "input")
+    target = os.path.join(root, "fact")
+    dlq = os.path.join(root, "dlq")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        counts = stage_phase_files(phases, input_dir)
+        stream = (
+            spark.readStream.schema(CDC_EVENT)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                cdc_foreach_batch(target, places_dim, dlq)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        check_batch_structure(list(q.recentProgress), counts, "cdc_merge_replay")
+        check_admission_log(ckpt, len(phases), "cdc_merge_replay")
+
+        fact = read_target(spark, target)
+        fact = fact.localCheckpoint(eager=True) if fact is not None else None
+
+        def _read_dlq(sub: str, schema: str) -> DataFrame:
+            path = os.path.join(dlq, sub)
+            if _has_json(path):
+                return spark.read.json(path).localCheckpoint(eager=True)
+            return spark.createDataFrame([], schema)
+
+        dlq_fk = _read_dlq(
+            "fk_violations",
+            "_id string, place_id string, "
+            "current struct<temp_c: double>, batch_id long",
+        )
+        dlq_unknown = _read_dlq(
+            "unknown_ops", "operation_type string, batch_id long"
+        )
+        return fact, dlq_fk, dlq_unknown
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _has_json(path: str) -> bool:
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".json") for f in files):
+            return True
+    return False
 
 
 def start_cdc_stream(

@@ -386,8 +386,8 @@ def restart_attribution_join(
     W1 = min over both types of (ms-truncated max phase-1 event time)
     − lateness. ``phase2`` then lands as a new file and the query
     restarts: phase-2 rows at or below W1 are dropped as late
-    (empirically: the input filter is ``ts ≥ W1`` kept, i.e. strictly
-    older than W1 dropped — pinned in tests/test_round9.py together
+    (empirically: kept iff ``ts > W1`` — a row exactly at W1 is
+    DROPPED; strict admission pinned in tests/test_round9.py together
     with the state-eviction boundaries), surviving phase-2 rows match
     against the RESTORED phase-1 buffers (minus rows W1 already
     evicted: clicks with left_ts + horizon < W1, purchases with

@@ -357,8 +357,12 @@ def restart_stream_dedup(
     """``dropDuplicatesWithinWatermark`` across a checkpoint RESTART —
     the fourth stateful family restarted (aggregates, joins, sessions:
     see the sibling restart_* operators). Run 1 emits each key's first
-    occurrence and checkpoints the dedup state (per-key expiry =
-    max event time seen + delay, EXTENDED by every duplicate); run 2
+    occurrence and checkpoints the dedup state (per-key expiry = the
+    FIRST-processed occurrence's event time + delay, NOT extended by
+    later duplicates — empirically pinned in tests/test_round9.py;
+    since first-processed is partition-order-nondeterministic for
+    multi-timestamp keys, oracle-able restart keys must be
+    single-timestamp, e.g. event_id); run 2
     admits phase-2 rows above the restored watermark, suppresses keys
     whose state is still alive, and RE-EMITS keys whose state W1
     already evicted — the documented within-the-delay guarantee

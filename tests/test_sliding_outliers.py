@@ -61,9 +61,9 @@ def test_sliding_agg_rejects_nondivisible_slide(spark):
 
 
 def test_winsorize_clips_to_percentile_band(spark):
-    rows = [("a", float(v)) for v in range(1, 101)]  # 1..100
-    df = spark.createDataFrame(rows, ["g", "v"])
-    out = winsorize(df, ["g"], "v", lo=0.10, hi=0.90)
+    rows = [("a", float(v), v) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    out = winsorize(df, ["g"], "v", "id", lo=0.10, hi=0.90)
     clipped = {r.v: (r.v_clipped, r.was_clipped) for r in out.collect()}
     # exact linear-interp percentiles of 1..100: p10=10.9, p90=90.1
     assert clipped[1.0] == (10.9, True)
