@@ -178,6 +178,8 @@ def _jaccard_prefix_filtered(
         expl.join(dfreq, "shingle")
         .groupBy("doc")
         .agg(
+            # bounded buffer: one group = ONE document's shingle set
+            # (≤ doc length, a content constant — never corpus-sized)
             F.array_sort(F.collect_list(F.struct("dfreq", "shingle"))).alias("ranked"),
             F.count(F.lit(1)).cast("long").alias("n_sh"),
         )
@@ -448,6 +450,8 @@ def containment_pairs(
         expl.join(dfreq, "shingle")
         .groupBy("doc")
         .agg(
+            # bounded buffer: one group = ONE document's shingle set
+            # (≤ doc length, a content constant — never corpus-sized)
             F.array_sort(F.collect_list(F.struct("dfreq", "shingle"))).alias(
                 "ranked"
             ),

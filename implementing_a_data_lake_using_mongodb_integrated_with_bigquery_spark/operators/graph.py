@@ -218,7 +218,9 @@ def partitioned_components(
         .localCheckpoint(eager=True)
     )
     # a node with labels {L1..Lk} across blocks proves L1..Lk are one
-    # component: star-connect them through the node's min label
+    # component: star-connect them through the node's min label.
+    # bounded buffer: the collect_set holds one label per BLOCK the
+    # node appears in (≤ bands/cells per node, a parameter constant)
     per_node = local.groupBy("node").agg(
         F.min("label").alias("lmin"), F.collect_set("label").alias("labels")
     ).localCheckpoint(eager=True)

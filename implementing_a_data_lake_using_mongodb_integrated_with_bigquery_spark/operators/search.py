@@ -8,9 +8,10 @@ as relational operations instead of corpus scans.
 
 Scale shape: the index build is wordcount-shaped (explode distinct
 terms → one combiner-reduced shuffle on the term); postings lists are
-sorted for determinism and CAPPED — an uncapped ``collect_list`` on a
-Zipf head term ("the" at 100 TB) is an executor OOM, so the cap rides
-a size guard and ``df`` is kept exact alongside the truncated list.
+sorted for determinism and PRE-CUT — an uncapped ``collect_list`` on a
+Zipf head term ("the" at 100 TB) is an executor OOM, so a skew-immune
+grouped_rank cut bounds the buffer itself to ``max_postings`` and
+``df`` is kept exact alongside the truncated list.
 Conjunctive (AND) search never builds postings at all: it filters the
 term table to the query terms (predicate pushes to the scan), then one
 hash aggregate per document checks that ALL terms matched — corpus
@@ -35,17 +36,32 @@ def build_inverted_index(
 ) -> DataFrame:
     """(term, df, postings): exact document frequency plus the sorted
     postings list truncated to the ``max_postings`` smallest doc ids.
-    Deterministic: collect_list order is normalized by array_sort
-    before the cap."""
+
+    The cap is applied BEFORE the collect (r10): a grouped_rank over
+    the composite (term, id) range sort keeps a Zipf-head term ("the"
+    at 100 TB appears in every document) spread across tasks —
+    skew-immune, unlike a per-term window — and the rank ≤ k filter
+    bounds every collect_list buffer to ≤ max_postings entries. The
+    earlier collect-then-slice form capped the OUTPUT but still
+    buffered the head term's corpus-sized postings in one aggregation
+    buffer (the round-10 unbounded-buffer lint class). Deterministic:
+    ranks follow the (id) total order, array_sort canonicalizes."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        grouped_rank,
+    )
+
     pairs = docs.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term")
     )
-    return pairs.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.slice(F.array_sort(F.collect_list(id_col)), 1, max_postings).alias(
-            "postings"
-        ),
+    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    head = grouped_rank(pairs, ["term"], [id_col], rank_col="_pr").filter(
+        F.col("_pr") <= max_postings
     )
+    postings = head.groupBy("term").agg(
+        # bounded buffer: ≤ max_postings ids per term by the rank cut
+        F.array_sort(F.collect_list(id_col)).alias("postings")
+    )
+    return dfreq.join(postings, "term").select("term", "df", "postings")
 
 
 def keyword_and_search(

@@ -7151,6 +7151,8 @@ def q_nested_rebuild_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The document-shape inverse of P5's struct flattening
     (``src/process_insert_update_weather_data.py:83-93``)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # bounded buffer: one group = one order's lines (≤ 7 by TPC-H
+    # construction — a schema constant, never data-volume-dependent)
     arr = F.array_sort(
         F.collect_list(
             F.struct(
@@ -15132,6 +15134,9 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("h"),
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
     mapped = hourly.groupBy("event_type").agg(
+        # bounded buffer: input is the PRE-AGGREGATED hourly table, so
+        # one group holds ≤ |distinct hours in the window| entries —
+        # time-domain-bounded, not event-volume-dependent
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct(F.col("h"), F.col("c"))))
         ).alias("m")
@@ -15584,3 +15589,415 @@ FROM emitted GROUP BY event_type
 
 QUERIES["stream_restart_dedup"] = q_stream_restart_dedup
 ORACLES["stream_restart_dedup"] = ORACLE_STREAM_RESTART_DEDUP
+
+
+# --------------------------------- round 10: CDC merge end-to-end replay
+
+def q_stream_cdc_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CDC daemon loop driver-oracled END-TO-END
+    (streaming.cdc_merge.cdc_merge_replay): a three-phase deterministic
+    micro-batch replay exercising, in ONE stream, every T1–T3 path —
+    insert (with within-batch duplicate collapse and FK-orphan DLQ),
+    update-to-existing (LWW collapse incl. two updates to one key in
+    one batch), update-to-missing (upsert), cross-batch update override
+    through the restored target state, delete (no-op by design,
+    reference README.md:15), and unknown-op poison events → DLQ
+    (vs the reference's os._exit(1),
+    src/process_insert_update_weather_data.py:166-187).
+
+    Event construction is a pure function of the events table
+    (event_id < 400, so identical at every SF — the replay cost is
+    constant while the semantics stay cross-batch real):
+      - i % 4 == 0  → phase-1 insert of key w{i}, temp = i; ids with
+        i % 20 == 0 are emitted twice (identical docs — the any-winner
+        within-batch dedup stays deterministic)
+      - i % 4 == 1  → phase-2 update of key w{i-1}, temp = i+100; ids
+        with i % 8 == 1 emit a SECOND later update temp = i+200 (LWW)
+      - i % 4 == 2  → phase-2 update of MISSING key w{i} (upsert),
+        temp = i+500
+      - i % 4 == 3  → phase-2 delete of key w{i-3} (no-op)
+      - i % 40 == 3 → phase-2 unknown op 'op_{i}' (poison → DLQ)
+      - i % 8 == 5  → phase-3 update of key w{i-1}, temp = i+1000
+        (overrides the phase-2 state RESTORED from the target table)
+    place_id = 'p' || (user_id % 8); the places dim holds p0..p5, so
+    user_id % 8 ∈ {6,7} rows are FK orphans on every path. All temps
+    are integer-valued doubles (exact through parquet/JSON roundtrips).
+
+    Output: the final fact state plus both dead-letter sinks as
+    (kind, id, place_id, temp_c) rows."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.schemas import (
+        LOCATION,
+        PLACES_DIM,
+        WEATHER_RAW,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.cdc_merge import (
+        cdc_merge_replay,
+    )
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < 400)
+        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    eid = F.col("event_id")
+    place = F.concat(F.lit("p"), (F.col("user_id") % 8).cast("string"))
+    wkey = F.concat(F.lit("w"), eid.cast("string"))
+    wprev = F.concat(F.lit("w"), (eid - 1).cast("string"))
+
+    dnull = F.lit(None).cast("double")
+    inull = F.lit(None).cast("int")
+
+    def cur(temp):
+        return F.struct(
+            F.lit(1700000000).cast("long").alias("last_updated_epoch"),
+            F.lit("2024-01-01 00:00").alias("last_updated"),
+            temp.cast("double").alias("temp_c"),
+            dnull.alias("temp_f"),
+            F.lit(1).cast("int").alias("is_day"),
+            F.struct(
+                F.lit("Sunny").alias("text"),
+                F.lit("i").alias("icon"),
+                F.lit(1000).cast("int").alias("code"),
+            ).alias("condition"),
+            dnull.alias("wind_mph"), dnull.alias("wind_kph"),
+            inull.alias("wind_degree"),
+            F.lit(None).cast("string").alias("wind_dir"),
+            dnull.alias("pressure_mb"), dnull.alias("pressure_in"),
+            dnull.alias("precip_mm"), dnull.alias("precip_in"),
+            inull.alias("humidity"), inull.alias("cloud"),
+            dnull.alias("feelslike_c"), dnull.alias("feelslike_f"),
+            dnull.alias("vis_km"), dnull.alias("vis_miles"),
+            dnull.alias("uv"), dnull.alias("gust_mph"),
+            dnull.alias("gust_kph"),
+        )
+
+    def doc(key, temp):
+        return F.struct(
+            key.alias("_id"),
+            place.alias("place_id"),
+            F.lit(None).cast(LOCATION).alias("location"),
+            cur(temp).alias("current"),
+        )
+
+    def env(op_col, doc_col, key_col, ts_col):
+        return [
+            op_col.alias("operation_type"),
+            F.lit("lake").alias("ns_db"),
+            F.lit("weather").alias("ns_coll"),
+            doc_col.alias("full_document"),
+            key_col.alias("document_key"),
+            ts_col.alias("ts"),
+        ]
+
+    no_doc = F.lit(None).cast(WEATHER_RAW)
+    no_key = F.lit(None).cast("string")
+    h1 = F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    h2 = F.col("ts") + F.expr("INTERVAL 2 HOUR")
+    h3 = F.col("ts") + F.expr("INTERVAL 3 HOUR")
+
+    ins = e.where(eid % 4 == 0).select(
+        *env(F.lit("insert"), doc(wkey, eid.cast("double")), no_key, F.col("ts"))
+    )
+    dups = e.where(eid % 20 == 0).select(
+        *env(F.lit("insert"), doc(wkey, eid.cast("double")), no_key, F.col("ts"))
+    )
+    phase1 = ins.unionByName(dups)
+
+    upd_a = e.where(eid % 4 == 1).select(
+        *env(F.lit("update"), doc(wprev, (eid + 100).cast("double")), wprev, h1)
+    )
+    upd_b = e.where(eid % 8 == 1).select(
+        *env(F.lit("update"), doc(wprev, (eid + 200).cast("double")), wprev, h2)
+    )
+    ups = e.where(eid % 4 == 2).select(
+        *env(F.lit("update"), doc(wkey, (eid + 500).cast("double")), wkey, h1)
+    )
+    dels = e.where(eid % 4 == 3).select(
+        *env(
+            F.lit("delete"),
+            no_doc,
+            F.concat(F.lit("w"), (eid - 3).cast("string")),
+            F.col("ts"),
+        )
+    )
+    unk = e.where(eid % 40 == 3).select(
+        *env(
+            F.concat(F.lit("op_"), eid.cast("string")),
+            no_doc,
+            no_key,
+            F.col("ts"),
+        )
+    )
+    phase2 = upd_a.unionByName(upd_b).unionByName(ups).unionByName(dels).unionByName(unk)
+
+    phase3 = e.where(eid % 8 == 5).select(
+        *env(F.lit("update"), doc(wprev, (eid + 1000).cast("double")), wprev, h3)
+    )
+
+    places = spark.createDataFrame(
+        [
+            (f"p{i}", None, None, "VN", "21.0N", "105.8E", f"Place {i}", None, None)
+            for i in range(6)
+        ],
+        PLACES_DIM,
+    )
+
+    fact, dlq_fk, dlq_unknown = cdc_merge_replay(
+        spark, [phase1, phase2, phase3], places
+    )
+    fact_out = fact.select(
+        F.lit("fact").alias("kind"), "id", "place_id", F.col("temp_c")
+    )
+    fk_out = dlq_fk.select(
+        F.lit("dlq_fk").alias("kind"),
+        F.col("_id").alias("id"),
+        "place_id",
+        F.col("current.temp_c").alias("temp_c"),
+    )
+    unk_out = dlq_unknown.select(
+        F.lit("dlq_unknown").alias("kind"),
+        F.col("operation_type").alias("id"),
+        F.lit(None).cast("string").alias("place_id"),
+        F.lit(None).cast("double").alias("temp_c"),
+    )
+    return fact_out.unionByName(fk_out).unionByName(unk_out)
+
+
+# Relational replay of the full event mix. Phase isolation makes the
+# cross-batch state (the target table) a chain of merges: fact1 =
+# FK-surviving phase-1 inserts (duplicates collapse to one row BEFORE
+# the FK check, so orphan keys dead-letter once); fact2 = fact1
+# full-outer-merged with the LWW-collapsed phase-2 updates (the
+# i%8==1 keys' later +200 post-image wins; update-to-missing keys
+# upsert); fact3 = fact2 merged with the phase-3 overrides. The FK DLQ
+# sees phase-1 inserts post-dedup but update events PRE-collapse (the
+# reference logs every rejected event), and unknown ops land once each.
+ORACLE_STREAM_CDC_MERGE = """
+WITH base AS MATERIALIZED (
+  SELECT event_id AS i,
+         'p' || (user_id % 8) AS place,
+         (user_id % 8) <= 5 AS ok
+  FROM events WHERE event_id < 400
+),
+ins AS MATERIALIZED (
+  SELECT 'w' || i AS id, place, CAST(i AS DOUBLE) AS temp, ok
+  FROM base WHERE i % 4 = 0
+),
+fact1 AS MATERIALIZED (SELECT id, place, temp FROM ins WHERE ok),
+upd_events AS MATERIALIZED (
+  SELECT 'w' || (i - 1) AS id, place, CAST(i + 100 AS DOUBLE) AS temp,
+         ok, 1 AS seq
+  FROM base WHERE i % 4 = 1
+  UNION ALL
+  SELECT 'w' || (i - 1), place, CAST(i + 200 AS DOUBLE), ok, 2
+  FROM base WHERE i % 8 = 1
+  UNION ALL
+  SELECT 'w' || i, place, CAST(i + 500 AS DOUBLE), ok, 1
+  FROM base WHERE i % 4 = 2
+),
+u2 AS MATERIALIZED (
+  SELECT id, MIN(place) AS place, MAX_BY(temp, seq) AS temp
+  FROM upd_events WHERE ok GROUP BY id
+),
+fact2 AS MATERIALIZED (
+  SELECT COALESCE(u.id, f.id) AS id,
+         COALESCE(u.place, f.place) AS place,
+         COALESCE(u.temp, f.temp) AS temp
+  FROM fact1 f FULL JOIN u2 u ON f.id = u.id
+),
+u3 AS MATERIALIZED (
+  SELECT 'w' || (i - 1) AS id, place, CAST(i + 1000 AS DOUBLE) AS temp
+  FROM base WHERE i % 8 = 5 AND ok
+),
+fact3 AS MATERIALIZED (
+  SELECT COALESCE(u.id, f.id) AS id,
+         COALESCE(u.place, f.place) AS place,
+         COALESCE(u.temp, f.temp) AS temp
+  FROM fact2 f FULL JOIN u3 u ON f.id = u.id
+),
+dlq AS (
+  SELECT id, place, temp FROM ins WHERE NOT ok
+  UNION ALL
+  SELECT id, place, temp FROM upd_events WHERE NOT ok
+  UNION ALL
+  SELECT 'w' || (i - 1), place, CAST(i + 1000 AS DOUBLE)
+  FROM base WHERE i % 8 = 5 AND NOT ok
+),
+unk AS (SELECT 'op_' || i AS id FROM base WHERE i % 40 = 3)
+SELECT 'fact' AS kind, id, place AS place_id, temp AS temp_c FROM fact3
+UNION ALL
+SELECT 'dlq_fk', id, place, temp FROM dlq
+UNION ALL
+SELECT 'dlq_unknown', id, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+FROM unk
+"""
+
+QUERIES["stream_cdc_merge_replay"] = q_stream_cdc_merge_replay
+ORACLES["stream_cdc_merge_replay"] = ORACLE_STREAM_CDC_MERGE
+
+
+def q_stream_cdc_merge_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge across a checkpoint RESTART
+    (streaming.cdc_merge.cdc_merge_restart) — the fifth and final
+    restart-family member (aggregates, joins, sessions, dedup: r9;
+    foreachBatch merge sink: here). Run 1 consumes the phase-1 insert
+    file and terminates; phase 2 lands and a NEW query on the SAME
+    checkpoint consumes ONLY it. Restored source offsets are what this
+    pins: the target alone could not tell a re-processed phase 1 apart
+    (the merge is idempotent, reference T3), but the FK dead-letter
+    sink is append-only, so re-admission would double every phase-1
+    reject — the oracle counts DLQ rows exactly. Phase 2 also carries
+    REDELIVERED copies of phase-1 inserts (at-least-once across the
+    restart): keys that landed are suppressed by the PK anti-join;
+    keys that were FK-rejected never landed, so their redelivery is
+    rejected AGAIN (a second DLQ row — the observable difference
+    between 'suppressed by state' and 'never admitted').
+
+    Event construction (event_id < 200, every SF):
+      - i % 2 == 0  → phase-1 insert of key w{i}, temp = i
+      - i % 10 == 0 → phase-2 REDELIVERY of that exact insert
+      - i % 2 == 1  → phase-2 update of key w{i-1}, temp = i+100
+        (an upsert where the phase-1 insert was FK-rejected)
+    place_id = 'p' || (user_id % 8); p6/p7 are FK orphans.
+
+    Output: (kind, id, place_id, temp_c) over the final fact state and
+    the FK dead-letter sink."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.schemas import (
+        LOCATION,
+        PLACES_DIM,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.cdc_merge import (
+        cdc_merge_restart,
+    )
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < 200)
+        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    eid = F.col("event_id")
+    place = F.concat(F.lit("p"), (F.col("user_id") % 8).cast("string"))
+    wkey = F.concat(F.lit("w"), eid.cast("string"))
+    wprev = F.concat(F.lit("w"), (eid - 1).cast("string"))
+    dnull = F.lit(None).cast("double")
+    inull = F.lit(None).cast("int")
+
+    def cur(temp):
+        return F.struct(
+            F.lit(1700000000).cast("long").alias("last_updated_epoch"),
+            F.lit("2024-01-01 00:00").alias("last_updated"),
+            temp.cast("double").alias("temp_c"),
+            dnull.alias("temp_f"),
+            F.lit(1).cast("int").alias("is_day"),
+            F.struct(
+                F.lit("Sunny").alias("text"),
+                F.lit("i").alias("icon"),
+                F.lit(1000).cast("int").alias("code"),
+            ).alias("condition"),
+            dnull.alias("wind_mph"), dnull.alias("wind_kph"),
+            inull.alias("wind_degree"),
+            F.lit(None).cast("string").alias("wind_dir"),
+            dnull.alias("pressure_mb"), dnull.alias("pressure_in"),
+            dnull.alias("precip_mm"), dnull.alias("precip_in"),
+            inull.alias("humidity"), inull.alias("cloud"),
+            dnull.alias("feelslike_c"), dnull.alias("feelslike_f"),
+            dnull.alias("vis_km"), dnull.alias("vis_miles"),
+            dnull.alias("uv"), dnull.alias("gust_mph"),
+            dnull.alias("gust_kph"),
+        )
+
+    def ev(op, key, temp, key_doc, ts_col):
+        return [
+            F.lit(op).alias("operation_type"),
+            F.lit("lake").alias("ns_db"),
+            F.lit("weather").alias("ns_coll"),
+            F.struct(
+                key.alias("_id"),
+                place.alias("place_id"),
+                F.lit(None).cast(LOCATION).alias("location"),
+                cur(temp).alias("current"),
+            ).alias("full_document"),
+            key_doc.alias("document_key"),
+            ts_col.alias("ts"),
+        ]
+
+    no_key = F.lit(None).cast("string")
+    ins_cols = ev("insert", wkey, eid.cast("double"), no_key, F.col("ts"))
+    phase1 = e.where(eid % 2 == 0).select(*ins_cols)
+    redeliv = e.where(eid % 10 == 0).select(*ins_cols)
+    upd = e.where(eid % 2 == 1).select(
+        *ev(
+            "update",
+            wprev,
+            (eid + 100).cast("double"),
+            wprev,
+            F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+        )
+    )
+    phase2 = redeliv.unionByName(upd)
+
+    places = spark.createDataFrame(
+        [
+            (f"p{i}", None, None, "VN", "21.0N", "105.8E", f"Place {i}", None, None)
+            for i in range(6)
+        ],
+        PLACES_DIM,
+    )
+    fact, dlq_fk, dlq_unknown = cdc_merge_restart(spark, phase1, phase2, places)
+    if not dlq_unknown.isEmpty():
+        raise RuntimeError("cdc_merge_restart: unexpected unknown-op DLQ rows")
+    fact_out = fact.select(
+        F.lit("fact").alias("kind"), "id", "place_id", F.col("temp_c")
+    )
+    fk_out = dlq_fk.select(
+        F.lit("dlq_fk").alias("kind"),
+        F.col("_id").alias("id"),
+        "place_id",
+        F.col("current.temp_c").alias("temp_c"),
+    )
+    return fact_out.unionByName(fk_out)
+
+
+# Relational restart replay: the fact side is insert-then-override
+# (every even key w{i} gets an update from event i+1 in run 2 — an
+# upsert where the insert was FK-rejected); the DLQ side is the
+# exactly-once admission proof — phase-1 orphan inserts reject ONCE,
+# their phase-2 redeliveries (i % 10 == 0) reject a SECOND time, and a
+# re-processed phase 1 (broken offset restore) would double everything.
+ORACLE_STREAM_CDC_RESTART = """
+WITH base AS MATERIALIZED (
+  SELECT event_id AS i,
+         'p' || (user_id % 8) AS place,
+         (user_id % 8) <= 5 AS ok
+  FROM events WHERE event_id < 200
+),
+ins AS MATERIALIZED (
+  SELECT 'w' || i AS id, place, CAST(i AS DOUBLE) AS temp, ok, i
+  FROM base WHERE i % 2 = 0
+),
+fact1 AS (SELECT id, place, temp FROM ins WHERE ok),
+upd AS MATERIALIZED (
+  SELECT 'w' || (i - 1) AS id, place, CAST(i + 100 AS DOUBLE) AS temp, ok
+  FROM base WHERE i % 2 = 1
+),
+fact2 AS (
+  SELECT COALESCE(u.id, f.id) AS id,
+         COALESCE(u.place, f.place) AS place,
+         COALESCE(u.temp, f.temp) AS temp
+  FROM fact1 f FULL JOIN (SELECT id, place, temp FROM upd WHERE ok) u
+    ON f.id = u.id
+),
+dlq AS (
+  SELECT id, place, temp FROM ins WHERE NOT ok
+  UNION ALL
+  SELECT id, place, temp FROM ins WHERE NOT ok AND i % 10 = 0
+  UNION ALL
+  SELECT id, place, temp FROM upd WHERE NOT ok
+)
+SELECT 'fact' AS kind, id, place AS place_id, temp AS temp_c FROM fact2
+UNION ALL
+SELECT 'dlq_fk', id, place, temp FROM dlq
+"""
+
+QUERIES["stream_cdc_merge_restart"] = q_stream_cdc_merge_restart
+ORACLES["stream_cdc_merge_restart"] = ORACLE_STREAM_CDC_RESTART

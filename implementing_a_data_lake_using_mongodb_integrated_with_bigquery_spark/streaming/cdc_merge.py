@@ -148,6 +148,12 @@ def apply_cdc_batch(
     post-image in ``full_document`` (design choice per SURVEY.md §7
     risk 3 — avoids the reference's per-event re-fetch RPC)."""
     spark = batch.sparkSession
+    # pin the micro-batch ONCE: the merge references it through four
+    # op-type branches plus isEmpty probes, and a foreachBatch plan
+    # that references the batch N times re-scans the source N times
+    # (and multiplies numInputRows N-fold, breaking the replay
+    # batch-structure guard) — the scd2_stream.py precedent
+    batch = batch.localCheckpoint(eager=True)
     parts = split_by_operation(batch)
 
     # poison events → DLQ (instead of the reference's os._exit(1))
@@ -277,6 +283,91 @@ def cdc_merge_replay(
         q.awaitTermination()
         check_batch_structure(list(q.recentProgress), counts, "cdc_merge_replay")
         check_admission_log(ckpt, len(phases), "cdc_merge_replay")
+
+        fact = read_target(spark, target)
+        fact = fact.localCheckpoint(eager=True) if fact is not None else None
+
+        def _read_dlq(sub: str, schema: str) -> DataFrame:
+            path = os.path.join(dlq, sub)
+            if _has_json(path):
+                return spark.read.json(path).localCheckpoint(eager=True)
+            return spark.createDataFrame([], schema)
+
+        dlq_fk = _read_dlq(
+            "fk_violations",
+            "_id string, place_id string, "
+            "current struct<temp_c: double>, batch_id long",
+        )
+        dlq_unknown = _read_dlq(
+            "unknown_ops", "operation_type string, batch_id long"
+        )
+        return fact, dlq_fk, dlq_unknown
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def cdc_merge_restart(
+    spark: SparkSession,
+    phase1: DataFrame,
+    phase2: DataFrame,
+    places_dim: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """CDC merge across a checkpoint RESTART — the foreachBatch-sink
+    member of the restart matrix (aggregates, joins, sessions, dedup:
+    see the ``restart_*`` siblings in ``streaming/windowed.py`` /
+    ``joins.py``). Run 1 consumes the phase-1 file (``availableNow``)
+    and terminates; the phase-2 file then lands and a NEW query on the
+    SAME checkpoint consumes ONLY it — restored source offsets must
+    skip the already-committed file, which the dead-letter sinks make
+    observable: re-processing phase 1 would append its FK rejects a
+    second time (the target alone cannot tell — the merge is
+    idempotent by design, reference T3). Admission is path-guarded
+    per run and across the restart. Returns (fact, dlq_fk,
+    dlq_unknown) like :func:`cdc_merge_replay`."""
+    import shutil
+    import tempfile
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.schemas import (
+        CDC_EVENT,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.phasing import (
+        check_admission_log,
+        check_batch_structure,
+        stage_phase_files,
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_restart_")
+    input_dir = os.path.join(root, "input")
+    target = os.path.join(root, "fact")
+    dlq = os.path.join(root, "dlq")
+    ckpt = os.path.join(root, "ckpt")
+
+    def run_once() -> list:
+        stream = (
+            spark.readStream.schema(CDC_EVENT)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                cdc_foreach_batch(target, places_dim, dlq)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return list(q.recentProgress)
+
+    try:
+        c1 = stage_phase_files([phase1], input_dir)
+        prog1 = run_once()
+        check_batch_structure(prog1, c1, "cdc_merge_restart run 1")
+        # the restart: phase 2 lands AFTER run 1 committed its offsets
+        c2 = stage_phase_files([phase2], input_dir, start=1)
+        prog2 = run_once()
+        check_batch_structure(prog2, c2, "cdc_merge_restart run 2")
+        check_admission_log(ckpt, 2, "cdc_merge_restart")
 
         fact = read_target(spark, target)
         fact = fact.localCheckpoint(eager=True) if fact is not None else None

@@ -15,19 +15,25 @@ import os
 from pyspark.sql import DataFrame
 
 
-def stage_phase_files(phases: list[DataFrame], input_dir: str) -> list[int]:
+def stage_phase_files(
+    phases: list[DataFrame], input_dir: str, start: int = 0
+) -> list[int]:
     """Write each phase as one parquet file in ``input_dir`` with
     fixed, strictly increasing mtimes (the file source sorts unread
     files oldest-first, so phase order == batch order). Returns the
     per-phase row counts read from the parquet footers — free, no
-    Spark jobs — for the caller's batch-structure guard."""
+    Spark jobs — for the caller's batch-structure guard.
+
+    ``start`` offsets the phase numbering (file names AND mtimes), so
+    checkpoint-RESTART replays can stage later phases after an earlier
+    run already consumed phases ``0..start-1`` from the same dir."""
     import tempfile
 
     import pyarrow.parquet as pq
 
     os.makedirs(input_dir, exist_ok=True)
     counts = []
-    for i, ph in enumerate(phases):
+    for i, ph in enumerate(phases, start=start):
         stage = tempfile.mkdtemp(prefix=f"phase{i}_", dir=os.path.dirname(input_dir))
         ph.coalesce(1).write.mode("overwrite").parquet(stage)
         parts = [f for f in os.listdir(stage) if f.endswith(".parquet")]

@@ -1,0 +1,241 @@
+"""Round-10 pins: CDC multi-update LWW determinism, the full-replay
+operator's guards, and the unbounded-aggregation-buffer plan lint."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark import schemas
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.cdc_merge import (
+    read_target,
+    start_cdc_stream,
+)
+
+
+def _doc(_id, place_id, temp_c=20.0, last_updated="2023-11-14 15:00"):
+    return {
+        "_id": _id,
+        "place_id": place_id,
+        "location": None,
+        "current": {
+            "last_updated_epoch": 1700000000,
+            "last_updated": last_updated,
+            "temp_c": temp_c, "temp_f": temp_c * 1.8 + 32,
+            "is_day": 1,
+            "condition": {"text": "Sunny", "icon": "i", "code": 1000},
+            "wind_mph": 5.0, "wind_kph": 8.0, "wind_degree": 90,
+            "wind_dir": "E", "pressure_mb": 1010.0, "pressure_in": 29.8,
+            "precip_mm": 0.0, "precip_in": 0.0, "humidity": 60, "cloud": 10,
+            "feelslike_c": 21.0, "feelslike_f": 70.0, "vis_km": 10.0,
+            "vis_miles": 6.0, "uv": 5.0, "gust_mph": 7.0, "gust_kph": 11.0,
+        },
+    }
+
+
+def _event(op, doc=None, key=None, ts="2023-11-14T15:00:00.000Z"):
+    return {
+        "operation_type": op,
+        "ns_db": "lake",
+        "ns_coll": "weather",
+        "full_document": doc,
+        "document_key": key,
+        "ts": ts,
+    }
+
+
+@pytest.fixture()
+def places_dim(spark):
+    return spark.createDataFrame(
+        [("hanoi", None, None, "VN", "21.0N", "105.8E", "Hanoi", None, None)],
+        schemas.PLACES_DIM,
+    )
+
+
+def test_two_updates_to_one_key_in_one_batch_pick_the_later_post_image(
+    spark, places_dim, tmp_path
+):
+    """Regression pin for the round-10 LWW fix: the update path used to
+    re-join flattened post-images to event timestamps BY ID ALONE, so a
+    batch with two updates to one key cross-paired the EARLIER
+    post-image with the LATER timestamp and the row_number pick among
+    the resulting ts-ties was partition-order-nondeterministic. With ts
+    carried THROUGH the flatten projection the pairing is row-accurate
+    and the later post-image must always win."""
+    events_dir = str(tmp_path / "events")
+    target = str(tmp_path / "fact")
+    dlq = str(tmp_path / "dlq")
+    events = [
+        _event("insert", doc=_doc("w1", "hanoi", 20.0)),
+        _event("update", doc=_doc("w1", "hanoi", 50.0), key="w1",
+               ts="2023-11-14T16:00:00.000Z"),
+        _event("update", doc=_doc("w1", "hanoi", 99.0), key="w1",
+               ts="2023-11-14T17:00:00.000Z"),
+    ]
+    os.makedirs(events_dir, exist_ok=True)
+    with open(os.path.join(events_dir, "batch0.json"), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    q = start_cdc_stream(
+        spark, events_dir, target, places_dim, dlq, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    fact = read_target(spark, target)
+    rows = fact.collect()
+    assert len(rows) == 1
+    assert rows[0].id == "w1"
+    assert rows[0].temp_c == 99.0  # the 17:00 post-image, never the 16:00 one
+
+
+def test_cdc_merge_replay_guards_batch_structure(spark, places_dim):
+    """cdc_merge_replay must map phase i → micro-batch i (count- and
+    path-guarded) and thread cross-batch state through the target: a
+    phase-2 update overrides a phase-1 insert."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.cdc_merge import (
+        cdc_merge_replay,
+    )
+
+    import datetime as dt
+
+    t0 = dt.datetime(2023, 11, 14, 15, 0, 0)
+    p1 = spark.createDataFrame(
+        [_event("insert", doc=_doc("w1", "hanoi", 20.0), ts=t0),
+         _event("insert", doc=_doc("w2", "hanoi", 25.0), ts=t0)],
+        schemas.CDC_EVENT,
+    )
+    p2 = spark.createDataFrame(
+        [_event("update", doc=_doc("w1", "hanoi", 70.0), key="w1",
+                ts=t0 + dt.timedelta(hours=1))],
+        schemas.CDC_EVENT,
+    )
+    fact, dlq_fk, dlq_unknown = cdc_merge_replay(spark, [p1, p2], places_dim)
+    got = {r.id: r.temp_c for r in fact.collect()}
+    assert got == {"w1": 70.0, "w2": 25.0}
+    assert dlq_fk.count() == 0
+    assert dlq_unknown.count() == 0
+
+
+def test_cdc_merge_restart_skips_committed_file_and_redelivers_rejects(
+    spark, places_dim, tmp_path
+):
+    """Restart semantics: run 2 must consume ONLY the phase-2 file
+    (restored offsets), redelivered landed inserts are suppressed by
+    the PK anti-join, and redelivered FK-REJECTED inserts reject a
+    second time (they never landed, so there is no state to suppress
+    them — the append-only DLQ makes exactly-once admission
+    observable)."""
+    import datetime as dt
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.cdc_merge import (
+        cdc_merge_restart,
+    )
+
+    t0 = dt.datetime(2023, 11, 14, 15, 0, 0)
+    ins_ok = _event("insert", doc=_doc("w1", "hanoi", 20.0), ts=t0)
+    ins_orphan = _event("insert", doc=_doc("w3", "nowhere", 30.0), ts=t0)
+    p1 = spark.createDataFrame([ins_ok, ins_orphan], schemas.CDC_EVENT)
+    p2 = spark.createDataFrame(
+        [ins_ok, ins_orphan,  # redelivered across the restart
+         _event("update", doc=_doc("w1", "hanoi", 80.0), key="w1",
+                ts=t0 + dt.timedelta(hours=1))],
+        schemas.CDC_EVENT,
+    )
+    fact, dlq_fk, dlq_unknown = cdc_merge_restart(spark, p1, p2, places_dim)
+    got = {r.id: r.temp_c for r in fact.collect()}
+    assert got == {"w1": 80.0}  # redelivered w1 suppressed, update applied
+    rejects = sorted((r._id, r.batch_id) for r in dlq_fk.collect())
+    # w3 rejected in batch 0 AND again on redelivery in batch 1
+    assert rejects == [("w3", 0), ("w3", 1)]
+    assert dlq_unknown.count() == 0
+
+
+def test_unbounded_agg_buffer_lint_flags_synthetic_violator(spark):
+    """The executed-plan lint must flag an exact percentile over a
+    low-cardinality key on a fact-sized input (the winsorize class) and
+    must NOT flag accuracy-bounded approx aggregates or small-ratio
+    collects."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.plans.explain import (
+        count_unbounded_agg_buffers,
+    )
+
+    df = spark.range(50000).select(
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    bad = df.groupBy("g").agg(F.percentile("v", F.lit(0.5)).alias("p50"))
+    bad.collect()
+    assert count_unbounded_agg_buffers(bad) >= 1
+
+    approx = df.groupBy("g").agg(F.percentile_approx("v", 0.5).alias("p50"))
+    approx.collect()
+    assert count_unbounded_agg_buffers(approx) == 0
+
+    small = (
+        spark.range(50000)
+        .select((F.col("id") % 10000).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.collect_list("v").alias("xs"))
+        .select("k", F.size("xs").alias("n"))
+    )
+    small.collect()
+    assert count_unbounded_agg_buffers(small) == 0
+
+
+# Domain-bounded buffering aggregates the round-10 audit adjudicated:
+# per-group buffer size is a SCHEMA constant (per-order lines ≤ 7,
+# |event_types| mode counters, |types × hours| maps, per-doc shingle
+# ranks, per-contracted-node label sets, capped postings slices), so
+# the buffer does not grow with data volume even where the runtime
+# rows-per-group ratio trips the lint. Closed set — a NEW query whose
+# plan flags must either migrate to the grouped_* order-statistics
+# operators or argue its bound here.
+UNBOUNDED_BUFFER_ALLOWLIST = {
+    # mode() per user: the buffer is an |event_types|-entry count map
+    # (~5 keys, a schema constant), not the user's event rows — the
+    # runtime ratio trips the lint because events/user > 64, but the
+    # buffer does not grow with data volume
+    "user_modal_event",
+    # collect_list over the PRE-AGGREGATED hourly table: one group
+    # holds ≤ |distinct hours in the window| entries — time-domain-
+    # bounded, not event-volume-dependent (the events were already
+    # reduced to (type, hour, count) rows before the collect)
+    "map_functions",
+}
+
+
+def test_registry_unbounded_buffer_allowlist_is_closed(spark):
+    """Every registry query whose executed plan trips the
+    unbounded-buffer lint must be on the adjudicated allowlist. The
+    full sweep lives in SCALE.md (tools/plan_report.py); this test
+    pins the queries that were known buffering-aggregate users, so the
+    suite fails fast if one regresses."""
+    import __spark_entry__ as entrymod
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.plans.explain import (
+        count_unbounded_agg_buffers,
+    )
+
+    # the historical buffering-aggregate users plus the r9/r10 rebuilds
+    # (the r10 full-registry sweep in SCALE.md flags exactly
+    # {user_modal_event, map_functions} — both allowlisted above)
+    watch = [
+        "value_winsorized", "value_percentiles", "mad_by_type",
+        "approx_quantile_check", "percentile_cont_parity",
+        "brands_listagg", "user_modal_event", "nested_rebuild_roundtrip",
+        "map_functions",
+    ]
+    qs = entrymod.queries()
+    sf = "/root/testdata/sf0.01"
+    for name in watch:
+        df = qs[name](spark, sf)
+        df.collect()
+        flags = count_unbounded_agg_buffers(df)
+        if name in UNBOUNDED_BUFFER_ALLOWLIST:
+            continue
+        assert flags == 0, (
+            f"{name}: {flags} unbounded aggregation buffer(s) in the "
+            "executed plan — migrate to grouped_percentile_exact/"
+            "grouped_rank or adjudicate into UNBOUNDED_BUFFER_ALLOWLIST"
+        )
