@@ -16001,3 +16001,53 @@ SELECT 'dlq_fk', id, place, temp FROM dlq
 
 QUERIES["stream_cdc_merge_restart"] = q_stream_cdc_merge_restart
 ORACLES["stream_cdc_merge_restart"] = ORACLE_STREAM_CDC_RESTART
+
+
+def q_stream_rocksdb_halfhourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling aggregation under the ROCKSDB state store
+    provider (streaming.windowed.windowed_counts_once_rocksdb) — the
+    large-state scale path: the default HDFS-backed provider keeps all
+    streaming state in executor heap (an OOM at 100 TB-stream keyspace
+    sizes), RocksDB bounds heap by block cache and spills to native
+    memory + local disk. The run ASSERTS RocksDB engaged (state
+    operator's rocksdb* custom metrics present — a silently ignored
+    conf fails loudly) and the oracle pins provider-independence: the
+    half-hourly rollup must equal the plain batch SQL bit-for-bit,
+    because the provider is physical layout, not semantics. Exact
+    scaled-integer sums per the registry convention."""
+    import os as _os
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        windowed_counts_once_rocksdb,
+    )
+
+    out = windowed_counts_once_rocksdb(
+        spark,
+        _os.path.join(sf_dir, "events.parquet"),
+        duration="30 minutes",
+        group_cols=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("v_cents"),
+        ],
+    )
+    return out.select(
+        epoch_us("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "v_cents",
+    )
+
+
+ORACLE_STREAM_ROCKSDB = """
+SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["stream_rocksdb_halfhourly"] = q_stream_rocksdb_halfhourly
+ORACLES["stream_rocksdb_halfhourly"] = ORACLE_STREAM_ROCKSDB

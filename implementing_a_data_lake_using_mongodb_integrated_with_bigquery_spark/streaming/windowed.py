@@ -147,6 +147,82 @@ def windowed_counts_once(
     return result
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def windowed_counts_once_rocksdb(
+    spark: SparkSession,
+    events_path: str,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    lateness: str = "5 minutes",
+    group_cols: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """:func:`windowed_counts_once` executed under the **RocksDB state
+    store provider** — the large-state scale path. The default
+    HDFS-backed provider keeps every state key in executor HEAP, so at
+    100 TB-stream state sizes (billions of open windows/keys) it OOMs
+    or thrashes GC; RocksDB (bundled with Spark — ``rocksdbjni``)
+    holds state in native memory + local disk with incremental
+    changelog checkpointing, bounding heap by block cache, not
+    keyspace. Results must be IDENTICAL — the provider is a physical
+    layout choice, not a semantics choice — which is exactly what the
+    caller's relational oracle pins.
+
+    The provider conf is read at QUERY start, so it is set just for
+    this bounded run and restored after; the run asserts RocksDB
+    actually engaged by reading the state operator's RocksDB-specific
+    custom metrics from the final progress (a silently ignored conf
+    must fail loudly, not 'pass' on the default provider)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream, ntz_event_time = _open_event_stream(spark, events_path, ts_col)
+        out = windowed_counts(stream, ts_col, duration, lateness, group_cols, aggs)
+        sink = f"windowed_counts_rocksdb_{next(_SINK_SEQ)}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rocks_metrics = [
+            m
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+            for m in (op.get("customMetrics") or {})
+            if "rocksdb" in m.lower()
+        ]
+        if not rocks_metrics:
+            raise RuntimeError(
+                "windowed_counts_once_rocksdb: no RocksDB custom metrics in "
+                "the state operator progress — the provider conf did not "
+                "engage (default provider answered instead)"
+            )
+        result = spark.table(sink)
+        if ntz_event_time:
+            result = result.withColumn(
+                "window_start", F.col("window_start").cast("timestamp_ntz")
+            ).withColumn("window_end", F.col("window_end").cast("timestamp_ntz"))
+        # pin rows before the conf (and the memory sink's registration)
+        # can change under a later query in the same session
+        return result.localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def session_windows_once(
     spark: SparkSession,
     events_path: str,

@@ -152,6 +152,48 @@ def test_cdc_merge_restart_skips_committed_file_and_redelivers_rejects(
     assert dlq_unknown.count() == 0
 
 
+def test_rocksdb_provider_engages_and_conf_is_restored(spark, tmp_path):
+    """windowed_counts_once_rocksdb must (a) actually run on the
+    RocksDB state store (it asserts rocksdb* custom metrics itself —
+    a silently ignored conf raises), (b) restore the provider conf,
+    and (c) return the same windows the default provider computes —
+    the provider is physical layout, not semantics."""
+    import datetime as dt
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        windowed_counts_once,
+        windowed_counts_once_rocksdb,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 10), "click"),
+        (2, dt.datetime(2024, 1, 1, 0, 50), "click"),
+        (3, dt.datetime(2024, 1, 1, 1, 5), "view"),
+    ]
+    path = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string") \
+        .coalesce(1).write.parquet(path)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        before = spark.conf.get(key)
+    except Exception:
+        before = None
+
+    kw = dict(duration="1 hour", group_cols=["event_type"])
+    a = {(r.window_start, r.event_type): r.n_events
+         for r in windowed_counts_once_rocksdb(spark, path, **kw).collect()}
+    b = {(r.window_start, r.event_type): r.n_events
+         for r in windowed_counts_once(spark, path, **kw).collect()}
+    assert a == b and len(a) == 2
+
+    try:
+        after = spark.conf.get(key)
+    except Exception:
+        after = None
+    assert after == before  # conf restored
+
+
 def test_unbounded_agg_buffer_lint_flags_synthetic_violator(spark):
     """The executed-plan lint must flag an exact percentile over a
     low-cardinality key on a fact-sized input (the winsorize class) and
