@@ -16051,3 +16051,73 @@ FROM events GROUP BY 1, 2
 
 QUERIES["stream_rocksdb_halfhourly"] = q_stream_rocksdb_halfhourly
 ORACLES["stream_rocksdb_halfhourly"] = ORACLE_STREAM_ROCKSDB
+
+
+def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource's STREAMING leg driver-oracled
+    (sources.pyds.WeatherApiStreamReader, Spark 4 SimpleDataSourceStream
+    Reader): the synthetic hourly-poll source replays one hour per
+    micro-batch (offset = next unpolled hour, checkpointed by Spark),
+    aggregated per place in complete mode. 6 micro-batches × 30
+    places; the final aggregate must equal the batch oracle over the
+    full synthetic payload — stream-polled == batch-fetched, the
+    reference's hourly EventBridge poll (README.md:76-78) as a
+    first-class source. sf_dir is unused (the source IS the data)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.pyds import (
+        register_weather_api,
+    )
+
+    register_weather_api(spark)
+    stream = (
+        spark.readStream.format("weather_api")
+        .option("places", 30)
+        .option("hours", 6)
+        .load()
+    )
+    agg = stream.groupBy("place_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum((F.col("temp_c") * 10).cast("long")).alias("temp_decidegrees"),
+        F.sum("humidity").cast("long").alias("humidity_total"),
+    )
+    sink = "pyds_stream_agg"
+    # default micro-batch trigger + processAllAvailable: each offset
+    # advance (one synthetic hour) is its own micro-batch — availableNow
+    # would prefetch every hour into ONE batch, collapsing the
+    # per-batch replay this query exists to pin
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+    data_batches = sum(1 for p in progress if p["numInputRows"] > 0)
+    if data_batches != 6:
+        raise RuntimeError(
+            f"python_datasource_stream: expected 6 hourly micro-batches, "
+            f"saw {data_batches}"
+        )
+    return spark.table(sink).localCheckpoint(eager=True)
+
+
+def _oracle_python_datasource_stream() -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.pyds import (
+        weather_api_oracle_sql,
+    )
+
+    return f"""
+WITH src AS ({weather_api_oracle_sql(places=30, hours=6)})
+SELECT place_key,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(CAST(temp_c * 10 AS BIGINT)) AS BIGINT) AS temp_decidegrees,
+       CAST(SUM(humidity) AS BIGINT) AS humidity_total
+FROM src GROUP BY place_key
+"""
+
+
+QUERIES["python_datasource_stream"] = q_python_datasource_stream
+ORACLES["python_datasource_stream"] = _oracle_python_datasource_stream()
