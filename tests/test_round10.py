@@ -226,6 +226,59 @@ def test_unbounded_agg_buffer_lint_flags_synthetic_violator(spark):
     assert count_unbounded_agg_buffers(small) == 0
 
 
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """Runtime pin for AQE's skew-join split (the complement of the
+    deterministic salted join in operators/skew.py): a sort-merge join
+    whose left side piles 75% of its rows onto one key must execute
+    with the skewed partition SPLIT (SortMergeJoin(skew=true) in the
+    final adaptive plan) once the skew thresholds are in reach — the
+    no-reshuffle runtime remedy a 1000-executor cluster relies on when
+    a hot key appears in data the planner didn't predict."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.plans.explain import (
+        physical_plan,
+    )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prev: dict = {}
+    for k in confs:
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(400_000).select(
+            F.when(F.col("id") % 4 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().count()
+        [row] = j.collect()
+        # key 0 matches right row 0: 300k join hits + the k%4 survivors
+        # that land inside right's 0..999 id range
+        assert row["count"] > 300_000
+        assert "skew=true" in physical_plan(j)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 # Domain-bounded buffering aggregates the round-10 audit adjudicated:
 # per-group buffer size is a SCHEMA constant (per-order lines ≤ 7,
 # |event_types| mode counters, |types × hours| maps, per-doc shingle
