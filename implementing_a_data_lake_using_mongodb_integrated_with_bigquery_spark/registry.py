@@ -16121,3 +16121,60 @@ FROM src GROUP BY place_key
 
 QUERIES["python_datasource_stream"] = q_python_datasource_stream
 ORACLES["python_datasource_stream"] = _oracle_python_datasource_stream()
+
+
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-eval calibration: the reliability diagram behind Expected
+    Calibration Error, over a deterministic synthetic scorer (md5-hash
+    score in [0,1000) — the engine-portable stand-in for a model's
+    click-probability) against the real click labels. Ten equal-width
+    confidence bins; per bin the count, positives, mean confidence and
+    empirical accuracy in exact integer micro-units, and the
+    |accuracy − confidence| calibration gap — the quantity a
+    training-data pipeline monitors when filtering by classifier
+    score. One hash aggregate on a 10-value DERIVED key over map-side
+    partials (six small integer sums — no buffering aggregate, no
+    window); integer `div` on both engines per the repo discipline."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    h = F.md5(F.concat(F.lit("cal:"), F.col("event_id").cast("string")))
+    s = (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 1000).alias("s")
+    y = (F.col("event_type") == "click").cast("long").alias("y")
+    binned = e.select(s, y).select(
+        F.expr("s div 100").alias("bin"), "s", "y"
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("clicks"),
+        F.sum("s").cast("long").alias("_sum_s"),
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "clicks",
+        F.expr("(_sum_s * 1000) div n").alias("conf_micro"),
+        F.expr("(clicks * 1000000) div n").alias("acc_micro"),
+        F.expr(
+            "abs((clicks * 1000000) div n - (_sum_s * 1000) div n)"
+        ).alias("gap_micro"),
+    )
+
+
+ORACLE_CALIBRATION_ECE = """
+WITH s AS (
+  SELECT ('0x' || substr(md5('cal:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT
+           % 1000 AS s,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+  FROM events
+)
+SELECT s // 100 AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS clicks,
+       CAST(SUM(s) * 1000 // COUNT(*) AS BIGINT) AS conf_micro,
+       CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS acc_micro,
+       CAST(abs(SUM(y) * 1000000 // COUNT(*) - SUM(s) * 1000 // COUNT(*)) AS BIGINT)
+         AS gap_micro
+FROM s GROUP BY 1
+"""
+
+QUERIES["calibration_ece"] = q_calibration_ece
+ORACLES["calibration_ece"] = ORACLE_CALIBRATION_ECE
