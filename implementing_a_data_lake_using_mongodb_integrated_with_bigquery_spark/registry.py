@@ -16178,3 +16178,73 @@ FROM s GROUP BY 1
 
 QUERIES["calibration_ece"] = q_calibration_ece
 ORACLES["calibration_ece"] = ORACLE_CALIBRATION_ECE
+
+
+def q_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT DYNAMIC gap
+    (``F.session_window(ts, CASE ...)``): click events hold a session
+    open 40 minutes, everything else 15 — the engagement-weighted
+    sessionization a real product analytics pipeline wants, and an API
+    surface the fixed-gap queries (`sessionize`,
+    `session_window_stats`) don't touch. Semantically each event
+    contributes the interval [ts, ts+gap(event)) and a user's sessions
+    are the connected components of the interval union, so the oracle
+    is a running-MAX sweep (NOT the fixed-gap lag-islands form — with
+    variable gaps an older event can out-reach the immediately
+    previous one). Merge boundary follows the pinned fixed-gap rule:
+    an event exactly at the running max end MERGES (break only when
+    start > max end). Plans as one key shuffle + in-partition session
+    merge, identical shape to the fixed-gap query."""
+    e = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "click", F.lit("40 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    agg = e.groupBy("user_id", F.session_window("ts", gap)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("long").alias("n_clicks"),
+    )
+    return agg.select(
+        "user_id",
+        epoch_us(F.col("session_window.start")).alias("session_start_us"),
+        epoch_us(F.col("session_window.end")).alias("session_end_us"),
+        "n_events",
+        "n_clicks",
+    )
+
+
+ORACLE_DYNAMIC_GAP_SESSIONS = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + CASE WHEN event_type = 'click'
+                             THEN 2400000000 ELSE 900000000 END AS e
+  FROM events
+),
+o AS (
+  SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS pmax
+  FROM iv
+),
+f AS (
+  SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+i AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT user_id,
+       MIN(s) AS session_start_us,
+       MAX(e) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_click) AS BIGINT) AS n_clicks
+FROM i GROUP BY user_id, sid
+"""
+
+QUERIES["dynamic_gap_sessions"] = q_dynamic_gap_sessions
+ORACLES["dynamic_gap_sessions"] = ORACLE_DYNAMIC_GAP_SESSIONS
