@@ -226,6 +226,43 @@ def test_unbounded_agg_buffer_lint_flags_synthetic_violator(spark):
     assert count_unbounded_agg_buffers(small) == 0
 
 
+def test_dynamic_gap_session_merges_at_exact_boundary(spark):
+    """Boundary pin for the dynamic-gap session oracle
+    (`dynamic_gap_sessions`): an event starting EXACTLY at the running
+    session end MERGES (end extends), one microsecond past breaks —
+    i.e. the oracle's break rule is strictly `start > max(prev ends)`.
+    Empirically probed against Spark 4's session_window with a CASE
+    gap; if Spark ever flips to end-exclusive merge this fails before
+    the driver hash does."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, "view"),                             # gap 15 min → end 00:15
+        (1, t0 + dt.timedelta(minutes=15), "view"),  # starts EXACTLY at end
+        (2, t0, "view"),
+        (2, t0 + dt.timedelta(minutes=15, microseconds=1), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    gap = F.when(F.col("event_type") == "click", F.lit("40 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    out = df.groupBy("user_id", F.session_window("ts", gap)).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    got = {
+        (r.user_id, r["session_window"]["start"].isoformat(), r.n)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "2024-01-01T00:00:00", 2),                 # merged, one session
+        (2, "2024-01-01T00:00:00", 1),                 # split, two sessions
+        (2, "2024-01-01T00:15:00.000001", 1),
+    }
+
+
 def test_aqe_splits_skewed_join_at_runtime(spark):
     """Runtime pin for AQE's skew-join split (the complement of the
     deterministic salted join in operators/skew.py): a sort-merge join
