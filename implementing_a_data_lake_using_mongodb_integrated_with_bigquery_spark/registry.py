@@ -16248,3 +16248,80 @@ FROM i GROUP BY user_id, sid
 
 QUERIES["dynamic_gap_sessions"] = q_dynamic_gap_sessions
 ORACLES["dynamic_gap_sessions"] = ORACLE_DYNAMIC_GAP_SESSIONS
+
+
+def q_stream_rocksdb_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint RESTART on the ROCKSDB state store: the
+    two-run/one-checkpoint append replay (streaming.windowed.
+    restart_append_counts — 30-min windows, 20-min lateness, phase
+    split user_id % 3) executed under the RocksDB provider, so what
+    survives the stop/start is a RocksDB snapshot+changelog restore,
+    not the default provider's in-heap delta files — the recovery
+    path a large-state production deployment actually exercises. The
+    run asserts RocksDB engaged in BOTH runs (state-operator rocksdb*
+    custom metrics; a silently ignored conf fails loudly) and the
+    oracle replays the same two-phase emission rule as
+    `stream_restart_hourly` — restart semantics must be
+    provider-independent."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        ROCKSDB_PROVIDER,
+        restart_append_counts,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        e = load_table(spark, sf_dir, "events")
+        out, stats = restart_append_counts(
+            spark,
+            phase1=e.filter(F.col("user_id") % 3 == 0),
+            phase2=e.filter(F.col("user_id") % 3 != 0),
+            duration="30 minutes",
+            lateness="20 minutes",
+            group_cols=["event_type"],
+            aggs=[F.count(F.lit(1)).cast("long").alias("n_events")],
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    for tag in ("phase1", "phase2"):
+        if not stats[tag]["rocksdb"]:
+            raise RuntimeError(
+                f"stream_rocksdb_restart: {tag} ran without RocksDB custom "
+                "metrics — the provider conf did not engage"
+            )
+    return out.select(
+        epoch_us("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+    )
+
+
+ORACLE_STREAM_ROCKSDB_RESTART = """
+WITH w1 AS (
+  SELECT (epoch_us(max(ts)) // 1000) * 1000 - 1200000000 AS v
+  FROM events WHERE user_id % 3 = 0),
+w2 AS (
+  SELECT (epoch_us(max(ts)) // 1000) * 1000 - 1200000000 AS v FROM events),
+kept AS (
+  SELECT e.event_type,
+         (epoch_us(ts) // 1800000000) * 1800000000 AS ws
+  FROM events e, w1
+  WHERE user_id % 3 = 0
+     OR (epoch_us(ts) // 1800000000) * 1800000000 + 1800000000 > w1.v
+)
+SELECT ws AS window_start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM kept, w2
+GROUP BY 1, 2, w2.v
+HAVING ws + 1800000000 <= w2.v
+"""
+
+QUERIES["stream_rocksdb_restart"] = q_stream_rocksdb_restart
+ORACLES["stream_rocksdb_restart"] = ORACLE_STREAM_ROCKSDB_RESTART

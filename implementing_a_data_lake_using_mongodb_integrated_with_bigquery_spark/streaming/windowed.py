@@ -609,7 +609,20 @@ def restart_append_counts(
             for p in progress
             for op in p.get("stateOperators", [])
         )
-        return {"data_batches": len(data), "rows_dropped": dropped}
+        # which state store backed the run (rocksdb* custom metrics
+        # present ⇔ RocksDB provider engaged) — callers that pin the
+        # provider assert this instead of trusting the conf took
+        rocksdb = any(
+            "rocksdb" in m.lower()
+            for p in progress
+            for op in p.get("stateOperators", [])
+            for m in (op.get("customMetrics") or {})
+        )
+        return {
+            "data_batches": len(data),
+            "rows_dropped": dropped,
+            "rocksdb": rocksdb,
+        }
 
     stats = {"phase1": facts(prog1), "phase2": facts(prog2)}
     for tag in ("phase1", "phase2"):
