@@ -16325,3 +16325,702 @@ HAVING ws + 1800000000 <= w2.v
 
 QUERIES["stream_rocksdb_restart"] = q_stream_rocksdb_restart
 ORACLES["stream_rocksdb_restart"] = ORACLE_STREAM_ROCKSDB_RESTART
+
+
+# ------------------------------------------------- model-eval metrics family
+#
+# Classifier/clustering evaluation a training-data pipeline runs over its
+# filter models (quality classifiers, dedup clusterings). All exact-integer
+# per the module discipline: counts and pair sums are BIGINT/DECIMAL-exact
+# on both engines, and each float appears only as ONE final division on
+# identical integer inputs (r9 float-determinism taxonomy class 1).
+
+
+def q_auc_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney rank statistic, computed the
+    100 TB way: the fact table collapses to a ≤500-row score HISTOGRAM
+    first (one map-side-partial hash aggregate on a bounded derived
+    key), then concordant/tied pair counts come from a prefix sum over
+    the histogram — the only window in the plan runs over ≤500 rows AT
+    ANY SCALE (bounded by the score domain, not the data), so the
+    global-window detector stays silent by design. Ties use the
+    standard average-rank convention: 2U = Σ_s pos_s·(2·cum_neg_lt(s)
+    + neg_s), exact in BIGINT; AUC is ONE double division of exact
+    integers, 6dp. Score is the engine-portable md5 scorer from
+    `calibration_ece` (salt 'auc:'), labels are real click events."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    h = F.md5(F.concat(F.lit("auc:"), F.col("event_id").cast("string")))
+    s = (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 500).alias("s")
+    y = (F.col("event_type") == "click").cast("long").alias("y")
+    hist = e.select(s, y).groupBy("s").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "cumneg", F.coalesce(F.sum("neg").over(w), F.lit(0)).cast("long")
+    )
+    agg = cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(F.col("pos") * (2 * F.col("cumneg") + F.col("neg")))
+        .cast("long")
+        .alias("u_times2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "u_times2",
+        F.round(
+            F.col("u_times2").cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+ORACLE_AUC_RANK_EVAL = """
+WITH s AS (
+  SELECT ('0x' || substr(md5('auc:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT
+           % 500 AS s,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+  FROM events),
+hist AS (
+  SELECT s, CAST(SUM(y) AS BIGINT) AS pos, CAST(SUM(1 - y) AS BIGINT) AS neg
+  FROM s GROUP BY s),
+cum AS (
+  SELECT *, CAST(COALESCE(SUM(neg) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cumneg
+  FROM hist),
+agg AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(neg) AS BIGINT) AS n_neg,
+         CAST(SUM(pos * (2 * cumneg + neg)) AS BIGINT) AS u_times2
+  FROM cum)
+SELECT n_pos, n_neg, u_times2,
+       round(CAST(u_times2 AS DOUBLE)
+             / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+FROM agg
+"""
+
+QUERIES["auc_rank_eval"] = q_auc_rank_eval
+ORACLES["auc_rank_eval"] = ORACLE_AUC_RANK_EVAL
+
+
+def q_pr_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at ten score thresholds (the PR curve a
+    quality-filter pipeline sweeps to pick its operating point), from
+    the SAME ≤500-row score histogram as `auc_rank_eval` — the fact
+    table is scanned once into a bounded histogram, then the 10
+    thresholds evaluate as a tiny broadcast cross join (500×10 rows)
+    + second hash aggregate; no window at all. Metrics are integer
+    micro-units via `div` (CASE-guarded identically on both engines
+    against empty predictions, though t=0 always predicts all)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    h = F.md5(F.concat(F.lit("auc:"), F.col("event_id").cast("string")))
+    s = (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 500).alias("s")
+    y = (F.col("event_type") == "click").cast("long").alias("y")
+    hist = e.select(s, y).groupBy("s").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+    )
+    th = spark.range(10).select(F.col("id").cast("long").alias("t"))
+    pred_pos = F.col("s") >= F.col("t") * 50
+    pr = (
+        hist.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(pred_pos, F.col("pos")).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(pred_pos, F.col("neg")).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when(~pred_pos, F.col("pos")).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+            F.sum(F.when(~pred_pos, F.col("neg")).otherwise(0))
+            .cast("long")
+            .alias("tn"),
+        )
+    )
+    return pr.select(
+        "t",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            "CASE WHEN tp + fp = 0 THEN NULL"
+            " ELSE (tp * 1000000) div (tp + fp) END"
+        ).alias("precision_micro"),
+        F.expr(
+            "CASE WHEN tp + fn = 0 THEN NULL"
+            " ELSE (tp * 1000000) div (tp + fn) END"
+        ).alias("recall_micro"),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL"
+            " ELSE (2 * tp * 1000000) div (2 * tp + fp + fn) END"
+        ).alias("f1_micro"),
+    )
+
+
+ORACLE_PR_CURVE_DECILES = """
+WITH s AS (
+  SELECT ('0x' || substr(md5('auc:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT
+           % 500 AS s,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+  FROM events),
+hist AS (
+  SELECT s, CAST(SUM(y) AS BIGINT) AS pos, CAST(SUM(1 - y) AS BIGINT) AS neg
+  FROM s GROUP BY s),
+th AS (SELECT unnest(generate_series(0, 9)) AS t),
+pr AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN s >= t * 50 THEN pos ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN s >= t * 50 THEN neg ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN s < t * 50 THEN pos ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN s < t * 50 THEN neg ELSE 0 END) AS BIGINT) AS tn
+  FROM hist CROSS JOIN th GROUP BY t)
+SELECT t, tp, fp, fn, tn,
+       CASE WHEN tp + fp = 0 THEN NULL
+            ELSE tp * 1000000 // (tp + fp) END AS precision_micro,
+       CASE WHEN tp + fn = 0 THEN NULL
+            ELSE tp * 1000000 // (tp + fn) END AS recall_micro,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+            ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_micro
+FROM pr
+"""
+
+QUERIES["pr_curve_deciles"] = q_pr_curve_deciles
+ORACLES["pr_curve_deciles"] = ORACLE_PR_CURVE_DECILES
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement between two
+    deterministic md5 raters over the events fact (rater A: 3-way
+    label; rater B: agrees except on a 1-in-4 md5 coin, where it
+    shifts one class) — the chance-corrected agreement a labeling
+    pipeline reports when auditing annotator or model-vs-model label
+    quality. ONE map-side-partial pass produces n, the agreement
+    count, and all six per-class marginals as conditional aggregates
+    (no shuffle beyond the single-row agg); the chance term
+    pe_num = Σ_k aₖ·bₖ and the kappa numerator agree·n − pe_num are
+    BIGINT-exact (≤ n² ≈ 1e18 at 1e9 rows), and kappa is ONE double
+    division of exact integers, 6dp."""
+    e = load_table(spark, sf_dir, "events").select("event_id")
+    ha = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ra:"), F.col("event_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    )
+    flip = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rb:"), F.col("event_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    ) == 0
+    rated = e.select(
+        ha.alias("ra"),
+        F.when(flip, (ha + 1) % 3).otherwise(ha).alias("rb"),
+    )
+    marg = [
+        F.sum((F.col(c) == k).cast("long")).cast("long").alias(f"{c}{k}")
+        for c in ("ra", "rb")
+        for k in range(3)
+    ]
+    agg = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("ra") == F.col("rb")).cast("long"))
+        .cast("long")
+        .alias("n_agree"),
+        *marg,
+    )
+    pe_num = sum(F.col(f"ra{k}") * F.col(f"rb{k}") for k in range(3))
+    return agg.select(
+        "n",
+        "n_agree",
+        pe_num.cast("long").alias("pe_num"),
+        F.expr("(n_agree * 1000000) div n").alias("po_micro"),
+        F.round(
+            (F.col("n_agree") * F.col("n") - pe_num).cast("double")
+            / (F.col("n") * F.col("n") - pe_num).cast("double"),
+            6,
+        ).alias("kappa"),
+    )
+
+
+ORACLE_COHENS_KAPPA = """
+WITH r AS (
+  SELECT ('0x' || substr(md5('ra:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT
+           % 3 AS ra,
+         ('0x' || substr(md5('rb:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT
+           % 4 AS coin
+  FROM events),
+lab AS (
+  SELECT ra, CASE WHEN coin = 0 THEN (ra + 1) % 3 ELSE ra END AS rb FROM r),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         CAST(SUM(CASE WHEN ra = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ra0,
+         CAST(SUM(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ra1,
+         CAST(SUM(CASE WHEN ra = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ra2,
+         CAST(SUM(CASE WHEN rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rb0,
+         CAST(SUM(CASE WHEN rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rb1,
+         CAST(SUM(CASE WHEN rb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS rb2
+  FROM lab)
+SELECT n, n_agree,
+       CAST(ra0 * rb0 + ra1 * rb1 + ra2 * rb2 AS BIGINT) AS pe_num,
+       n_agree * 1000000 // n AS po_micro,
+       round(CAST(n_agree * n - (ra0 * rb0 + ra1 * rb1 + ra2 * rb2) AS DOUBLE)
+             / CAST(n * n - (ra0 * rb0 + ra1 * rb1 + ra2 * rb2) AS DOUBLE),
+             6) AS kappa
+FROM agg
+"""
+
+QUERIES["cohens_kappa"] = q_cohens_kappa
+ORACLES["cohens_kappa"] = ORACLE_COHENS_KAPPA
+
+
+def q_clustering_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between two dedup-granularity clusterings
+    of the documents corpus (first-2-token vs first-3-token prefix
+    fingerprints — the coarse/fine chunking agreement question a
+    dedup pipeline asks when choosing blocking granularity). Pair
+    counts come from the contingency table: three hash aggregates
+    (cells, row sums, column sums), every C(n,2) formed with exact
+    integer `div 2`; the ARI rational is assembled EXACTLY in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — num = 2·(sij·cn2 −
+    sa·sb), den = (sa+sb)·cn2 − 2·sa·sb, products ≤ ~2.5e35 at 1e9
+    docs — and ONE division to double at the end, 6dp (the
+    subsample_ci exact-moments idiom; no cancellation-prone double
+    subtraction). CASE-guarded den=0 identically on both engines."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    lab = d.select(
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 2))).alias("la"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 3))).alias("lb"),
+    )
+    cells = lab.groupBy("la", "lb").agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    pairs = F.expr("(nij * (nij - 1)) div 2")
+    sij_df = cells.agg(
+        F.sum(pairs).cast("long").alias("sij"),
+        F.sum("nij").cast("long").alias("n"),
+    )
+    sa_df = (
+        cells.groupBy("la")
+        .agg(F.sum("nij").cast("long").alias("nij"))
+        .agg(F.sum(pairs).cast("long").alias("sa"))
+    )
+    sb_df = (
+        cells.groupBy("lb")
+        .agg(F.sum("nij").cast("long").alias("nij"))
+        .agg(F.sum(pairs).cast("long").alias("sb"))
+    )
+    one = sij_df.crossJoin(F.broadcast(sa_df)).crossJoin(F.broadcast(sb_df))
+    dec = "decimal(19,0)"
+    sij_d = F.col("sij").cast(dec)
+    sa_d = F.col("sa").cast(dec)
+    sb_d = F.col("sb").cast(dec)
+    cn2 = F.expr("(n * (n - 1)) div 2").cast("long")
+    one = one.withColumn("cn2", cn2)
+    cn2_d = F.col("cn2").cast(dec)
+    num = (sij_d * cn2_d - sa_d * sb_d) * F.lit(2).cast(dec)
+    den = (sa_d + sb_d) * cn2_d - F.lit(2).cast(dec) * sa_d * sb_d
+    return one.select(
+        "n",
+        "sij",
+        "sa",
+        "sb",
+        "cn2",
+        F.when(den == F.lit(0).cast(dec), F.lit(None).cast("double"))
+        .otherwise(F.round(num.cast("double") / den.cast("double"), 6))
+        .alias("ari"),
+    )
+
+
+ORACLE_CLUSTERING_ARI = """
+WITH lab AS (
+  SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 2), ' '))
+           AS la,
+         md5(array_to_string(list_slice(string_split(text, ' '), 1, 3), ' '))
+           AS lb
+  FROM documents),
+cells AS (
+  SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS nij FROM lab GROUP BY la, lb),
+sij_t AS (
+  SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS sij,
+         CAST(SUM(nij) AS BIGINT) AS n
+  FROM cells),
+sa_t AS (
+  SELECT CAST(SUM(ai * (ai - 1) // 2) AS BIGINT) AS sa
+  FROM (SELECT CAST(SUM(nij) AS BIGINT) AS ai FROM cells GROUP BY la)),
+sb_t AS (
+  SELECT CAST(SUM(bj * (bj - 1) // 2) AS BIGINT) AS sb
+  FROM (SELECT CAST(SUM(nij) AS BIGINT) AS bj FROM cells GROUP BY lb)),
+one AS (
+  SELECT n, sij, sa, sb, CAST(n * (n - 1) // 2 AS BIGINT) AS cn2
+  FROM sij_t, sa_t, sb_t)
+SELECT n, sij, sa, sb, cn2,
+       CASE WHEN (CAST(sa AS HUGEINT) + sb) * cn2
+                 - 2 * CAST(sa AS HUGEINT) * sb = 0 THEN NULL
+            ELSE round(
+              CAST(2 * (CAST(sij AS HUGEINT) * cn2
+                        - CAST(sa AS HUGEINT) * sb) AS DOUBLE)
+              / CAST((CAST(sa AS HUGEINT) + sb) * cn2
+                     - 2 * CAST(sa AS HUGEINT) * sb AS DOUBLE),
+              6) END AS ari
+FROM one
+"""
+
+QUERIES["clustering_ari"] = q_clustering_ari
+ORACLES["clustering_ari"] = ORACLE_CLUSTERING_ARI
+
+
+def q_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-lake scan-pruning audit: how many of 64 files a min/max
+    zone map lets a time-range predicate SKIP, under a time-clustered
+    layout vs a hash layout — the quantified answer to "why cluster
+    the fact table by event time before writing it". ONE fact scan
+    builds a 64×64 (hash-file × time-file) cell grid of per-cell
+    count/min/max; each layout's per-file zone maps are then tiny
+    re-aggregations of the ≤4096 cells, so the comparison costs one
+    pass at any scale. The probe predicate is a 5%-of-span window
+    derived from the corpus min/max in exact integer microseconds;
+    files_read counts zone-map overlaps, rows_scanned sums their
+    rows, rows_matching is the true predicate count (identical for
+    both layouts — pruning changes I/O, not answers)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    base = e.select(
+        epoch_us(F.col("ts")).alias("us"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("zm:"), F.col("event_id").cast("string"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        ).alias("fh"),
+    )
+    span = base.agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    )
+    g = base.crossJoin(F.broadcast(span)).select(
+        "us",
+        "fh",
+        F.expr("((us - mn) * 64) div (mx - mn + 1)").alias("ft"),
+        F.expr("mn + ((mx - mn) * 40) div 100").alias("lo"),
+        F.expr("mn + ((mx - mn) * 45) div 100").alias("hi"),
+    )
+    cells = g.groupBy("fh", "ft", "lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("us").alias("cmn"),
+        F.max("us").alias("cmx"),
+        F.sum(
+            ((F.col("us") >= F.col("lo")) & (F.col("us") <= F.col("hi"))).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("match"),
+    )
+
+    def layout(col: str, tag: str) -> DataFrame:
+        files = cells.groupBy(col, "lo", "hi").agg(
+            F.sum("n").cast("long").alias("rows"),
+            F.min("cmn").alias("fmn"),
+            F.max("cmx").alias("fmx"),
+            F.sum("match").cast("long").alias("fmatch"),
+        )
+        read = (F.col("fmx") >= F.col("lo")) & (F.col("fmn") <= F.col("hi"))
+        return files.agg(
+            F.lit(tag).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(read.cast("long")).cast("long").alias("files_read"),
+            F.sum(F.when(read, F.col("rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("fmatch").cast("long").alias("rows_matching"),
+        )
+
+    return layout("fh", "hash").unionByName(layout("ft", "time"))
+
+
+ORACLE_ZONE_MAP_SKIPPING = """
+WITH base AS (
+  SELECT epoch_us(ts) AS us,
+         ('0x' || substr(md5('zm:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT
+           % 64 AS fh
+  FROM events),
+span AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM base),
+g AS (
+  SELECT us, fh,
+         ((us - mn) * 64) // (mx - mn + 1) AS ft,
+         mn + ((mx - mn) * 40) // 100 AS lo,
+         mn + ((mx - mn) * 45) // 100 AS hi
+  FROM base, span),
+cells AS (
+  SELECT fh, ft, lo, hi,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         MIN(us) AS cmn, MAX(us) AS cmx,
+         CAST(SUM(CASE WHEN us >= lo AND us <= hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS match
+  FROM g GROUP BY fh, ft, lo, hi),
+fh_files AS (
+  SELECT fh, lo, hi, CAST(SUM(n) AS BIGINT) AS rows,
+         MIN(cmn) AS fmn, MAX(cmx) AS fmx,
+         CAST(SUM(match) AS BIGINT) AS fmatch
+  FROM cells GROUP BY fh, lo, hi),
+ft_files AS (
+  SELECT ft, lo, hi, CAST(SUM(n) AS BIGINT) AS rows,
+         MIN(cmn) AS fmn, MAX(cmx) AS fmx,
+         CAST(SUM(match) AS BIGINT) AS fmatch
+  FROM cells GROUP BY ft, lo, hi)
+SELECT 'hash' AS layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN fmx >= lo AND fmn <= hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS files_read,
+       CAST(SUM(CASE WHEN fmx >= lo AND fmn <= hi THEN rows ELSE 0 END)
+            AS BIGINT) AS rows_scanned,
+       CAST(SUM(fmatch) AS BIGINT) AS rows_matching
+FROM fh_files
+UNION ALL
+SELECT 'time' AS layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN fmx >= lo AND fmn <= hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS files_read,
+       CAST(SUM(CASE WHEN fmx >= lo AND fmn <= hi THEN rows ELSE 0 END)
+            AS BIGINT) AS rows_scanned,
+       CAST(SUM(fmatch) AS BIGINT) AS rows_matching
+FROM ft_files
+"""
+
+QUERIES["zone_map_skipping"] = q_zone_map_skipping
+ORACLES["zone_map_skipping"] = ORACLE_ZONE_MAP_SKIPPING
+
+
+def q_happens_before_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support over user journeys: for every
+    ordered event-type pair (a, b), how many users saw their FIRST a
+    strictly before their FIRST b (onboarding-order mining — the
+    bounded-state form of sequence mining that scales: the fact table
+    collapses to one row per (user, type) first-occurrence, ≤5 rows
+    per user, so the per-user pair join is ≤20 rows/user and the
+    support aggregate is |types|² ≤ 25 rows total). Confidence is
+    support over users-having-both, integer micro via `div`,
+    CASE-guarded identically on both engines. Exact-ts ties count as
+    support for neither direction (strict <, deterministic because
+    MIN is exact on epoch-micros)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.min(epoch_us(F.col("ts"))).alias("first_us")
+    )
+    a = ut.select(
+        F.col("user_id"),
+        F.col("event_type").alias("a"),
+        F.col("first_us").alias("fa"),
+    )
+    b = ut.select(
+        F.col("user_id"),
+        F.col("event_type").alias("b"),
+        F.col("first_us").alias("fb"),
+    )
+    pairs = a.join(b, "user_id").filter(F.col("a") != F.col("b"))
+    sup = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_both"),
+        F.sum((F.col("fa") < F.col("fb")).cast("long"))
+        .cast("long")
+        .alias("n_a_before_b"),
+    )
+    return sup.select(
+        "a",
+        "b",
+        "n_users_both",
+        "n_a_before_b",
+        F.expr(
+            "CASE WHEN n_users_both = 0 THEN NULL"
+            " ELSE (n_a_before_b * 1000000) div n_users_both END"
+        ).alias("conf_micro"),
+    )
+
+
+ORACLE_HAPPENS_BEFORE_PAIRS = """
+WITH ut AS (
+  SELECT user_id, event_type, MIN(epoch_us(ts)) AS first_us
+  FROM events GROUP BY user_id, event_type)
+SELECT a.event_type AS a, b.event_type AS b,
+       CAST(COUNT(*) AS BIGINT) AS n_users_both,
+       CAST(SUM(CASE WHEN a.first_us < b.first_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_a_before_b,
+       CASE WHEN COUNT(*) = 0 THEN NULL
+            ELSE CAST(SUM(CASE WHEN a.first_us < b.first_us THEN 1 ELSE 0 END)
+                      AS BIGINT) * 1000000 // COUNT(*) END AS conf_micro
+FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type <> b.event_type
+GROUP BY a.event_type, b.event_type
+"""
+
+QUERIES["happens_before_pairs"] = q_happens_before_pairs
+ORACLES["happens_before_pairs"] = ORACLE_HAPPENS_BEFORE_PAIRS
+
+
+def q_dhondt_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Hondt divisor-method apportionment of 100 training-mixture
+    shards across document languages by corpus size — the
+    highest-averages counterpart to the registry's Hamilton
+    largest-remainder allocator (`token_budget_apportionment`);
+    divisor methods are house-monotone, which matters when the shard
+    budget grows over pipeline runs. The fact table collapses to one
+    row per language first, so the divisor table (langs × 100
+    quotients) is a few hundred rows: quotients are EXACT scaled
+    integers ((votes·1e12) div d — no float ratios anywhere), the
+    top-100 selection is a total-ordered TakeOrderedAndProject
+    (quotient desc, lang, d), and seats per language is a count over
+    the winners."""
+    d = load_table(spark, sf_dir, "documents").select("lang")
+    votes = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    quot = votes.select(
+        "lang",
+        "votes",
+        F.explode(F.sequence(F.lit(1), F.lit(100))).alias("d"),
+    ).withColumn("q", F.expr("(votes * 1000000000000) div d"))
+    winners = quot.orderBy(
+        F.col("q").desc(), F.col("lang").asc(), F.col("d").asc()
+    ).limit(100)
+    seats = winners.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("seats")
+    )
+    return (
+        votes.join(seats, "lang", "left")
+        .select(
+            "lang",
+            "votes",
+            F.coalesce(F.col("seats"), F.lit(0)).cast("long").alias("seats"),
+        )
+    )
+
+
+ORACLE_DHONDT_APPORTIONMENT = """
+WITH votes AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS votes FROM documents GROUP BY lang),
+quot AS (
+  SELECT lang, votes, d, (votes * 1000000000000) // d AS q
+  FROM votes, (SELECT unnest(generate_series(1, 100)) AS d)),
+winners AS (
+  SELECT lang FROM quot ORDER BY q DESC, lang ASC, d ASC LIMIT 100),
+seats AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS seats FROM winners GROUP BY lang)
+SELECT v.lang, v.votes,
+       CAST(COALESCE(s.seats, 0) AS BIGINT) AS seats
+FROM votes v LEFT JOIN seats s ON v.lang = s.lang
+"""
+
+QUERIES["dhondt_apportionment"] = q_dhondt_apportionment
+ORACLES["dhondt_apportionment"] = ORACLE_DHONDT_APPORTIONMENT
+
+
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-Poisson PPS sample (probability proportional to
+    size) of 200 documents weighted by length — the size-biased
+    sampling a corpus-inspection pipeline wants so that big documents
+    are proportionally represented. Each doc gets the deterministic
+    engine-portable priority (u48·1e6) div n_chars where u48 is a
+    48-bit md5 integer (the md5-hex coin from operators.sampling,
+    kept fully in BIGINT — u48·1e6 ≤ 2.8e20? no: 2^48·1e6 ≈ 2.8e20
+    exceeds int64, so the scale is 1e4: 2^48·1e4 ≈ 2.8e18 < 2^63);
+    the 200 smallest priorities win via total-ordered
+    TakeOrderedAndProject (priority, doc_id). Output compares each
+    language's weight share in the sample vs the corpus, exact
+    integer micro shares."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    u48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pps:"), F.col("doc_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = docs.withColumn("_u48", u48).withColumn(
+        "prio", F.expr("(_u48 * 10000) div n_chars")
+    )
+    sample = keyed.orderBy(F.col("prio").asc(), F.col("doc_id").asc()).limit(200)
+    samp_lang = sample.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("n_chars").cast("long").alias("sampled_wt"),
+    )
+    corpus = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("long").alias("corpus_wt")
+    )
+    tot_s = sample.agg(F.sum("n_chars").cast("long").alias("ts_wt"))
+    tot_c = docs.agg(F.sum("n_chars").cast("long").alias("tc_wt"))
+    return (
+        corpus.join(samp_lang, "lang", "left")
+        .crossJoin(F.broadcast(tot_s))
+        .crossJoin(F.broadcast(tot_c))
+        .select(
+            "lang",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias(
+                "n_sampled"
+            ),
+            F.coalesce(F.col("sampled_wt"), F.lit(0)).cast("long").alias(
+                "sampled_wt"
+            ),
+            "corpus_wt",
+            F.expr("(corpus_wt * 1000000) div tc_wt").alias("corpus_share_micro"),
+            F.expr(
+                "(coalesce(sampled_wt, 0) * 1000000) div ts_wt"
+            ).alias("sample_share_micro"),
+        )
+    )
+
+
+ORACLE_PPS_SAMPLE = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         (('0x' || substr(md5('pps:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+          * 10000) // n_chars AS prio
+  FROM documents),
+sample AS (
+  SELECT * FROM keyed ORDER BY prio ASC, doc_id ASC LIMIT 200),
+samp_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         CAST(SUM(n_chars) AS BIGINT) AS sampled_wt
+  FROM sample GROUP BY lang),
+corpus AS (
+  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS corpus_wt
+  FROM documents GROUP BY lang),
+tot AS (
+  SELECT (SELECT CAST(SUM(n_chars) AS BIGINT) FROM sample) AS ts_wt,
+         (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS tc_wt)
+SELECT c.lang,
+       CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(s.sampled_wt, 0) AS BIGINT) AS sampled_wt,
+       c.corpus_wt,
+       (c.corpus_wt * 1000000) // t.tc_wt AS corpus_share_micro,
+       (COALESCE(s.sampled_wt, 0) * 1000000) // t.ts_wt AS sample_share_micro
+FROM corpus c LEFT JOIN samp_lang s ON c.lang = s.lang, tot t
+"""
+
+QUERIES["pps_sample"] = q_pps_sample
+ORACLES["pps_sample"] = ORACLE_PPS_SAMPLE
