@@ -521,3 +521,90 @@ def ntile_exact(
         joined.withColumn(bucket_col, (bucket + 1).cast("long"))
         .drop("_grank", "_n")
     )
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    tiebreak_cols: list[str],
+    median_col: str = "weighted_median",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-group LOWER WEIGHTED MEDIAN (smallest value v whose
+    cumulative weight over rows ordered by value reaches half the
+    group's total weight: 2·cumw(v) ≥ totw) without per-group
+    single-task sorts — the weighted sibling of
+    :func:`grouped_percentile_exact`, for low-cardinality group keys
+    over fact-sized input.
+
+    Same two-phase composite range sort as :func:`grouped_rank`
+    (groups span partitions, tasks stay ~|data|/|partitions|), but the
+    prefix statistic is a WEIGHT sum, which ``monotonically_increasing_
+    id`` cannot provide — so the in-partition running weight comes
+    from a window partitioned by ``(_pid, group)``: that costs ONE
+    extra hash exchange of the stamped fact, and its key cardinality
+    is ≥ |partitions| (every partition contributes at least one cell),
+    so parallelism never collapses no matter how few groups exist.
+    Per-(partition, group) weight-cell offsets broadcast back exactly
+    as in grouped_rank. ``weight_col`` must be integral (scaled ints
+    per the registry discipline) so cumulative weights are exact and
+    the boundary predicate 2·cumw ≥ totw is deterministic; rows with
+    equal values share a run whose TOTAL cumulative weight is
+    order-independent, so the crossing value is unique even though
+    intra-run order is not.
+
+    Returns one row per group: ``group_cols ++ [median_col,
+    total_weight]``.
+    """
+    reserved = {"_pid", "_local_w", "_woff", "_wcell", "_cumw", "_totw"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"grouped_weighted_median: rename columns {clash}")
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    sort_cols = [F.col(c) for c in [*group_cols, value_col, *tiebreak_cols]]
+    sorted_df = df.repartitionByRange(n_part, *sort_cols).sortWithinPartitions(
+        *sort_cols
+    )
+    with_pid = sorted_df.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
+    w_local = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*[F.col(value_col)], *[F.col(c) for c in tiebreak_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = with_pid.withColumn(
+        "_local_w", F.sum(weight_col).over(w_local).cast("long")
+    )
+    cells = with_pid.groupBy("_pid", *group_cols).agg(
+        F.sum(weight_col).cast("long").alias("_wcell")
+    )
+    w_g = Window.partitionBy(*group_cols).orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = cells.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_wcell").over(w_g), F.lit(0)).cast("long").alias("_woff"),
+    )
+    totals = (
+        cells.groupBy(*group_cols)
+        .agg(F.sum("_wcell").cast("long").alias("_totw"))
+    )
+    cum = (
+        local.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn("_cumw", (F.col("_woff") + F.col("_local_w")).cast("long"))
+        .join(F.broadcast(totals), group_cols)
+    )
+    return (
+        cum.groupBy(*group_cols)
+        .agg(
+            F.min(
+                F.when(2 * F.col("_cumw") >= F.col("_totw"), F.col(value_col))
+            ).alias(median_col),
+            F.min("_totw").cast("long").alias("total_weight"),
+        )
+    )

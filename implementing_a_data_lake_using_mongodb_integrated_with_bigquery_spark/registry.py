@@ -17024,3 +17024,310 @@ FROM corpus c LEFT JOIN samp_lang s ON c.lang = s.lang, tot t
 
 QUERIES["pps_sample"] = q_pps_sample
 ORACLES["pps_sample"] = ORACLE_PPS_SAMPLE
+
+
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-returnflag LOWER WEIGHTED MEDIAN of extended price
+    weighted by quantity — the quantity-weighted "typical price" a
+    pricing audit wants, where the plain median over-counts small
+    lines. Runs through `operators.windows.grouped_weighted_median`:
+    3-value group key over the fact table is exactly the
+    low-cardinality case where `percentile()`-style buffering or a
+    plain partitioned window dies at 100×, so the composite range
+    sort + per-(partition, group) weight cells carry the prefix sums
+    (see the operator docstring for the one extra exchange and why
+    its parallelism is ≥ |partitions|). Weights and values are exact
+    scaled integers; the 2·cumw ≥ totw crossing value is
+    order-independent within equal-value runs."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        grouped_weighted_median,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    out = grouped_weighted_median(
+        l,
+        group_cols=["l_returnflag"],
+        value_col="price_cents",
+        weight_col="w",
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+        median_col="weighted_median_cents",
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("weighted_median_cents").cast("long").alias("weighted_median_cents"),
+        "total_weight",
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN_PRICE = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(round(l_quantity * 100) AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+cum AS (
+  SELECT l_returnflag, price_cents,
+         SUM(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY price_cents, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+  FROM base)
+SELECT l_returnflag,
+       CAST(MIN(CASE WHEN 2 * cumw >= totw THEN price_cents END) AS BIGINT)
+         AS weighted_median_cents,
+       CAST(MIN(totw) AS BIGINT) AS total_weight
+FROM cum GROUP BY l_returnflag
+"""
+
+QUERIES["weighted_median_price"] = q_weighted_median_price
+ORACLES["weighted_median_price"] = ORACLE_WEIGHTED_MEDIAN_PRICE
+
+
+def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match pairs over the part-name DOMAIN with
+    noun-token blocking — the typo-reconciliation primitive, and the
+    built-in-function parity pin (Spark `levenshtein` == DuckDB
+    `levenshtein`, exact integer distances). Scale shape: the fact
+    table collapses to DISTINCT names first (the name domain is
+    bounded — TPC-H p_name draws from a fixed word list — so the
+    distinct is a domain-bounded hash aggregate), then candidates are
+    generated ONLY within a shared-second-token block (never
+    domain²), ordered pairs a < b, distance ≤ 3."""
+    p = load_table(spark, sf_dir, "part").select("p_name")
+    names = p.distinct().select(
+        F.col("p_name"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("blk"),
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "blk")
+    b = names.select(F.col("p_name").alias("name_b"), "blk")
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein(F.col("name_a"), F.col("name_b")))
+        .filter(F.col("dist") <= 3)
+    )
+    return pairs.select(
+        "blk", "name_a", "name_b", F.col("dist").cast("long").alias("dist")
+    )
+
+
+ORACLE_LEVENSHTEIN_PAIRS = """
+WITH names AS (
+  SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS blk FROM part)
+SELECT a.blk, a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+QUERIES["levenshtein_pairs"] = q_levenshtein_pairs
+ORACLES["levenshtein_pairs"] = ORACLE_LEVENSHTEIN_PAIRS
+
+
+def q_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency mining over candidate column pairs — the
+    constraint-discovery pass a data-quality pipeline runs before
+    declaring schema contracts. For each candidate LHS→RHS: the
+    number of LHS groups, how many of them violate (≥2 RHS variants),
+    the worst variant count, and the G3 repair cost (minimum rows to
+    delete so the FD holds = Σ over groups of rows − modal-RHS rows).
+    Each FD is two hash aggregates (groupBy(lhs, rhs) then
+    groupBy(lhs)) — map-side partials, no buffering aggregates, no
+    windows; candidates union into one report."""
+    fds = [
+        ("part", "p_brand", "p_type"),
+        ("part", "p_type", "p_size"),
+        ("part", "p_name", "p_brand"),
+        ("customer", "c_nationkey", "c_mktsegment"),
+        ("orders", "o_custkey", "o_orderpriority"),
+    ]
+    outs = []
+    for tbl, lhs, rhs in fds:
+        t = load_table(spark, sf_dir, tbl).select(
+            F.col(lhs).cast("string").alias("lhs"),
+            F.col(rhs).cast("string").alias("rhs"),
+        )
+        g = t.groupBy("lhs", "rhs").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        per_lhs = g.groupBy("lhs").agg(
+            F.sum("cnt").cast("long").alias("tot"),
+            F.max("cnt").cast("long").alias("mx"),
+            F.count(F.lit(1)).cast("long").alias("n_rhs"),
+        )
+        outs.append(
+            per_lhs.agg(
+                F.lit(f"{tbl}.{lhs}->{rhs}").alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("lhs_groups"),
+                F.sum((F.col("n_rhs") > 1).cast("long"))
+                .cast("long")
+                .alias("violating_groups"),
+                F.max("n_rhs").cast("long").alias("max_rhs_variants"),
+                F.sum(F.col("tot") - F.col("mx")).cast("long").alias("g3_rows"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _fd_oracle_block(tbl: str, lhs: str, rhs: str) -> str:
+    return f"""
+SELECT '{tbl}.{lhs}->{rhs}' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS lhs_groups,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_groups,
+       CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_variants,
+       CAST(SUM(tot - mx) AS BIGINT) AS g3_rows
+FROM (
+  SELECT lhs, CAST(SUM(cnt) AS BIGINT) AS tot, CAST(MAX(cnt) AS BIGINT) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n_rhs
+  FROM (SELECT CAST({lhs} AS VARCHAR) AS lhs, CAST({rhs} AS VARCHAR) AS rhs,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {tbl} GROUP BY 1, 2)
+  GROUP BY lhs)
+"""
+
+
+ORACLE_FUNCTIONAL_DEPENDENCY_AUDIT = " UNION ALL ".join(
+    _fd_oracle_block(t, l, r)
+    for t, l, r in [
+        ("part", "p_brand", "p_type"),
+        ("part", "p_type", "p_size"),
+        ("part", "p_name", "p_brand"),
+        ("customer", "c_nationkey", "c_mktsegment"),
+        ("orders", "o_custkey", "o_orderpriority"),
+    ]
+)
+
+QUERIES["functional_dependency_audit"] = q_functional_dependency_audit
+ORACLES["functional_dependency_audit"] = ORACLE_FUNCTIONAL_DEPENDENCY_AUDIT
+
+
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scoring (Rose et al.): tokens between stopword
+    delimiters form candidate phrases; a word's score is
+    degree/frequency where degree sums the lengths of every phrase it
+    appears in — the cheap unsupervised keyword extractor that
+    complements the corpus's TF-IDF/PMI/χ² rankers with
+    phrase-cooccurrence structure. Plan: posexplode tokens, per-doc
+    running stopword count assigns phrase ids (window partitioned by
+    the HIGH-cardinality doc_id — never low-par), phrase lengths join
+    back on (doc, phrase), then one word-keyed aggregate; score is
+    exact integer micro via `div`, top-20 total-ordered (score desc,
+    word) through TakeOrderedAndProject. Stopword list is the shared
+    `operators.text.STOPWORDS`."""
+    from pyspark.sql import Window
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        STOPWORDS,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    is_stop = F.col("tok").isin(*STOPWORDS)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ph = toks.withColumn("phrase_id", F.sum(is_stop.cast("int")).over(w))
+    words = ph.filter(~is_stop).select("doc_id", "phrase_id", "tok")
+    plens = words.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("plen")
+    )
+    stats = (
+        words.join(plens, ["doc_id", "phrase_id"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+    )
+    scored = stats.withColumn(
+        "score_micro", F.expr("(degree * 1000000) div freq")
+    )
+    return scored.orderBy(
+        F.col("score_micro").desc(), F.col("tok").asc()
+    ).limit(20)
+
+
+def _oracle_rake(stop_sql: str) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+ph AS (
+  SELECT doc_id, tok,
+         CASE WHEN tok IN ({stop_sql}) THEN 1 ELSE 0 END AS is_stop,
+         SUM(CASE WHEN tok IN ({stop_sql}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS phrase_id
+  FROM pos),
+words AS (SELECT doc_id, phrase_id, tok FROM ph WHERE is_stop = 0),
+plens AS (
+  SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS plen
+  FROM words GROUP BY doc_id, phrase_id),
+stats AS (
+  SELECT w.tok, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(p.plen) AS BIGINT) AS degree
+  FROM words w JOIN plens p USING (doc_id, phrase_id)
+  GROUP BY w.tok)
+SELECT tok, freq, degree, degree * 1000000 // freq AS score_micro
+FROM stats ORDER BY score_micro DESC, tok ASC LIMIT 20
+"""
+
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (  # noqa: E402
+    STOPWORDS as _RAKE_STOPWORDS,
+)
+
+ORACLE_RAKE_KEYPHRASES = _oracle_rake(
+    ", ".join(f"'{s}'" for s in _RAKE_STOPWORDS)
+)
+
+QUERIES["rake_keyphrases"] = q_rake_keyphrases
+ORACLES["rake_keyphrases"] = ORACLE_RAKE_KEYPHRASES
+
+
+def q_limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination page 3 (rows 41–60) of orders by total price — pins
+    Spark SQL's LIMIT ... OFFSET support and its physical form: the
+    sort stays a top-(limit+offset) TakeOrderedAndProject, never a
+    global sort (the executor-side cost of page N is O(N·page), which
+    is why a 100 TB service should switch to keyset predicates for
+    deep pages — this query documents the shallow-page case the
+    optimizer DOES handle well). Total-ordered tiebreak on the unique
+    key; projected values pass through unchanged, so the double sort
+    key is hash-safe."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_page_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM _page_orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20 OFFSET 40
+        """
+    )
+
+
+ORACLE_LIMIT_OFFSET_PAGE = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20 OFFSET 40
+"""
+
+QUERIES["limit_offset_page"] = q_limit_offset_page
+ORACLES["limit_offset_page"] = ORACLE_LIMIT_OFFSET_PAGE

@@ -87,3 +87,112 @@ def test_pps_sample_is_exactly_k_and_share_normalized(spark):
     assert sum(r.n_sampled for r in rows) == 200
     total = sum(r.sample_share_micro for r in rows)
     assert 1000000 - len(rows) <= total <= 1000000
+
+
+def test_grouped_weighted_median_matches_window_form(spark):
+    # independent check against the naive cumulative-window definition
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        grouped_weighted_median,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources import (
+        load_table,
+    )
+
+    l = load_table(spark, SF, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    got = {
+        r.l_returnflag: (r.m, r.total_weight)
+        for r in grouped_weighted_median(
+            l, ["l_returnflag"], "v", "w", ["l_orderkey", "l_linenumber"], "m"
+        ).collect()
+    }
+    win = Window.partitionBy("l_returnflag").orderBy(
+        "v", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy("l_returnflag")
+    naive = (
+        l.withColumn("cumw", F.sum("w").over(win))
+        .withColumn("totw", F.sum("w").over(tot))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("v"))).alias(
+                "m"
+            ),
+            F.min("totw").alias("totw"),
+        )
+    )
+    want = {r.l_returnflag: (r.m, r.totw) for r in naive.collect()}
+    assert got == want
+
+
+def test_grouped_weighted_median_reserved_name_guard(spark):
+    import pytest as _pytest
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        grouped_weighted_median,
+    )
+
+    df = spark.range(4).selectExpr("id", "id AS _cumw", "1 AS w")
+    with _pytest.raises(ValueError, match="rename columns"):
+        grouped_weighted_median(df, ["id"], "id", "w", [])
+
+
+def test_levenshtein_pairs_are_blocked_and_bounded(spark):
+    rows = QUERIES["levenshtein_pairs"](spark, SF).collect()
+    assert rows, "expected near-match pairs within noun blocks"
+    for r in rows:
+        assert r.name_a < r.name_b
+        assert r.name_a.split(" ")[1] == r.blk == r.name_b.split(" ")[1]
+        assert 1 <= r.dist <= 3
+
+
+def test_fd_audit_flags_violations_with_consistent_g3(spark):
+    rows = {r.fd: r for r in QUERIES["functional_dependency_audit"](spark, SF).collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r.violating_groups <= r.lhs_groups
+        # a violating group loses at least one row in the G3 repair
+        assert (r.g3_rows == 0) == (r.violating_groups == 0)
+        assert r.g3_rows >= r.violating_groups
+
+
+def test_rake_scores_favor_phrase_cohabitants(spark):
+    rows = QUERIES["rake_keyphrases"](spark, SF).collect()
+    assert len(rows) == 20
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        STOPWORDS,
+    )
+
+    for r in rows:
+        assert r.tok not in STOPWORDS
+        # degree counts each occurrence's whole phrase, so degree >= freq
+        assert r.degree >= r.freq
+        assert r.score_micro == r.degree * 1000000 // r.freq
+    scores = [r.score_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_limit_offset_page_is_rows_41_to_60(spark):
+    import pyspark.sql.functions as F
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources import (
+        load_table,
+    )
+
+    page = QUERIES["limit_offset_page"](spark, SF).collect()
+    assert len(page) == 20
+    full = (
+        load_table(spark, SF, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(60)
+        .collect()
+    )
+    assert [r.o_orderkey for r in page] == [r.o_orderkey for r in full[40:60]]
