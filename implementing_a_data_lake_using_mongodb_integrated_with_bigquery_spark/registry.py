@@ -16744,6 +16744,9 @@ def q_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("match"),
     )
+    # both layout branches re-aggregate the cell grid: pin the ≤4096-row
+    # table so the fact is scanned ONCE, not once per branch
+    cells = cells.localCheckpoint(eager=True)
 
     def layout(col: str, tag: str) -> DataFrame:
         files = cells.groupBy(col, "lo", "hi").agg(
