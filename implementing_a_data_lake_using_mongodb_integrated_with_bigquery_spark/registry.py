@@ -17334,3 +17334,317 @@ LIMIT 20 OFFSET 40
 
 QUERIES["limit_offset_page"] = q_limit_offset_page
 ORACLES["limit_offset_page"] = ORACLE_LIMIT_OFFSET_PAGE
+
+
+def q_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the token distributions of
+    two corpus halves (sources src0-9 vs src10-19) — the
+    train-vs-new-crawl drift check a data pipeline runs before mixing
+    a new source in. One token-keyed hash aggregate with conditional
+    half counts (dense — no missing-token asymmetry), totals
+    broadcast back; each token's JSD term ½·p·ln(2p/(p+q)) +
+    ½·q·ln(2q/(p+q)) is computed as an IDENTICAL scalar expression
+    tree on exact integer inputs on both engines (r9 float taxonomy
+    class 1: composed expression arithmetic is bit-equal), rounded to
+    integer micro-nats PER TOKEN (the `source_lang_entropy`
+    precedent), then order-free BIGINT-summed. 0·ln(0) handled by
+    identical CASE guards."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    half_a = F.expr("CAST(substring(source, 4) AS INT) < 10")
+    toks = d.select(
+        half_a.alias("ha"), F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    per_tok = toks.groupBy("tok").agg(
+        F.sum(F.col("ha").cast("long")).cast("long").alias("na"),
+        F.sum((~F.col("ha")).cast("long")).cast("long").alias("nb"),
+    )
+    tot = per_tok.agg(
+        F.sum("na").cast("long").alias("ta"), F.sum("nb").cast("long").alias("tb")
+    )
+    term = F.expr(
+        """
+        CAST(round((
+          CASE WHEN na = 0 THEN 0.0
+               ELSE 0.5 * (na / ta) * ln(2 * (na / ta) / (na / ta + nb / tb))
+          END
+          +
+          CASE WHEN nb = 0 THEN 0.0
+               ELSE 0.5 * (nb / tb) * ln(2 * (nb / tb) / (na / ta + nb / tb))
+          END) * 1000000) AS BIGINT)
+        """
+    )
+    return (
+        per_tok.crossJoin(F.broadcast(tot))
+        .select(term.alias("term_micro"), "ta", "tb")
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum("term_micro").cast("long").alias("jsd_micronats"),
+        )
+        .select(
+            F.col("ta").alias("tokens_a"),
+            F.col("tb").alias("tokens_b"),
+            "vocab_size",
+            "jsd_micronats",
+        )
+    )
+
+
+ORACLE_JSD_SOURCE_DIVERGENCE = """
+WITH toks AS (
+  SELECT CAST(substr(source, 4) AS INT) < 10 AS ha,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+per_tok AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN ha THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN ha THEN 0 ELSE 1 END) AS BIGINT) AS nb
+  FROM toks GROUP BY tok),
+tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+  FROM per_tok),
+terms AS (
+  SELECT ta, tb,
+         CAST(round((
+           CASE WHEN na = 0 THEN 0.0
+                ELSE 0.5 * (na / ta) * ln(2 * (na / ta) / (na / ta + nb / tb))
+           END
+           +
+           CASE WHEN nb = 0 THEN 0.0
+                ELSE 0.5 * (nb / tb) * ln(2 * (nb / tb) / (na / ta + nb / tb))
+           END) * 1000000) AS BIGINT) AS term_micro
+  FROM per_tok, tot)
+SELECT ta AS tokens_a, tb AS tokens_b,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(term_micro) AS BIGINT) AS jsd_micronats
+FROM terms GROUP BY ta, tb
+"""
+
+QUERIES["jsd_source_divergence"] = q_jsd_source_divergence
+ORACLES["jsd_source_divergence"] = ORACLE_JSD_SOURCE_DIVERGENCE
+
+
+def q_rle_compression_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-planning audit: estimated run-length-encoding runs and
+    dictionary sizes per lineitem column under the natural
+    (l_orderkey, l_linenumber) clustering — what a lake optimizer
+    consults before choosing column encodings; runs reset per order,
+    modeling page-level RLE in row groups. One window pass (lag over
+    the HIGH-cardinality l_orderkey partition — never low-par)
+    computes run starts for four columns at once; distinct counts
+    ride one multi-distinct aggregate; ratios are integer micro via
+    `div`. A run-heavy column (returnflag: few runs per order) vs a
+    run-free one (quantity) quantifies the encoding choice."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").alias("c_flag"),
+        F.col("l_linestatus").alias("c_status"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("c_qty"),
+        epoch_us(F.col("l_shipdate")).alias("c_ship"),
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in this generator —
+    # tiebreak on the compared columns themselves, so rows tied on the
+    # full sort key are value-identical and the run structure is
+    # order-independent on both engines
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "c_flag", "c_status", "c_qty", "c_ship"
+    )
+    runs = l.select(
+        "c_flag",
+        "c_status",
+        "c_qty",
+        "c_ship",
+        *[
+            (F.lag(F.col(c)).over(w).isNull() | (F.col(c) != F.lag(F.col(c)).over(w)))
+            .cast("long")
+            .alias(f"st_{c}")
+            for c in ("c_flag", "c_status", "c_qty", "c_ship")
+        ],
+    ).agg(*[F.sum(f"st_{c}").cast("long").alias(f"runs_{c}") for c in ("c_flag", "c_status", "c_qty", "c_ship")])
+    dist = l.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            F.countDistinct(c).cast("long").alias(f"dist_{c}")
+            for c in ("c_flag", "c_status", "c_qty", "c_ship")
+        ],
+    )
+    wide = runs.crossJoin(F.broadcast(dist))
+    stacked = wide.select(
+        "n_rows",
+        F.expr(
+            "stack(4,"
+            " 'l_returnflag', runs_c_flag, dist_c_flag,"
+            " 'l_linestatus', runs_c_status, dist_c_status,"
+            " 'l_quantity', runs_c_qty, dist_c_qty,"
+            " 'l_shipdate', runs_c_ship, dist_c_ship"
+            ") AS (col_name, n_runs, n_distinct)"
+        ),
+    )
+    return stacked.select(
+        "col_name",
+        "n_rows",
+        "n_runs",
+        "n_distinct",
+        F.expr("(n_runs * 1000000) div n_rows").alias("rle_ratio_micro"),
+        F.expr("(n_distinct * 1000000) div n_rows").alias("dict_ratio_micro"),
+    )
+
+
+ORACLE_RLE_COMPRESSION_ESTIMATE = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         l_returnflag AS c_flag, l_linestatus AS c_status,
+         CAST(round(l_quantity * 100) AS BIGINT) AS c_qty,
+         epoch_us(l_shipdate) AS c_ship
+  FROM lineitem),
+st AS (
+  SELECT
+    CASE WHEN lag(c_flag) OVER w IS NULL
+           OR c_flag <> lag(c_flag) OVER w THEN 1 ELSE 0 END AS st_flag,
+    CASE WHEN lag(c_status) OVER w IS NULL
+           OR c_status <> lag(c_status) OVER w THEN 1 ELSE 0 END AS st_status,
+    CASE WHEN lag(c_qty) OVER w IS NULL
+           OR c_qty <> lag(c_qty) OVER w THEN 1 ELSE 0 END AS st_qty,
+    CASE WHEN lag(c_ship) OVER w IS NULL
+           OR c_ship <> lag(c_ship) OVER w THEN 1 ELSE 0 END AS st_ship
+  FROM base
+  WINDOW w AS (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, c_flag, c_status, c_qty, c_ship)),
+runs AS (
+  SELECT CAST(SUM(st_flag) AS BIGINT) AS runs_flag,
+         CAST(SUM(st_status) AS BIGINT) AS runs_status,
+         CAST(SUM(st_qty) AS BIGINT) AS runs_qty,
+         CAST(SUM(st_ship) AS BIGINT) AS runs_ship
+  FROM st),
+dist AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT c_flag) AS BIGINT) AS dist_flag,
+         CAST(COUNT(DISTINCT c_status) AS BIGINT) AS dist_status,
+         CAST(COUNT(DISTINCT c_qty) AS BIGINT) AS dist_qty,
+         CAST(COUNT(DISTINCT c_ship) AS BIGINT) AS dist_ship
+  FROM base),
+stacked AS (
+  SELECT 'l_returnflag' AS col_name, n_rows, runs_flag AS n_runs,
+         dist_flag AS n_distinct FROM runs, dist
+  UNION ALL
+  SELECT 'l_linestatus', n_rows, runs_status, dist_status FROM runs, dist
+  UNION ALL
+  SELECT 'l_quantity', n_rows, runs_qty, dist_qty FROM runs, dist
+  UNION ALL
+  SELECT 'l_shipdate', n_rows, runs_ship, dist_ship FROM runs, dist)
+SELECT col_name, n_rows, n_runs, n_distinct,
+       (n_runs * 1000000) // n_rows AS rle_ratio_micro,
+       (n_distinct * 1000000) // n_rows AS dict_ratio_micro
+FROM stacked
+"""
+
+QUERIES["rle_compression_estimate"] = q_rle_compression_estimate
+ORACLES["rle_compression_estimate"] = ORACLE_RLE_COMPRESSION_ESTIMATE
+
+
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking storage dedup: chunk boundaries fall
+    AFTER tokens whose md5 lands in a fixed 1-in-8 bucket (the
+    gear-hash principle — boundaries are a function of CONTENT, so an
+    inserted token shifts only its own chunk, unlike the fixed-size
+    chunker in `chunk_level_dedup` where every downstream chunk
+    changes). Per-doc running boundary count assigns chunk ids
+    (doc_id-partitioned window, high-card); chunk text reassembles
+    via sort_array(collect_list(struct(pos, tok))) — bounded by
+    construction: a chunk never exceeds its document, and documents
+    are generator-bounded (~n_chars ≤ a few hundred tokens), the same
+    boundedness class as per-order lines. Output is the dedup
+    accounting a chunk store reports: total vs distinct chunks,
+    logical vs stored bytes, savings in integer micro."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    boundary = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long") % 8
+    ) == 0
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.withColumn(
+        "chunk_id",
+        F.coalesce(F.sum(boundary.cast("long")).over(w), F.lit(0)).cast("long"),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)"),
+        ).alias("chunk_text")
+    )
+    hashed = chunks.select(
+        F.md5(F.col("chunk_text")).alias("h"),
+        F.length(F.col("chunk_text")).cast("long").alias("bytes"),
+    )
+    stored = hashed.groupBy("h").agg(F.min("bytes").alias("sbytes"))
+    tot = hashed.agg(
+        F.count(F.lit(1)).cast("long").alias("total_chunks"),
+        F.sum("bytes").cast("long").alias("logical_bytes"),
+    )
+    st = stored.agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_chunks"),
+        F.sum("sbytes").cast("long").alias("stored_bytes"),
+    )
+    return tot.crossJoin(F.broadcast(st)).select(
+        "total_chunks",
+        "distinct_chunks",
+        "logical_bytes",
+        "stored_bytes",
+        F.expr(
+            "((logical_bytes - stored_bytes) * 1000000) div logical_bytes"
+        ).alias("savings_micro"),
+    )
+
+
+ORACLE_CDC_CHUNK_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+marked AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN ('0x' || substr(md5(tok), 1, 4))::BIGINT % 8 = 0
+              THEN 1 ELSE 0 END AS b
+  FROM pos),
+chunked AS (
+  SELECT doc_id, pos, tok,
+         CAST(COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS chunk_id
+  FROM marked),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+  FROM chunked GROUP BY doc_id, chunk_id),
+hashed AS (
+  SELECT md5(chunk_text) AS h, CAST(length(chunk_text) AS BIGINT) AS bytes
+  FROM chunks),
+stored AS (SELECT h, MIN(bytes) AS sbytes FROM hashed GROUP BY h),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total_chunks,
+         CAST(SUM(bytes) AS BIGINT) AS logical_bytes
+  FROM hashed),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+         CAST(SUM(sbytes) AS BIGINT) AS stored_bytes
+  FROM stored)
+SELECT total_chunks, distinct_chunks, logical_bytes, stored_bytes,
+       ((logical_bytes - stored_bytes) * 1000000) // logical_bytes
+         AS savings_micro
+FROM tot, st
+"""
+
+QUERIES["cdc_chunk_dedup"] = q_cdc_chunk_dedup
+ORACLES["cdc_chunk_dedup"] = ORACLE_CDC_CHUNK_DEDUP

@@ -196,3 +196,30 @@ def test_limit_offset_page_is_rows_41_to_60(spark):
         .collect()
     )
     assert [r.o_orderkey for r in page] == [r.o_orderkey for r in full[40:60]]
+
+
+def test_jsd_is_small_for_homogeneous_halves_and_bounded(spark):
+    row = QUERIES["jsd_source_divergence"](spark, SF).collect()[0]
+    # both halves draw from the same generator vocab: JSD well below ln(2)
+    assert 0 <= row.jsd_micronats < 693147
+    assert row.vocab_size > 0
+    assert row.tokens_a > 0 and row.tokens_b > 0
+
+
+def test_rle_estimate_orders_columns_by_compressibility(spark):
+    rows = {r.col_name: r for r in QUERIES["rle_compression_estimate"](spark, SF).collect()}
+    assert set(rows) == {"l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"}
+    for r in rows.values():
+        assert r.n_distinct <= r.n_runs <= r.n_rows
+        assert r.rle_ratio_micro <= 1000000
+    # 2-3 value flags run far better than a near-unique measure column
+    assert rows["l_linestatus"].n_runs < rows["l_quantity"].n_runs
+
+
+def test_cdc_chunk_dedup_accounting_is_consistent(spark):
+    r = QUERIES["cdc_chunk_dedup"](spark, SF).collect()[0]
+    assert r.distinct_chunks <= r.total_chunks
+    assert r.stored_bytes <= r.logical_bytes
+    assert 0 <= r.savings_micro < 1000000
+    # tiny shared vocab -> content-defined chunks repeat across docs
+    assert r.distinct_chunks < r.total_chunks
