@@ -17648,3 +17648,304 @@ FROM tot, st
 
 QUERIES["cdc_chunk_dedup"] = q_cdc_chunk_dedup
 ORACLES["cdc_chunk_dedup"] = ORACLE_CDC_CHUNK_DEDUP
+
+
+def q_stream_two_level_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained streaming aggregation (streaming.windowed.
+    two_level_windowed_counts_once): 15-min windows roll up to hourly
+    totals in one query — two stateful operators, append mode. The
+    oracle replays the bounded-run emission rule: hours with end ≤ W
+    (max event time ms-truncated − 10 min lateness), n_quarters =
+    distinct non-empty 15-min buckets per (hour, type)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        two_level_windowed_counts_once,
+    )
+
+    out = two_level_windowed_counts_once(
+        spark,
+        f"{sf_dir}/events.parquet",
+        lateness="10 minutes",
+        group_cols=["event_type"],
+    )
+    return out.select(
+        epoch_us(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "n_quarters",
+    )
+
+
+ORACLE_STREAM_TWO_LEVEL_HOURLY = """
+WITH w AS (
+  SELECT (epoch_us(max(ts)) // 1000) * 1000 - 600000000 AS v FROM events),
+q AS (
+  SELECT event_type,
+         (epoch_us(ts) // 900000000) * 900000000 AS qs,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS hs
+  FROM events),
+qagg AS (
+  SELECT event_type, hs, qs, CAST(COUNT(*) AS BIGINT) AS qn
+  FROM q GROUP BY event_type, hs, qs)
+SELECT hs AS window_start_us, event_type,
+       CAST(SUM(qn) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_quarters
+FROM qagg, w
+GROUP BY hs, event_type, w.v
+HAVING hs + 3600000000 <= w.v
+"""
+
+QUERIES["stream_two_level_hourly"] = q_stream_two_level_hourly
+ORACLES["stream_two_level_hourly"] = ORACLE_STREAM_TWO_LEVEL_HOURLY
+
+
+def q_pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast evaluation: pinball (tau-quantile) loss of
+    the per-type discrete p90 predictor over event values — the
+    scoring rule that certifies a p90 SLA forecast. The predictor is
+    the ceil(0.9·n)-th order statistic per type (percentile_disc
+    convention), computed scale-safely via `grouped_rank` (composite
+    range sort; no per-group buffering, no low-par window) and
+    broadcast back as a 5-row bounds table; the loss is EXACT integer
+    tenths-of-cents: tau=0.9 ⇒ per-row loss·10 = 9·(y−q) if y ≥ q
+    else 1·(q−y), summed as BIGINT, one `div` to micro-cents at the
+    end."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        grouped_rank,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    ranked = grouped_rank(e, ["event_type"], ["v", "event_id"], rank_col="r")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    q90 = (
+        ranked.join(F.broadcast(counts), "event_type")
+        .filter(F.col("r") == F.expr("(9 * n + 9) div 10"))
+        .select("event_type", F.col("v").alias("q90"), "n")
+    )
+    loss = (
+        e.join(F.broadcast(q90), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "q90",
+            F.when(
+                F.col("v") >= F.col("q90"), 9 * (F.col("v") - F.col("q90"))
+            )
+            .otherwise(F.col("q90") - F.col("v"))
+            .alias("l10"),
+        )
+        .groupBy("event_type", "n", "q90")
+        .agg(F.sum("l10").cast("long").alias("pinball10_sum"))
+    )
+    return loss.select(
+        "event_type",
+        "n",
+        F.col("q90").alias("q90_cents"),
+        "pinball10_sum",
+        F.expr("(pinball10_sum * 100000) div n").alias("avg_pinball_micro"),
+    )
+
+
+ORACLE_PINBALL_LOSS_EVAL = """
+WITH base AS (
+  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events),
+q AS (
+  SELECT event_type, CAST(quantile_disc(v, 0.9) AS BIGINT) AS q90,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY event_type)
+SELECT b.event_type, q.n, q.q90 AS q90_cents,
+       CAST(SUM(CASE WHEN b.v >= q.q90 THEN 9 * (b.v - q.q90)
+                     ELSE q.q90 - b.v END) AS BIGINT) AS pinball10_sum,
+       CAST(SUM(CASE WHEN b.v >= q.q90 THEN 9 * (b.v - q.q90)
+                     ELSE q.q90 - b.v END) AS BIGINT) * 100000 // q.n
+         AS avg_pinball_micro
+FROM base b JOIN q ON b.event_type = q.event_type
+GROUP BY b.event_type, q.n, q.q90
+"""
+
+QUERIES["pinball_loss_eval"] = q_pinball_loss_eval
+ORACLES["pinball_loss_eval"] = ORACLE_PINBALL_LOSS_EVAL
+
+
+def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the md5 click scorer (same deterministic scorer
+    as `calibration_ece`/`auc_rank_eval`, completing the
+    proper-scoring-rule triad): mean squared error between predicted
+    probability (micro units) and the binary click label. One
+    map-side-partial pass; the squared-error sum is EXACT in
+    DECIMAL(38,0)/HUGEINT (per-row (p_micro − y·1e6)² ≤ 1e12; the sum
+    exceeds int64 at ~1e7 rows — the subsample_ci exact-moments
+    idiom), and the score is ONE double division on identical exact
+    inputs, 6dp."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    h = F.md5(F.concat(F.lit("auc:"), F.col("event_id").cast("string")))
+    s = (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 500).alias("s")
+    y = (F.col("event_type") == "click").cast("long").alias("y")
+    base = e.select(s, y).select(
+        (F.col("s") * 2000).alias("p_micro"), "y"
+    )
+    d = (F.col("p_micro") - F.col("y") * 1000000).cast("decimal(19,0)")
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(d * d).alias("_se"),
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        F.round(
+            F.col("_se").cast("double")
+            / (F.col("n").cast("double") * F.lit(1000000000000.0)),
+            6,
+        ).alias("brier"),
+    )
+
+
+ORACLE_BRIER_SCORE = """
+WITH base AS (
+  SELECT (('0x' || substr(md5('auc:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT
+            % 500) * 2000 AS p_micro,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+  FROM events),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         SUM(CAST(p_micro - y * 1000000 AS HUGEINT)
+             * CAST(p_micro - y * 1000000 AS HUGEINT)) AS se
+  FROM base)
+SELECT n, n_pos,
+       round(CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0), 6)
+         AS brier
+FROM agg
+"""
+
+QUERIES["brier_score"] = q_brier_score
+ORACLES["brier_score"] = ORACLE_BRIER_SCORE
+
+
+def q_reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest record linkage: a deterministic leet-corrupted
+    copy of the part-name domain (translate 'aeo'→'430' — the same
+    corruption on both engines) links back to the clean domain; a
+    pair survives only if each side is the OTHER's argmin-Levenshtein
+    match (reciprocal best match — the ER refinement that kills the
+    asymmetric false links a one-directional argmax keeps). Both
+    sides collapse to their DISTINCT name domains first
+    (domain-bounded, like `levenshtein_pairs`), so the all-pairs
+    scoring is |domain|² on tiny inputs at any SF; argmins are exact
+    integer (dist, name) struct-mins — total-ordered, no similarity
+    floats anywhere."""
+    p = load_table(spark, sf_dir, "part").select("p_name")
+    clean = p.distinct().select(F.col("p_name").alias("clean"))
+    dirty = clean.select(
+        F.translate(F.col("clean"), "aeo", "430").alias("dirty")
+    ).distinct()
+    scored = dirty.crossJoin(clean).select(
+        "dirty",
+        "clean",
+        F.levenshtein(F.col("dirty"), F.col("clean")).cast("long").alias("dist"),
+    )
+    best_d = scored.groupBy("dirty").agg(
+        F.min(F.struct("dist", "clean")).alias("bd")
+    ).select("dirty", F.col("bd.clean").alias("clean"), F.col("bd.dist").alias("dist"))
+    best_c = scored.groupBy("clean").agg(
+        F.min(F.struct("dist", "dirty")).alias("bc")
+    ).select("clean", F.col("bc.dirty").alias("dirty"))
+    return best_d.join(best_c, ["dirty", "clean"]).select(
+        "dirty", "clean", "dist"
+    )
+
+
+ORACLE_RECIPROCAL_BEST_MATCH = """
+WITH clean AS (SELECT DISTINCT p_name AS clean FROM part),
+dirty AS (SELECT DISTINCT translate(clean, 'aeo', '430') AS dirty FROM clean),
+scored AS (
+  SELECT d.dirty, c.clean,
+         CAST(levenshtein(d.dirty, c.clean) AS BIGINT) AS dist
+  FROM dirty d CROSS JOIN clean c),
+best_d AS (
+  SELECT dirty, clean, dist
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY dirty ORDER BY dist, clean) = 1),
+best_c AS (
+  SELECT clean, dirty
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY clean ORDER BY dist, dirty) = 1)
+SELECT d.dirty, d.clean, d.dist
+FROM best_d d JOIN best_c c ON d.dirty = c.dirty AND d.clean = c.clean
+"""
+
+QUERIES["reciprocal_best_match"] = q_reciprocal_best_match
+ORACLES["reciprocal_best_match"] = ORACLE_RECIPROCAL_BEST_MATCH
+
+
+def q_golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIELD-LEVEL survivorship merge (the golden-record builder): per
+    user the latest NON-ERROR value and the latest event type come
+    from DIFFERENT rows when the newest event is an error — the
+    per-field coalesce that row-level LWW (`cdc_last_write_wins`)
+    cannot express. One hash aggregate of conditional struct-maxes
+    (total-ordered by (ts, event_id) — unique, so deterministic), no
+    windows, no buffering; Spark struct max == DuckDB QUALIFY
+    row_number parity (the `touch_attribution_split` ordering pin)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        epoch_us(F.col("ts")).alias("us"),
+    )
+    nonerr = F.col("event_type") != "error"
+    g = e.groupBy("user_id").agg(
+        F.max(F.when(nonerr, F.struct("us", "event_id", "v"))).alias("mv"),
+        F.max(F.struct("us", "event_id", "event_type")).alias("mt"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(nonerr.cast("long")).cast("long").alias("n_nonerror"),
+    )
+    return g.select(
+        "user_id",
+        F.col("mv.v").alias("latest_value_cents"),
+        F.col("mv.us").alias("value_ts_us"),
+        F.col("mt.event_type").alias("latest_type"),
+        "n_events",
+        "n_nonerror",
+    )
+
+
+ORACLE_GOLDEN_RECORD_SURVIVORSHIP = """
+WITH base AS (
+  SELECT user_id, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         epoch_us(ts) AS us
+  FROM events),
+lv AS (
+  SELECT user_id, v, us
+  FROM base WHERE event_type <> 'error'
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY us DESC, event_id DESC) = 1),
+lt AS (
+  SELECT user_id, event_type
+  FROM base
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY us DESC, event_id DESC) = 1),
+cnt AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nonerror
+  FROM base GROUP BY user_id)
+SELECT c.user_id,
+       lv.v AS latest_value_cents,
+       lv.us AS value_ts_us,
+       lt.event_type AS latest_type,
+       c.n_events, c.n_nonerror
+FROM cnt c
+LEFT JOIN lv ON c.user_id = lv.user_id
+JOIN lt ON c.user_id = lt.user_id
+"""
+
+QUERIES["golden_record_survivorship"] = q_golden_record_survivorship
+ORACLES["golden_record_survivorship"] = ORACLE_GOLDEN_RECORD_SURVIVORSHIP

@@ -998,3 +998,67 @@ def union_windowed_once(
             "window_start", F.col("window_start").cast("timestamp_ntz")
         ).withColumn("window_end", F.col("window_end").cast("timestamp_ntz"))
     return result
+
+
+def two_level_windowed_counts_once(
+    spark: SparkSession,
+    events_path: str,
+    ts_col: str = "ts",
+    quarter: str = "15 minutes",
+    hour: str = "1 hour",
+    lateness: str = "10 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """CHAINED time-window aggregations in ONE streaming query
+    (SPARK-40925, Spark ≥3.4): quarter-hour counts roll up into hourly
+    totals through ``F.window(window_time(qw), hour)`` — two stateful
+    operators back to back, the pre-aggregation topology a 100 TB
+    metrics pipeline wants (the fine windows absorb the raw event
+    volume near the source; only ≤4 rows/hour/key reach the second
+    operator). Multiple stateful operators require APPEND output mode,
+    so a bounded replay emits exactly the hourly windows whose end ≤
+    the final watermark W (max event time truncated to milliseconds
+    minus the lateness — the `session_windows_once` emission rule):
+    level 1 finalizes quarters with q_end ≤ W, level 2 then emits
+    hours with h_end ≤ W, and h_end ≤ W subsumes its quarters'
+    finalization, so emitted = hourly aggregates over all events in
+    fully-watermarked hours. ``n_quarters`` counts the non-empty
+    level-1 windows feeding each hour — observable proof the rollup
+    really ran through the intermediate state, which a single-level
+    agg cannot produce."""
+    group_cols = group_cols or []
+    stream, ntz_event_time = _open_event_stream(spark, events_path, ts_col)
+    lvl1 = (
+        stream.withWatermark(ts_col, lateness)
+        .groupBy(F.window(ts_col, quarter).alias("qw"), *group_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("qn"))
+    )
+    lvl2 = (
+        lvl1.groupBy(
+            F.window(F.window_time("qw"), hour).alias("hw"), *group_cols
+        )
+        .agg(
+            F.sum("qn").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_quarters"),
+        )
+    )
+    out = (
+        lvl2.withColumn("window_start", F.col("hw.start"))
+        .withColumn("window_end", F.col("hw.end"))
+        .drop("hw")
+    )
+    sink = f"two_level_windowed_{next(_SINK_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(sink)
+    if ntz_event_time:
+        result = result.withColumn(
+            "window_start", F.col("window_start").cast("timestamp_ntz")
+        ).withColumn("window_end", F.col("window_end").cast("timestamp_ntz"))
+    return result

@@ -223,3 +223,81 @@ def test_cdc_chunk_dedup_accounting_is_consistent(spark):
     assert 0 <= r.savings_micro < 1000000
     # tiny shared vocab -> content-defined chunks repeat across docs
     assert r.distinct_chunks < r.total_chunks
+
+
+def test_two_level_rollup_agrees_with_single_level_on_emitted_hours(spark):
+    import pyspark.sql.functions as F
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources import (
+        load_table,
+    )
+
+    out = QUERIES["stream_two_level_hourly"](spark, SF)
+    rows = out.collect()
+    assert rows, "bounded replay should emit fully-watermarked hours"
+    got = {(r.window_start_us, r.event_type): (r.n_events, r.n_quarters) for r in rows}
+    e = load_table(spark, SF, "events")
+    batch = (
+        e.select(
+            (F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000") * 3600000000).alias("hs"),
+            (F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 900000000")).alias("qs"),
+            "event_type",
+        )
+        .groupBy("hs", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("qs").alias("nq"))
+        .collect()
+    )
+    want = {(r.hs, r.event_type): (r.n, r.nq) for r in batch}
+    for k, v in got.items():
+        assert want[k] == v
+        assert 1 <= v[1] <= 4
+
+
+def test_pinball_loss_q90_leaves_a_tenth_above(spark):
+    rows = QUERIES["pinball_loss_eval"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.pinball10_sum >= 0
+        assert r.avg_pinball_micro == r.pinball10_sum * 100000 // r.n
+
+
+def test_brier_score_of_uninformed_scorer_is_near_one_third(spark):
+    r = QUERIES["brier_score"](spark, SF).collect()[0]
+    # uniform p vs base-rate pi labels: E[(p-y)^2] = 1/3 - pi/3 + pi... for
+    # pi ~ 0.2 the value sits near 0.33; assert a generous band
+    assert 0.25 <= r.brier <= 0.45
+    assert 0 < r.n_pos < r.n
+
+
+def test_reciprocal_best_match_is_a_partial_bijection(spark):
+    rows = QUERIES["reciprocal_best_match"](spark, SF).collect()
+    assert rows
+    dirties = [r.dirty for r in rows]
+    cleans = [r.clean for r in rows]
+    assert len(dirties) == len(set(dirties))
+    assert len(cleans) == len(set(cleans))
+    # the leet corruption inverts: each dirty name should link its origin
+    for r in rows:
+        assert r.dist <= 4
+
+
+def test_golden_record_splits_value_and_type_provenance(spark):
+    import pyspark.sql.functions as F
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources import (
+        load_table,
+    )
+
+    rows = QUERIES["golden_record_survivorship"](spark, SF).collect()
+    e = load_table(spark, SF, "events")
+    n_users = e.select("user_id").distinct().count()
+    assert len(rows) == n_users
+    # at least one user's newest event is an error while an older
+    # non-error event supplies the value (the field-level split)
+    split = [
+        r for r in rows
+        if r.latest_type == "error" and r.latest_value_cents is not None
+    ]
+    assert split, "expected at least one field-level provenance split"
+    for r in rows:
+        assert r.n_nonerror <= r.n_events
