@@ -17949,3 +17949,230 @@ JOIN lt ON c.user_id = lt.user_id
 
 QUERIES["golden_record_survivorship"] = q_golden_record_survivorship
 ORACLES["golden_record_survivorship"] = ORACLE_GOLDEN_RECORD_SURVIVORSHIP
+
+
+def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate for time-to-first-error per user
+    (right-censored at corpus end — the churn/TTF analysis a
+    reliability pipeline runs). The fact table collapses to ONE row
+    per user (first event, first error — conditional min aggregates),
+    durations land on an HOUR grid bounded by the calendar span
+    (≤ ~720 rows at any SF — the bounded-domain window class, like
+    `auc_rank_eval`'s histogram): at-risk counts are a suffix sum and
+    survival is reported as the INTEGER cumulative log
+    Σ round(ln(1 − d/n)·1e6) — per-term rounding then order-free
+    integer summation (the entropy precedent), NO float product chain
+    and no exp, so there is nothing accumulation-order-dependent to
+    flake. hazard_micro = d·1e6 div n exact."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us(F.col("ts")).alias("us")
+    )
+    span = e.agg(F.max("us").alias("mx"))
+    per_user = e.groupBy("user_id").agg(
+        F.min("us").alias("first_us"),
+        F.min(F.when(F.col("event_type") == "error", F.col("us"))).alias(
+            "err_us"
+        ),
+    )
+    hours = 3600000000
+    u = per_user.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        F.when(F.col("err_us").isNotNull(), 1).otherwise(0).alias("death"),
+        F.expr(
+            f"(coalesce(err_us, mx) - first_us) div {hours}"
+        ).alias("t_hour"),
+    )
+    grid = u.groupBy("t_hour").agg(
+        F.sum("death").cast("long").alias("d"),
+        F.sum(1 - F.col("death")).cast("long").alias("c"),
+    )
+    w_suffix = (
+        Window.orderBy(F.col("t_hour").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = grid.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c")).over(w_suffix).cast("long")
+    )
+    # d = n_risk absorbs survival at exactly 0 (ln would be -inf; DuckDB
+    # raises on ln(0)) — from that row on, log-survival is NULL and the
+    # surv_zero flag is set, identically on both engines
+    term = F.expr(
+        "CASE WHEN d = 0 OR d = n_risk THEN CAST(0 AS BIGINT)"
+        " ELSE CAST(round(ln(1 - d / n_risk) * 1000000) AS BIGINT) END"
+    )
+    w_cum = Window.orderBy("t_hour").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        risk.withColumn("term_micro", term)
+        .withColumn("_zero", (F.col("d") == F.col("n_risk")).cast("long"))
+        .withColumn("_cumzero", F.sum("_zero").over(w_cum).cast("long"))
+        .withColumn(
+            "log_surv_micro",
+            F.when(
+                F.col("_cumzero") == 0, F.sum("term_micro").over(w_cum)
+            ).cast("long"),
+        )
+    )
+    return out.select(
+        "t_hour",
+        "n_risk",
+        "d",
+        "c",
+        F.expr("(d * 1000000) div n_risk").alias("hazard_micro"),
+        "log_surv_micro",
+        (F.col("_cumzero") > 0).alias("surv_zero"),
+    )
+
+
+ORACLE_KAPLAN_MEIER_CHURN = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+span AS (SELECT MAX(us) AS mx FROM e),
+per_user AS (
+  SELECT user_id, MIN(us) AS first_us,
+         MIN(CASE WHEN event_type = 'error' THEN us END) AS err_us
+  FROM e GROUP BY user_id),
+u AS (
+  SELECT user_id,
+         CASE WHEN err_us IS NOT NULL THEN 1 ELSE 0 END AS death,
+         (COALESCE(err_us, mx) - first_us) // 3600000000 AS t_hour
+  FROM per_user, span),
+grid AS (
+  SELECT t_hour, CAST(SUM(death) AS BIGINT) AS d,
+         CAST(SUM(1 - death) AS BIGINT) AS c
+  FROM u GROUP BY t_hour),
+risk AS (
+  SELECT *, CAST(SUM(d + c) OVER (ORDER BY t_hour DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS n_risk
+  FROM grid),
+terms AS (
+  SELECT *, CASE WHEN d = 0 OR d = n_risk THEN CAST(0 AS BIGINT)
+                 ELSE CAST(round(ln(1 - d / n_risk) * 1000000) AS BIGINT)
+            END AS term_micro,
+         CASE WHEN d = n_risk THEN 1 ELSE 0 END AS zerof
+  FROM risk),
+cum AS (
+  SELECT *, CAST(SUM(zerof) OVER (ORDER BY t_hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cumzero,
+         CAST(SUM(term_micro) OVER (ORDER BY t_hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cumterm
+  FROM terms)
+SELECT t_hour, n_risk, d, c,
+       (d * 1000000) // n_risk AS hazard_micro,
+       CASE WHEN cumzero = 0 THEN cumterm END AS log_surv_micro,
+       cumzero > 0 AS surv_zero
+FROM cum
+"""
+
+QUERIES["kaplan_meier_churn"] = q_kaplan_meier_churn
+ORACLES["kaplan_meier_churn"] = ORACLE_KAPLAN_MEIER_CHURN
+
+
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of lookup: purchase events are value versions
+    with VALID time = event time and TRANSACTION time = event time +
+    a deterministic md5 processing delay (0-59 min — late-arriving
+    corrections). For each user: the value as of valid time V (day 20)
+    *as known at* T = V + 10 min, versus as known NOW (corpus end) —
+    rows that differ are versions valid before V but not yet ingested
+    at T, the divergence only a bitemporal store can expose (SCD2
+    tracks one time axis). One hash aggregate of two conditional
+    struct-maxes (total-ordered by (valid_us, event_id)); no windows,
+    no buffering."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v = e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        epoch_us(F.col("ts")).alias("valid_us"),
+    ).withColumn(
+        "tx_us",
+        F.col("valid_us")
+        + (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tx:"), F.col("event_id").cast("string"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 60
+        )
+        * 60000000,
+    )
+    bounds = v.agg(
+        F.min("valid_us").alias("mn"), F.max("tx_us").alias("mx")
+    ).select(
+        (F.col("mn") + F.lit(20 * 86400000000)).alias("v_time"),
+        (F.col("mn") + F.lit(20 * 86400000000) + F.lit(600000000)).alias("t_time"),
+        "mx",
+    )
+    j = v.crossJoin(F.broadcast(bounds))
+    at_t = F.when(
+        (F.col("valid_us") <= F.col("v_time")) & (F.col("tx_us") <= F.col("t_time")),
+        F.struct("valid_us", "event_id", "cents"),
+    )
+    now = F.when(
+        (F.col("valid_us") <= F.col("v_time")) & (F.col("tx_us") <= F.col("mx")),
+        F.struct("valid_us", "event_id", "cents"),
+    )
+    g = j.groupBy("user_id").agg(
+        F.max(at_t).alias("kt"), F.max(now).alias("kn")
+    )
+    return (
+        g.filter(F.col("kn").isNotNull())
+        .select(
+            "user_id",
+            F.col("kt.cents").alias("value_known_at_t"),
+            F.col("kn.cents").alias("value_known_now"),
+            (
+                F.col("kt.cents").isNull()
+                | (F.col("kt.cents") != F.col("kn.cents"))
+            ).alias("revised"),
+        )
+    )
+
+
+ORACLE_BITEMPORAL_ASOF = """
+WITH v AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS valid_us,
+         epoch_us(ts)
+           + (('0x' || substr(md5('tx:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT
+              % 60) * 60000000 AS tx_us
+  FROM events WHERE event_type = 'purchase'),
+bounds AS (
+  SELECT MIN(valid_us) + 20 * 86400000000 AS v_time,
+         MIN(valid_us) + 20 * 86400000000 + 600000000 AS t_time,
+         MAX(tx_us) AS mx
+  FROM v),
+kt AS (
+  SELECT user_id, cents
+  FROM v, bounds
+  WHERE valid_us <= v_time AND tx_us <= t_time
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY valid_us DESC, event_id DESC) = 1),
+kn AS (
+  SELECT user_id, cents
+  FROM v, bounds
+  WHERE valid_us <= v_time AND tx_us <= mx
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY valid_us DESC, event_id DESC) = 1)
+SELECT kn.user_id,
+       kt.cents AS value_known_at_t,
+       kn.cents AS value_known_now,
+       (kt.cents IS NULL OR kt.cents <> kn.cents) AS revised
+FROM kn LEFT JOIN kt ON kn.user_id = kt.user_id
+"""
+
+QUERIES["bitemporal_asof"] = q_bitemporal_asof
+ORACLES["bitemporal_asof"] = ORACLE_BITEMPORAL_ASOF

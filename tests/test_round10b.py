@@ -301,3 +301,34 @@ def test_golden_record_splits_value_and_type_provenance(spark):
     assert split, "expected at least one field-level provenance split"
     for r in rows:
         assert r.n_nonerror <= r.n_events
+
+
+def test_kaplan_meier_risk_set_shrinks_and_log_survival_decreases(spark):
+    rows = sorted(
+        QUERIES["kaplan_meier_churn"](spark, SF).collect(), key=lambda r: r.t_hour
+    )
+    assert rows
+    # at-risk counts are non-increasing over time
+    risks = [r.n_risk for r in rows]
+    assert risks == sorted(risks, reverse=True)
+    # log-survival is non-increasing until (if ever) it hits zero
+    prev = 0
+    for r in rows:
+        if r.surv_zero:
+            assert r.log_surv_micro is None
+        else:
+            assert r.log_surv_micro <= prev
+            prev = r.log_surv_micro
+        assert r.d + r.c <= r.n_risk
+
+
+def test_bitemporal_asof_exposes_late_arriving_revisions(spark):
+    rows = QUERIES["bitemporal_asof"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    revised = [r for r in rows if r.revised]
+    stable = [r for r in rows if not r.revised]
+    # the 10-min knowledge cutoff vs 0-59-min tx delays must split both ways
+    assert revised, "expected versions not yet ingested at T"
+    assert stable, "expected versions already ingested at T"
+    for r in stable:
+        assert r.value_known_at_t == r.value_known_now
