@@ -523,6 +523,64 @@ def ntile_exact(
     )
 
 
+def _weighted_cum_frame(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    tiebreak_cols: list[str],
+    num_partitions: int | None,
+    caller: str,
+) -> DataFrame:
+    """Shared machinery for the weighted order statistics: composite
+    range sort, per-(partition, group) weight cells, broadcast offsets
+    — returns the input rows with exact BIGINT ``_cumw`` (cumulative
+    weight in (group, value, tiebreak) order) and ``_totw`` (group
+    total) attached. See :func:`grouped_weighted_median` for the full
+    scale and determinism argument."""
+    reserved = {"_pid", "_local_w", "_woff", "_wcell", "_cumw", "_totw"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"{caller}: rename columns {clash}")
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    sort_cols = [F.col(c) for c in [*group_cols, value_col, *tiebreak_cols]]
+    sorted_df = df.repartitionByRange(n_part, *sort_cols).sortWithinPartitions(
+        *sort_cols
+    )
+    with_pid = sorted_df.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
+    w_local = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*[F.col(value_col)], *[F.col(c) for c in tiebreak_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = with_pid.withColumn(
+        "_local_w", F.sum(weight_col).over(w_local).cast("long")
+    )
+    cells = with_pid.groupBy("_pid", *group_cols).agg(
+        F.sum(weight_col).cast("long").alias("_wcell")
+    )
+    w_g = Window.partitionBy(*group_cols).orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = cells.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_wcell").over(w_g), F.lit(0)).cast("long").alias("_woff"),
+    )
+    totals = (
+        cells.groupBy(*group_cols)
+        .agg(F.sum("_wcell").cast("long").alias("_totw"))
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn("_cumw", (F.col("_woff") + F.col("_local_w")).cast("long"))
+        .join(F.broadcast(totals), group_cols)
+    )
+
+
 def grouped_weighted_median(
     df: DataFrame,
     group_cols: list[str],
@@ -558,46 +616,9 @@ def grouped_weighted_median(
     Returns one row per group: ``group_cols ++ [median_col,
     total_weight]``.
     """
-    reserved = {"_pid", "_local_w", "_woff", "_wcell", "_cumw", "_totw"}
-    clash = reserved & set(df.columns)
-    if clash:
-        raise ValueError(f"grouped_weighted_median: rename columns {clash}")
-    spark = df.sparkSession
-    n_part = num_partitions or spark.sparkContext.defaultParallelism
-    sort_cols = [F.col(c) for c in [*group_cols, value_col, *tiebreak_cols]]
-    sorted_df = df.repartitionByRange(n_part, *sort_cols).sortWithinPartitions(
-        *sort_cols
-    )
-    with_pid = sorted_df.withColumn(
-        "_pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
-    w_local = (
-        Window.partitionBy("_pid", *group_cols)
-        .orderBy(*[F.col(value_col)], *[F.col(c) for c in tiebreak_cols])
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = with_pid.withColumn(
-        "_local_w", F.sum(weight_col).over(w_local).cast("long")
-    )
-    cells = with_pid.groupBy("_pid", *group_cols).agg(
-        F.sum(weight_col).cast("long").alias("_wcell")
-    )
-    w_g = Window.partitionBy(*group_cols).orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = cells.select(
-        "_pid",
-        *group_cols,
-        F.coalesce(F.sum("_wcell").over(w_g), F.lit(0)).cast("long").alias("_woff"),
-    )
-    totals = (
-        cells.groupBy(*group_cols)
-        .agg(F.sum("_wcell").cast("long").alias("_totw"))
-    )
-    cum = (
-        local.join(F.broadcast(offsets), ["_pid", *group_cols])
-        .withColumn("_cumw", (F.col("_woff") + F.col("_local_w")).cast("long"))
-        .join(F.broadcast(totals), group_cols)
+    cum = _weighted_cum_frame(
+        df, group_cols, value_col, weight_col, tiebreak_cols, num_partitions,
+        caller="grouped_weighted_median",
     )
     return (
         cum.groupBy(*group_cols)
@@ -607,4 +628,42 @@ def grouped_weighted_median(
             ).alias(median_col),
             F.min("_totw").cast("long").alias("total_weight"),
         )
+    )
+
+
+def grouped_weighted_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    tiebreak_cols: list[str],
+    quantiles: list[tuple[int, int]],
+    prefix: str = "wq",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-group lower weighted q-QUANTILES (smallest value
+    whose cumulative weight reaches q of the group total:
+    den*cumw >= num*totw, each q given as an integer (num, den)
+    RATIONAL so the boundary predicate stays exact) — the multi-point
+    generalization of :func:`grouped_weighted_median`, sharing its
+    two-phase composite-range-sort machinery and its determinism
+    argument (equal-value runs have order-independent cumulative
+    weight at their boundary). All requested quantiles ride ONE
+    cumulative frame and ONE final aggregate — no extra passes per
+    quantile. Output: ``group_cols ++ [<prefix>_<num>_<den> ...,
+    total_weight]``."""
+    cum = _weighted_cum_frame(
+        df, group_cols, value_col, weight_col, tiebreak_cols, num_partitions,
+        caller="grouped_weighted_quantiles",
+    )
+    aggs = [
+        F.min(
+            F.when(
+                den * F.col("_cumw") >= num * F.col("_totw"), F.col(value_col)
+            )
+        ).alias(f"{prefix}_{num}_{den}")
+        for num, den in quantiles
+    ]
+    return cum.groupBy(*group_cols).agg(
+        *aggs, F.min("_totw").cast("long").alias("total_weight")
     )

@@ -18176,3 +18176,160 @@ FROM kn LEFT JOIN kt ON kn.user_id = kt.user_id
 
 QUERIES["bitemporal_asof"] = q_bitemporal_asof
 ORACLES["bitemporal_asof"] = ORACLE_BITEMPORAL_ASOF
+
+
+def q_weighted_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price band (p25/p50/p75) per linestatus via
+    `operators.windows.grouped_weighted_quantiles` — all three
+    weighted order statistics ride ONE cumulative-weight frame and
+    one final aggregate (the multi-point generalization of
+    `weighted_median_price`; quantiles passed as exact integer
+    rationals so the den·cumw ≥ num·totw boundary never touches
+    float). 2-value group key over the fact table — the low-
+    cardinality case the two-phase machinery exists for."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+        grouped_weighted_quantiles,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    out = grouped_weighted_quantiles(
+        l,
+        group_cols=["l_linestatus"],
+        value_col="price_cents",
+        weight_col="w",
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+        quantiles=[(1, 4), (1, 2), (3, 4)],
+        prefix="wq",
+    )
+    return out.select(
+        "l_linestatus",
+        F.col("wq_1_4").cast("long").alias("p25_cents"),
+        F.col("wq_1_2").cast("long").alias("p50_cents"),
+        F.col("wq_3_4").cast("long").alias("p75_cents"),
+        "total_weight",
+    )
+
+
+ORACLE_WEIGHTED_PRICE_BAND = """
+WITH base AS (
+  SELECT l_linestatus,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(round(l_quantity * 100) AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+cum AS (
+  SELECT l_linestatus, price_cents,
+         SUM(w) OVER (PARTITION BY l_linestatus
+                      ORDER BY price_cents, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         SUM(w) OVER (PARTITION BY l_linestatus) AS totw
+  FROM base)
+SELECT l_linestatus,
+       CAST(MIN(CASE WHEN 4 * cumw >= totw THEN price_cents END) AS BIGINT)
+         AS p25_cents,
+       CAST(MIN(CASE WHEN 2 * cumw >= totw THEN price_cents END) AS BIGINT)
+         AS p50_cents,
+       CAST(MIN(CASE WHEN 4 * cumw >= 3 * totw THEN price_cents END) AS BIGINT)
+         AS p75_cents,
+       CAST(MIN(totw) AS BIGINT) AS total_weight
+FROM cum GROUP BY l_linestatus
+"""
+
+QUERIES["weighted_price_band"] = q_weighted_price_band
+ORACLES["weighted_price_band"] = ORACLE_WEIGHTED_PRICE_BAND
+
+
+def _dp_mean_noise_cents(seed: str = "dpmean:v1", cap_cents: int = 20000) -> int:
+    """Frozen Laplace draw for the clipped-mean release: u from the
+    seed's md5 (48-bit hex → (0,1)), inverse-CDF Laplace with scale
+    b = cap/ε (ε=1), in cents. Deterministic-by-seed — the oracle-able
+    stand-in for fresh per-release randomness, same convention as
+    `_dp_noise_table` (the production mechanism redraws; the Spark
+    plumbing is identical)."""
+    import hashlib
+    import math
+
+    u48 = int(hashlib.md5(seed.encode()).hexdigest()[:12], 16)
+    u = (u48 + 0.5) / float(1 << 48)
+    b = float(cap_cents)
+    x = u - 0.5
+    noise = -b * math.copysign(1.0, x) * math.log(1.0 - 2.0 * abs(x))
+    return int(round(noise))
+
+
+def q_dp_clipped_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-style CLIPPED MEAN of purchase value: the
+    two sensitivity bounds a DP release needs are both enforced
+    distributively — per-user contribution bounding (first K=8
+    purchase events by (ts, event_id), a row_number window over the
+    HIGH-cardinality user key) and value clamping to [0, 200] dollars
+    — then one aggregate and a frozen Laplace offset (scale = cap/ε,
+    ε=1, deterministic-by-seed literal inlined in BOTH engines; the
+    `dp_noisy_histogram` convention). The contribution cap is the
+    100 TB-relevant mechanics: without it one hyperactive user's
+    10⁶ events dominate sensitivity and the release is vacuous."""
+    from pyspark.sql import Window
+
+    cap = 20000
+    noise = _dp_mean_noise_cents(cap_cents=cap)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v = e.select(
+        "user_id",
+        "event_id",
+        epoch_us(F.col("ts")).alias("us"),
+        F.least(
+            F.greatest(F.round(F.col("value") * 100).cast("long"), F.lit(0)),
+            F.lit(cap),
+        ).alias("clipped_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    capped = v.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 8)
+    agg = capped.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_contrib"),
+        F.sum("clipped_cents").cast("long").alias("clipped_sum"),
+    )
+    return agg.select(
+        "n_users",
+        "n_contrib",
+        "clipped_sum",
+        F.lit(noise).cast("long").alias("noise_cents"),
+        F.expr(
+            f"((clipped_sum + {noise}) * 1000000) div n_contrib"
+        ).alias("noisy_mean_micro"),
+    )
+
+
+def _oracle_dp_clipped_mean() -> str:
+    noise = _dp_mean_noise_cents(cap_cents=20000)
+    return f"""
+WITH v AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         least(greatest(CAST(round(value * 100) AS BIGINT), 0), 20000)
+           AS clipped_cents
+  FROM events WHERE event_type = 'purchase'),
+capped AS (
+  SELECT * FROM v
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) <= 8),
+agg AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(COUNT(*) AS BIGINT) AS n_contrib,
+         CAST(SUM(clipped_cents) AS BIGINT) AS clipped_sum
+  FROM capped)
+SELECT n_users, n_contrib, clipped_sum,
+       CAST({noise} AS BIGINT) AS noise_cents,
+       ((clipped_sum + {noise}) * 1000000) // n_contrib AS noisy_mean_micro
+FROM agg
+"""
+
+
+QUERIES["dp_clipped_mean"] = q_dp_clipped_mean
+ORACLES["dp_clipped_mean"] = _oracle_dp_clipped_mean()

@@ -332,3 +332,20 @@ def test_bitemporal_asof_exposes_late_arriving_revisions(spark):
     assert stable, "expected versions already ingested at T"
     for r in stable:
         assert r.value_known_at_t == r.value_known_now
+
+
+def test_weighted_band_is_ordered_and_brackets_the_median(spark):
+    rows = QUERIES["weighted_price_band"](spark, SF).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.p25_cents <= r.p50_cents <= r.p75_cents
+        assert r.total_weight > 0
+
+
+def test_dp_clipped_mean_caps_contributions_and_values(spark):
+    r = QUERIES["dp_clipped_mean"](spark, SF).collect()[0]
+    assert r.n_contrib <= 8 * r.n_users
+    assert 0 <= r.clipped_sum <= 20000 * r.n_contrib
+    # the frozen draw is nonzero and bounded by a few scales
+    assert r.noise_cents != 0
+    assert abs(r.noise_cents) < 20000 * 10
