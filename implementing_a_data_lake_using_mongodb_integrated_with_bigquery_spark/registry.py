@@ -18333,3 +18333,94 @@ FROM agg
 
 QUERIES["dp_clipped_mean"] = q_dp_clipped_mean
 ORACLES["dp_clipped_mean"] = _oracle_dp_clipped_mean()
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph — the
+    Newman coefficient (Pearson correlation of endpoint degrees over
+    edges) that tells a GNN/recsys feature pipeline whether hubs link
+    to hubs. Edges are the bounded per-order pair fanout
+    (`copurchase_triangles` construction), DISTINCT-ed; degrees come
+    from one edge aggregate and broadcast back; the correlation runs
+    on the EXACT integer moment sums over the symmetrized edge list
+    (each undirected edge contributes (da,db) and (db,da), so
+    Σx = Σy and the formula collapses symmetrically) in
+    DECIMAL(38,0)/HUGEINT — M·Σxy − (Σx)² and M·Σx² − (Σx)² formed
+    exactly, ONE division + sqrt to double at the end (the
+    subsample_ci idiom; built-in corr is banned)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    sym = edges.select("a", "b").unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    j = (
+        sym.join(F.broadcast(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da")), "a")
+        .join(F.broadcast(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db")), "b")
+    )
+    dec = "decimal(19,0)"
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("da").cast("long").alias("sx"),
+        F.sum(F.col("da").cast(dec) * F.col("db").cast(dec)).alias("sxy"),
+        F.sum(F.col("da").cast(dec) * F.col("da").cast(dec)).alias("sxx"),
+    )
+    num = (
+        F.col("m2").cast(dec) * F.col("sxy")
+        - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    )
+    den = (
+        F.col("m2").cast(dec) * F.col("sxx")
+        - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    )
+    return agg.select(
+        F.expr("m2 div 2").alias("n_edges"),
+        F.round(
+            num.cast("double") / den.cast("double"), 6
+        ).alias("assortativity"),
+    )
+
+
+ORACLE_DEGREE_ASSORTATIVITY = """
+WITH edges AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+  GROUP BY v),
+sym AS (
+  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+j AS (
+  SELECT da.d AS da, db.d AS db
+  FROM sym JOIN deg da ON sym.a = da.v JOIN deg db ON sym.b = db.v),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(da) AS BIGINT) AS sx,
+         SUM(CAST(da AS HUGEINT) * db) AS sxy,
+         SUM(CAST(da AS HUGEINT) * da) AS sxx
+  FROM j)
+SELECT m2 // 2 AS n_edges,
+       round(CAST(m2 * sxy - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+             / CAST(m2 * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
+         AS assortativity
+FROM agg
+"""
+
+QUERIES["degree_assortativity"] = q_degree_assortativity
+ORACLES["degree_assortativity"] = ORACLE_DEGREE_ASSORTATIVITY

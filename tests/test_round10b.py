@@ -349,3 +349,9 @@ def test_dp_clipped_mean_caps_contributions_and_values(spark):
     # the frozen draw is nonzero and bounded by a few scales
     assert r.noise_cents != 0
     assert abs(r.noise_cents) < 20000 * 10
+
+
+def test_assortativity_is_a_valid_correlation(spark):
+    r = QUERIES["degree_assortativity"](spark, SF).collect()[0]
+    assert -1.0 <= r.assortativity <= 1.0
+    assert r.n_edges > 0
