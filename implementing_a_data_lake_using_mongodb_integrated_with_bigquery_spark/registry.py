@@ -18424,3 +18424,171 @@ FROM agg
 
 QUERIES["degree_assortativity"] = q_degree_assortativity
 ORACLES["degree_assortativity"] = ORACLE_DEGREE_ASSORTATIVITY
+
+
+def q_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by inverse-propensity scoring: estimate
+    the value of a DETERMINISTIC target policy (md5 of the user picks
+    an event type) from logged interactions, weighting each matching
+    logged row by 1/p_behavior — the counterfactual "what would this
+    policy have earned" a recommendation/RLHF pipeline answers
+    offline. Behavior propensities are the empirical type frequencies
+    (5-row broadcast); matching rows aggregate PER TYPE first so the
+    exact arithmetic is five integer terms Σ_t reward_t·n div n_t
+    (never a per-row float weight), assembled in DECIMAL(38,0)/
+    HUGEINT (reward_t·n overflows int64 at ~1e7 rows) with ONE
+    division to the final micro estimate. The self-normalized (SNIPS)
+    variant divides by the matched weight mass instead of n — both
+    reported."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("r"),
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    pol_idx = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pol:"), F.col("user_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    policy = F.array(*[F.lit(t) for t in types])[pol_idx]
+    counts = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    matched = (
+        e.withColumn("pol", policy)
+        .filter(F.col("event_type") == F.col("pol"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("r").cast("long").alias("r_t"),
+            F.count(F.lit(1)).cast("long").alias("m_t"),
+        )
+        .join(F.broadcast(counts), "event_type")
+        .crossJoin(F.broadcast(tot))
+    )
+    # exact integer per-type term: (r_t * n) div n_t — DECIMAL `div`
+    # floors like BIGINT div / DuckDB //, never rounds
+    agg = matched.select(
+        "event_type",
+        F.expr(
+            "CAST((CAST(r_t AS DECIMAL(38,0)) * n) div n_t AS DECIMAL(38,0))"
+        ).alias("w_reward"),
+        F.expr(
+            "CAST((CAST(m_t AS DECIMAL(38,0)) * n) div n_t AS DECIMAL(38,0))"
+        ).alias("w_mass"),
+        "n",
+    ).groupBy("n").agg(
+        F.sum("w_reward").alias("sw_reward"),
+        F.sum("w_mass").alias("sw_mass"),
+        F.count(F.lit(1)).cast("long").alias("n_types_matched"),
+    )
+    return agg.select(
+        "n",
+        "n_types_matched",
+        F.expr("CAST(sw_reward div n AS BIGINT)").alias("ips_value_cents"),
+        F.expr(
+            "CASE WHEN sw_mass = 0 THEN NULL"
+            " ELSE CAST((sw_reward * 1000000) div sw_mass AS BIGINT) END"
+        ).alias("snips_value_micro"),
+    )
+
+
+ORACLE_IPS_POLICY_EVAL = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS r
+  FROM events),
+pol AS (
+  SELECT *, (['click', 'error', 'purchase', 'signup', 'view'])[
+           CAST(('0x' || substr(md5('pol:' || CAST(user_id AS VARCHAR)), 1, 6))::BIGINT
+                % 5 AS INT) + 1] AS p
+  FROM e),
+counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM e GROUP BY event_type),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+matched AS (
+  SELECT p.event_type, CAST(SUM(r) AS BIGINT) AS r_t,
+         CAST(COUNT(*) AS BIGINT) AS m_t
+  FROM pol p WHERE p.event_type = p.p GROUP BY p.event_type),
+terms AS (
+  SELECT m.event_type,
+         (CAST(m.r_t AS HUGEINT) * t.n) // c.n_t AS w_reward,
+         (CAST(m.m_t AS HUGEINT) * t.n) // c.n_t AS w_mass,
+         t.n
+  FROM matched m JOIN counts c ON m.event_type = c.event_type, tot t),
+agg AS (
+  SELECT n, SUM(w_reward) AS sw_reward, SUM(w_mass) AS sw_mass,
+         CAST(COUNT(*) AS BIGINT) AS n_types_matched
+  FROM terms GROUP BY n)
+SELECT n, n_types_matched,
+       CAST(sw_reward // n AS BIGINT) AS ips_value_cents,
+       CASE WHEN sw_mass = 0 THEN NULL
+            ELSE CAST((sw_reward * 1000000) // sw_mass AS BIGINT)
+       END AS snips_value_micro
+FROM agg
+"""
+
+QUERIES["ips_policy_eval"] = q_ips_policy_eval
+ORACLES["ips_policy_eval"] = ORACLE_IPS_POLICY_EVAL
+
+
+def q_top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the 20 most-traveled 3-step event-type
+    paths (consecutive triples in each user's total-ordered journey)
+    with their user reach — the Sankey-diagram input that generalizes
+    the adjacent-pair `event_transition_matrix` to path granularity.
+    Two leads over ONE per-user window (user_id is high-cardinality —
+    never low-par), ordered by (ts, event_id) total order; one
+    path-keyed hash aggregate; top-20 total-ordered through
+    TakeOrderedAndProject (count desc, path asc)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us(F.col("ts")).alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    tri = (
+        e.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(
+                ">", F.col("event_type"), F.col("t2"), F.col("t3")
+            ).alias("path"),
+            "user_id",
+        )
+    )
+    agg = tri.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_travels"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return agg.orderBy(F.col("n_travels").desc(), F.col("path").asc()).limit(20)
+
+
+ORACLE_TOP_USER_PATHS = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+tri AS (
+  SELECT user_id,
+         event_type || '>'
+           || lead(event_type, 1) OVER w || '>'
+           || lead(event_type, 2) OVER w AS path,
+         lead(event_type, 2) OVER w AS t3
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_travels,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tri WHERE t3 IS NOT NULL
+GROUP BY path
+ORDER BY n_travels DESC, path ASC LIMIT 20
+"""
+
+QUERIES["top_user_paths"] = q_top_user_paths
+ORACLES["top_user_paths"] = ORACLE_TOP_USER_PATHS

@@ -355,3 +355,23 @@ def test_assortativity_is_a_valid_correlation(spark):
     r = QUERIES["degree_assortativity"](spark, SF).collect()[0]
     assert -1.0 <= r.assortativity <= 1.0
     assert r.n_edges > 0
+
+
+def test_ips_policy_eval_bounds(spark):
+    r = QUERIES["ips_policy_eval"](spark, SF).collect()[0]
+    assert 1 <= r.n_types_matched <= 5
+    assert r.ips_value_cents >= 0
+    # SNIPS normalizes by matched mass: a per-event value estimate in
+    # micro-cents, same order as the raw per-event reward
+    assert r.snips_value_micro is not None and r.snips_value_micro > 0
+
+
+def test_top_user_paths_are_valid_triples(spark):
+    rows = QUERIES["top_user_paths"](spark, SF).collect()
+    assert len(rows) == 20
+    counts = [r.n_travels for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        steps = r.path.split(">")
+        assert len(steps) == 3
+        assert r.n_users <= r.n_travels
