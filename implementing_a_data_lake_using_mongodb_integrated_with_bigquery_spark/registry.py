@@ -18592,3 +18592,168 @@ ORDER BY n_travels DESC, path ASC LIMIT 20
 
 QUERIES["top_user_paths"] = q_top_user_paths
 ORACLES["top_user_paths"] = ORACLE_TOP_USER_PATHS
+
+
+def q_stream_two_level_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint restart of the CHAINED two-level rollup
+    (streaming.windowed.restart_two_level_counts — sixth
+    restart-family member; both the quarter and the hour state stores
+    restore). Phase split user_id % 3; the run asserts TWO state
+    operators per run and a nonzero phase-2 late-drop (quarters ≤ W1),
+    and the oracle composes the pinned admission rule (kept = phase1 ∪
+    phase2 with quarter end > W1) with the chained emission rule
+    (hours with end ≤ W2, n_quarters over kept rows)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        restart_two_level_counts,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out, stats = restart_two_level_counts(
+        spark,
+        phase1=e.filter(F.col("user_id") % 3 == 0),
+        phase2=e.filter(F.col("user_id") % 3 != 0),
+        lateness="20 minutes",
+        group_cols=["event_type"],
+    )
+    for tag in ("phase1", "phase2"):
+        if stats[tag]["n_state_ops"] != 2:
+            raise RuntimeError(
+                f"stream_two_level_restart: {tag} ran with "
+                f"{stats[tag]['n_state_ops']} state operators, expected 2"
+            )
+    if stats["phase2"]["rows_dropped"] == 0:
+        raise RuntimeError(
+            "stream_two_level_restart: phase 2 dropped no late rows — the "
+            "restored watermark did not engage"
+        )
+    return out.select(
+        epoch_us(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "n_quarters",
+    )
+
+
+ORACLE_STREAM_TWO_LEVEL_RESTART = """
+WITH w1 AS (
+  SELECT (epoch_us(max(ts)) // 1000) * 1000 - 1200000000 AS v
+  FROM events WHERE user_id % 3 = 0),
+w2 AS (
+  SELECT (epoch_us(max(ts)) // 1000) * 1000 - 1200000000 AS v FROM events),
+kept AS (
+  SELECT e.event_type,
+         (epoch_us(ts) // 900000000) * 900000000 AS qs,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS hs
+  FROM events e, w1
+  WHERE user_id % 3 = 0
+     OR (epoch_us(ts) // 900000000) * 900000000 + 900000000 > w1.v
+)
+SELECT hs AS window_start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT qs) AS BIGINT) AS n_quarters
+FROM kept, w2
+GROUP BY hs, event_type, w2.v
+HAVING hs + 3600000000 <= w2.v
+"""
+
+QUERIES["stream_two_level_restart"] = q_stream_two_level_restart
+ORACLES["stream_two_level_restart"] = ORACLE_STREAM_TWO_LEVEL_RESTART
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of the reliability bins —
+    PAVA's pool-adjacent-violators fit computed DECLARATIVELY via the
+    minimax identity ŷᵢ = max_{k≤i} min_{j≥i} avg(clicks_k..j /
+    n_k..j): the sequential algorithm becomes three joins over the
+    BOUNDED 10-bin table (≤55 intervals × 10 positions — constant at
+    any SF, because the fact table collapsed to the score-domain bins
+    first, the `calibration_ece` scale shape). Interval averages are
+    exact integer micro (`div`), and min/max of integers are
+    order-free, so the fit is bit-deterministic on both engines; the
+    floor variant stays monotone because fitted(i) is a max over a
+    growing prefix family. Output: raw vs fitted accuracy per bin —
+    where they differ, PAVA pooled a violation."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    h = F.md5(F.concat(F.lit("auc:"), F.col("event_id").cast("string")))
+    s = (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 500).alias("s")
+    y = (F.col("event_type") == "click").cast("long").alias("y")
+    bins = e.select(s, y).select(
+        F.expr("s div 50").alias("bin"), "y"
+    ).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("clicks"),
+    )
+    k = bins.select(
+        F.col("bin").alias("k"), F.col("n").alias("nk"), F.col("clicks").alias("ck")
+    )
+    j = bins.select(F.col("bin").alias("j"))
+    members = bins.select(
+        F.col("bin").alias("m"), F.col("n").alias("nm"), F.col("clicks").alias("cm")
+    )
+    intervals = (
+        k.crossJoin(j)
+        .filter(F.col("k") <= F.col("j"))
+        .join(
+            F.broadcast(members),
+            (F.col("m") >= F.col("k")) & (F.col("m") <= F.col("j")),
+        )
+        .groupBy("k", "j")
+        .agg(
+            F.sum("cm").cast("long").alias("ci"),
+            F.sum("nm").cast("long").alias("ni"),
+        )
+        .select("k", "j", F.expr("(ci * 1000000) div ni").alias("a"))
+    )
+    pos = bins.select(F.col("bin").alias("i"))
+    inner = (
+        pos.crossJoin(F.broadcast(intervals))
+        .filter((F.col("k") <= F.col("i")) & (F.col("j") >= F.col("i")))
+        .groupBy("i", "k")
+        .agg(F.min("a").alias("minj"))
+        .groupBy("i")
+        .agg(F.max("minj").cast("long").alias("iso_micro"))
+    )
+    return (
+        bins.join(F.broadcast(inner), bins.bin == inner.i)
+        .select(
+            "bin",
+            "n",
+            "clicks",
+            F.expr("(clicks * 1000000) div n").alias("acc_micro"),
+            "iso_micro",
+        )
+    )
+
+
+ORACLE_ISOTONIC_CALIBRATION = """
+WITH s AS (
+  SELECT ('0x' || substr(md5('auc:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT
+           % 500 AS s,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+  FROM events),
+bins AS (
+  SELECT s // 50 AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS clicks
+  FROM s GROUP BY 1),
+intervals AS (
+  SELECT k.bin AS k, j.bin AS j,
+         CAST(SUM(m.clicks) AS BIGINT) * 1000000
+           // CAST(SUM(m.n) AS BIGINT) AS a
+  FROM bins k
+  JOIN bins j ON k.bin <= j.bin
+  JOIN bins m ON m.bin >= k.bin AND m.bin <= j.bin
+  GROUP BY k.bin, j.bin),
+inner_min AS (
+  SELECT i.bin AS i, iv.k, MIN(iv.a) AS minj
+  FROM bins i JOIN intervals iv ON iv.k <= i.bin AND iv.j >= i.bin
+  GROUP BY i.bin, iv.k),
+fit AS (
+  SELECT i, CAST(MAX(minj) AS BIGINT) AS iso_micro FROM inner_min GROUP BY i)
+SELECT b.bin, b.n, b.clicks,
+       (b.clicks * 1000000) // b.n AS acc_micro,
+       f.iso_micro
+FROM bins b JOIN fit f ON b.bin = f.i
+"""
+
+QUERIES["isotonic_calibration"] = q_isotonic_calibration
+ORACLES["isotonic_calibration"] = ORACLE_ISOTONIC_CALIBRATION

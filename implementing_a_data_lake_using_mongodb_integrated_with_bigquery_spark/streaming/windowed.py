@@ -1062,3 +1062,119 @@ def two_level_windowed_counts_once(
             "window_start", F.col("window_start").cast("timestamp_ntz")
         ).withColumn("window_end", F.col("window_end").cast("timestamp_ntz"))
     return result
+
+
+def restart_two_level_counts(
+    spark: SparkSession,
+    phase1: DataFrame,
+    phase2: DataFrame,
+    ts_col: str = "ts",
+    quarter: str = "15 minutes",
+    hour: str = "1 hour",
+    lateness: str = "20 minutes",
+    group_cols: list[str] | None = None,
+    state_partitions: int | None = 16,
+) -> tuple[DataFrame, dict]:
+    """CHAINED two-level windowed aggregation across a checkpoint
+    RESTART — the sixth restart-family member, and the only one where
+    TWO stateful operators must both restore (level-1 open quarters
+    AND level-2 open hours survive the stop/start, each with its own
+    state store). Same two-runs/one-checkpoint machinery as
+    :func:`restart_append_counts` (file source, parquet sink, union
+    of both runs' emissions).
+
+    Semantics, composed from the pinned single-level rules: W1 =
+    floor_ms(max phase-1 event time) − lateness; at restart, phase-2
+    rows are dropped at LEVEL 1 iff their QUARTER end ≤ W1, and since
+    q_end ≤ h_end, no surviving quarter can belong to an hour already
+    emitted in run 1 — the level-2 late filter is unreachable by
+    construction, which is exactly why the chained topology restarts
+    cleanly. Final emission: hours with end ≤ W2 over kept rows
+    (phase1 ∪ admitted phase2); ``n_quarters`` counts kept-row
+    quarters, proving the rollup rebuilt through restored
+    intermediate state."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    group_cols = group_cols or []
+    root = tempfile.mkdtemp(prefix="restart_two_level_")
+    input_dir = _os.path.join(root, "input")
+    ckpt = _os.path.join(root, "ckpt")
+    out_dir = _os.path.join(root, "out")
+    stage2 = _os.path.join(root, "p2stage")
+    phase1.coalesce(1).write.parquet(input_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+
+    ntz_event_time = False
+
+    def run_phase() -> list:
+        nonlocal ntz_event_time
+        stream, ntz_event_time = _open_event_stream(spark, input_dir, ts_col)
+        lvl1 = (
+            stream.withWatermark(ts_col, lateness)
+            .groupBy(F.window(ts_col, quarter).alias("qw"), *group_cols)
+            .agg(F.count(F.lit(1)).cast("long").alias("qn"))
+        )
+        out = (
+            lvl1.groupBy(
+                F.window(F.window_time("qw"), hour).alias("hw"), *group_cols
+            )
+            .agg(
+                F.sum("qn").cast("long").alias("n_events"),
+                F.count(F.lit(1)).cast("long").alias("n_quarters"),
+            )
+            .withColumn("window_start", F.col("hw.start"))
+            .withColumn("window_end", F.col("hw.end"))
+            .drop("hw")
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return list(q.recentProgress)
+
+    try:
+        prog1 = run_phase()
+        phase2.coalesce(1).write.parquet(stage2)
+        for f in _os.listdir(stage2):
+            if f.endswith(".parquet"):
+                _os.link(
+                    _os.path.join(stage2, f), _os.path.join(input_dir, f"p2-{f}")
+                )
+        prog2 = run_phase()
+        result = spark.read.parquet(out_dir)
+        if ntz_event_time:
+            result = result.withColumn(
+                "window_start", F.col("window_start").cast("timestamp_ntz")
+            ).withColumn("window_end", F.col("window_end").cast("timestamp_ntz"))
+        result = result.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
+
+    def facts(progress: list) -> dict:
+        data = [p for p in progress if p["numInputRows"] > 0]
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in progress
+            for op in p.get("stateOperators", [])
+        )
+        n_state_ops = max(
+            (len(p.get("stateOperators", [])) for p in progress), default=0
+        )
+        return {
+            "data_batches": len(data),
+            "rows_dropped": dropped,
+            "n_state_ops": n_state_ops,
+        }
+
+    return result, {"phase1": facts(prog1), "phase2": facts(prog2)}

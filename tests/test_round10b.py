@@ -375,3 +375,45 @@ def test_top_user_paths_are_valid_triples(spark):
         steps = r.path.split(">")
         assert len(steps) == 3
         assert r.n_users <= r.n_travels
+
+
+def test_two_level_restart_drops_late_quarters_and_restores_both_stores(spark):
+    import pyspark.sql.functions as F
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources import (
+        load_table,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.streaming.windowed import (
+        restart_two_level_counts,
+    )
+
+    e = load_table(spark, SF, "events")
+    out, stats = restart_two_level_counts(
+        spark,
+        phase1=e.filter(F.col("user_id") % 3 == 0),
+        phase2=e.filter(F.col("user_id") % 3 != 0),
+        lateness="20 minutes",
+        group_cols=["event_type"],
+    )
+    assert stats["phase1"]["n_state_ops"] == 2
+    assert stats["phase2"]["n_state_ops"] == 2
+    assert stats["phase2"]["rows_dropped"] > 0
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_quarters <= 4
+
+
+def test_isotonic_fit_is_monotone_and_pools_violations(spark):
+    rows = sorted(
+        QUERIES["isotonic_calibration"](spark, SF).collect(), key=lambda r: r.bin
+    )
+    assert len(rows) == 10
+    fits = [r.iso_micro for r in rows]
+    assert fits == sorted(fits), "isotonic fit must be monotone non-decreasing"
+    raw = [r.acc_micro for r in rows]
+    if raw != sorted(raw):
+        # raw violations exist -> PAVA must have pooled somewhere
+        assert any(a != f for a, f in zip(raw, fits))
+    # pooling preserves the overall level: fit stays within raw range
+    assert min(raw) <= min(fits) and max(fits) <= max(raw)
