@@ -18757,3 +18757,246 @@ FROM bins b JOIN fit f ON b.bin = f.i
 
 QUERIES["isotonic_calibration"] = q_isotonic_calibration
 ORACLES["isotonic_calibration"] = ORACLE_ISOTONIC_CALIBRATION
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution: each converting user's
+    pre-purchase touch set over the four non-purchase channels defines
+    the coalition game v(S) = #converted users with touch set ⊆ S,
+    and each channel's credit is the exact Shapley sum
+    φᵢ = Σ_S |S|!·(3−|S|)!·(v(S∪i) − v(S)) in units of 1/4! — the
+    order-independent credit rule that first/last-touch heuristics
+    approximate. Scale shape: the fact collapses to ONE 4-bit mask per
+    user (conditional-max aggregate), masks aggregate to ≤16 coalition
+    rows, and the combinatorics run on a 16×16 bounded subset-sum
+    join — constant beyond the first aggregate at any SF. All
+    factorial weights and counts are integers; φ is exact in
+    24th-units with a micro share at the end."""
+    channels = ["click", "error", "signup", "view"]
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = e.groupBy("user_id").agg(
+        *[
+            F.max((F.col("event_type") == c).cast("int")).alias(f"b{i}")
+            for i, c in enumerate(channels)
+        ],
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    mask = sum(F.col(f"b{i}") * (1 << i) for i in range(4))
+    masks = (
+        per_user.filter(F.col("conv") == 1)
+        .select(mask.alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # v(S) for all 16 coalitions: subset-sum over the ≤16 mask rows
+    coal = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        coal.crossJoin(F.broadcast(masks))
+        .filter(F.expr("(m & ~s) = 0"))
+        .groupBy("s")
+        .agg(F.sum("cnt").cast("long").alias("v"))
+    )
+    v_full = coal.join(v, "s", "left").select(
+        "s", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
+    )
+    import math as _math
+
+    rows = []
+    for i, c in enumerate(channels):
+        for s in range(16):
+            if s & (1 << i):
+                continue
+            ssz = bin(s).count("1")
+            w = _math.factorial(ssz) * _math.factorial(3 - ssz)
+            rows.append((c, s, s | (1 << i), w))
+    wdf = F.broadcast(
+        spark.createDataFrame(rows, ["channel", "s_without", "s_with", "w"])
+    )
+    a = v_full.select(F.col("s").alias("s_with"), F.col("v").alias("v_with"))
+    b = v_full.select(F.col("s").alias("s_without"), F.col("v").alias("v_without"))
+    phi = (
+        wdf.join(a, "s_with")
+        .join(b, "s_without")
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("w") * (F.col("v_with") - F.col("v_without")))
+            .cast("long")
+            .alias("phi_24ths")
+        )
+    )
+    tot = phi.agg(F.sum("phi_24ths").cast("long").alias("tot"))
+    return phi.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "phi_24ths",
+        F.expr(
+            "CASE WHEN tot = 0 THEN NULL"
+            " ELSE (phi_24ths * 1000000) div tot END"
+        ).alias("share_micro"),
+    )
+
+
+ORACLE_SHAPLEY_ATTRIBUTION = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b0,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b1,
+         MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS b2,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b3,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id),
+masks AS (
+  SELECT b0 + b1 * 2 + b2 * 4 + b3 * 8 AS m,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM per_user WHERE conv = 1 GROUP BY 1),
+coal AS (SELECT unnest(generate_series(0, 15)) AS s),
+v_full AS (
+  SELECT s, CAST(COALESCE(SUM(CASE WHEN (m & ~s) = 0 THEN cnt END), 0)
+                 AS BIGINT) AS v
+  FROM coal LEFT JOIN masks ON TRUE GROUP BY s),
+chan AS (
+  SELECT * FROM (VALUES ('click', 0), ('error', 1), ('signup', 2),
+                        ('view', 3)) AS t(channel, i)),
+weights AS (
+  SELECT c.channel, c.i, s.s AS s_without, s.s | (1 << c.i) AS s_with,
+         CASE bit_count(CAST(s.s AS BIT))
+              WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6
+         END AS w
+  FROM chan c JOIN coal s ON (s.s & (1 << c.i)) = 0),
+phi AS (
+  SELECT w.channel,
+         CAST(SUM(w.w * (va.v - vb.v)) AS BIGINT) AS phi_24ths
+  FROM weights w
+  JOIN v_full va ON va.s = w.s_with
+  JOIN v_full vb ON vb.s = w.s_without
+  GROUP BY w.channel),
+tot AS (SELECT CAST(SUM(phi_24ths) AS BIGINT) AS tot FROM phi)
+SELECT channel, phi_24ths,
+       CASE WHEN tot = 0 THEN NULL
+            ELSE (phi_24ths * 1000000) // tot END AS share_micro
+FROM phi, tot
+"""
+
+QUERIES["shapley_attribution"] = q_shapley_attribution
+ORACLES["shapley_attribution"] = ORACLE_SHAPLEY_ATTRIBUTION
+
+
+def q_doubly_robust_ope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust off-policy evaluation — the direct-method
+    baseline q̂(t) = per-type mean reward plus the IPS correction on
+    matched rows, unbiased if EITHER model is right (completes the
+    OPE family beside `ips_policy_eval`'s IPS/SNIPS). Same
+    deterministic md5 policy; everything reduces to per-type integer
+    terms: DM = Σ_p c_p·q̂micro(p), correction = Σ_t (r_t·1e6 −
+    m_t·q̂micro(t))·n div n_t (can be negative — Spark `div` ==
+    DuckDB `//` on negatives is already pinned), assembled in
+    DECIMAL(38,0)/HUGEINT with ONE `div n` at the end."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("r"),
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    pol_idx = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pol:"), F.col("user_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    policy = F.array(*[F.lit(t) for t in types])[pol_idx]
+    base = e.withColumn("pol", policy)
+    qhat = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t"),
+        F.sum("r").cast("long").alias("r_sum"),
+    ).select(
+        "event_type",
+        "n_t",
+        F.expr("(r_sum * 1000000) div n_t").alias("qmicro"),
+    )
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dm = (
+        base.groupBy("pol")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_p"))
+        .join(
+            F.broadcast(qhat.select(F.col("event_type").alias("pol"), "qmicro")),
+            "pol",
+        )
+        .agg(
+            F.sum(F.col("c_p").cast("decimal(19,0)") * F.col("qmicro").cast("decimal(19,0)"))
+            .alias("dm_num")
+        )
+    )
+    corr = (
+        base.filter(F.col("event_type") == F.col("pol"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("r").cast("long").alias("r_t"),
+            F.count(F.lit(1)).cast("long").alias("m_t"),
+        )
+        .join(F.broadcast(qhat), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "(CAST(r_t AS DECIMAL(38,0)) * 1000000"
+                " - CAST(m_t AS DECIMAL(38,0)) * qmicro) * n div n_t"
+            ).alias("corr_t"),
+            "n",
+        )
+        .groupBy("n")
+        .agg(F.sum("corr_t").alias("corr_num"))
+    )
+    return (
+        dm.crossJoin(corr)
+        .select(
+            "n",
+            F.expr("CAST(dm_num div n AS BIGINT)").alias("dm_value_micro"),
+            F.expr("CAST(corr_num div n AS BIGINT)").alias("correction_micro"),
+            F.expr(
+                "CAST((dm_num + corr_num) div n AS BIGINT)"
+            ).alias("dr_value_micro"),
+        )
+    )
+
+
+ORACLE_DOUBLY_ROBUST_OPE = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS r
+  FROM events),
+base AS (
+  SELECT *, (['click', 'error', 'purchase', 'signup', 'view'])[
+           CAST(('0x' || substr(md5('pol:' || CAST(user_id AS VARCHAR)), 1, 6))::BIGINT
+                % 5 AS INT) + 1] AS pol
+  FROM e),
+qhat AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t,
+         (CAST(SUM(r) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT)
+           AS qmicro
+  FROM e GROUP BY event_type),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+dm AS (
+  SELECT SUM(CAST(c.c_p AS HUGEINT) * q.qmicro) AS dm_num
+  FROM (SELECT pol, CAST(COUNT(*) AS BIGINT) AS c_p FROM base GROUP BY pol) c
+  JOIN qhat q ON c.pol = q.event_type),
+corr AS (
+  SELECT SUM((CAST(m.r_t AS HUGEINT) * 1000000
+              - CAST(m.m_t AS HUGEINT) * q.qmicro) * t.n // q.n_t)
+           AS corr_num,
+         MIN(t.n) AS n
+  FROM (SELECT event_type, CAST(SUM(r) AS BIGINT) AS r_t,
+               CAST(COUNT(*) AS BIGINT) AS m_t
+        FROM base WHERE event_type = pol GROUP BY event_type) m
+  JOIN qhat q ON m.event_type = q.event_type, tot t)
+SELECT c.n,
+       CAST(d.dm_num // c.n AS BIGINT) AS dm_value_micro,
+       CAST(c.corr_num // c.n AS BIGINT) AS correction_micro,
+       CAST((d.dm_num + c.corr_num) // c.n AS BIGINT) AS dr_value_micro
+FROM dm d, corr c
+"""
+
+QUERIES["doubly_robust_ope"] = q_doubly_robust_ope
+ORACLES["doubly_robust_ope"] = ORACLE_DOUBLY_ROBUST_OPE

