@@ -511,3 +511,84 @@ def kcore_peel(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+def per_vertex_triangles(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Per-vertex triangle counts via the same degree-ordered
+    orientation as :func:`triangle_count` (each triangle enumerated
+    exactly once at its (deg, id)-minimum apex), but the apex rides
+    the wedge so every closed triangle credits ALL THREE corners with
+    one ``posexplode``-free array explode — the input to local
+    clustering coefficients (cᵥ = 2·Tᵥ / (degᵥ·(degᵥ−1))), the
+    per-node community-density signal a recsys/GNN feature pipeline
+    wants where the global census (`triangle_count`) gives one number.
+    Same skew bound: out-degree ≤ O(√|E|), so wedge generation never
+    quadratic on hubs. Returns (node, degree, n_triangles) for every
+    node of the deduplicated undirected graph."""
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y")).where(
+        F.col("x") != F.col("y")
+    )
+    canon = (
+        e.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dir_edges = canon.select(
+        F.col("a").alias("n"), F.col("b").alias("other")
+    ).unionAll(canon.select(F.col("b").alias("n"), F.col("a").alias("other")))
+    decorated = dir_edges.withColumn(
+        "deg_n", F.count(F.lit(1)).over(Window.partitionBy("n"))
+    )
+    withdeg = decorated.groupBy(
+        F.least("n", "other").alias("a"), F.greatest("n", "other").alias("b")
+    ).agg(
+        F.max(
+            F.when(F.col("n") == F.least("n", "other"), F.col("deg_n"))
+        ).alias("da"),
+        F.max(
+            F.when(F.col("n") == F.greatest("n", "other"), F.col("deg_n"))
+        ).alias("db"),
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    ).localCheckpoint(eager=True)
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    v_before_w = (F.col("o1.dst_deg") < F.col("o2.dst_deg")) | (
+        (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = o1.join(o2, (F.col("o1.src") == F.col("o2.src")) & v_before_w).select(
+        F.col("o1.src").alias("apex"),
+        F.col("o1.dst").alias("v"),
+        F.col("o2.dst").alias("w"),
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri_corners = (
+        wedges.join(closing, ["v", "w"])
+        .select(
+            F.explode(F.array(F.col("apex"), F.col("v"), F.col("w"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    degrees = dir_edges.groupBy(F.col("n").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return degrees.join(tri_corners, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+    )

@@ -19000,3 +19000,65 @@ FROM dm d, corr c
 
 QUERIES["doubly_robust_ope"] = q_doubly_robust_ope
 ORACLES["doubly_robust_ope"] = ORACLE_DOUBLY_ROBUST_OPE
+
+
+def q_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 locally-densest parts of the co-purchase graph by local
+    clustering coefficient cᵥ = 2·Tᵥ/(degᵥ·(degᵥ−1)) in integer micro
+    (`operators.graph.per_vertex_triangles` — the apex-carrying
+    degree-ordered wedge join, skew-bounded O(√E) out-degree), deg ≥ 3
+    to exclude trivially-perfect leaves; total-ordered
+    TakeOrderedAndProject (coeff desc, node)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
+        per_vertex_triangles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+    pv = per_vertex_triangles(edges, "a", "b")
+    scored = pv.filter(F.col("degree") >= 3).withColumn(
+        "coeff_micro",
+        F.expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))"),
+    )
+    return scored.orderBy(
+        F.col("coeff_micro").desc(), F.col("node").asc()
+    ).limit(20)
+
+
+ORACLE_LOCAL_CLUSTERING_TOPK = """
+WITH canon AS (
+  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                  greatest(x.l_partkey, y.l_partkey) AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+tri AS (
+  SELECT e1.a AS p, e1.b AS q, e2.b AS r
+  FROM canon e1
+  JOIN canon e2 ON e1.b = e2.a
+  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT p AS node FROM tri
+        UNION ALL SELECT q FROM tri
+        UNION ALL SELECT r FROM tri)
+  GROUP BY node),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
+  GROUP BY node)
+SELECT d.node, d.degree,
+       CAST(COALESCE(c.n_triangles, 0) AS BIGINT) AS n_triangles,
+       (2 * CAST(COALESCE(c.n_triangles, 0) AS BIGINT) * 1000000)
+         // (d.degree * (d.degree - 1)) AS coeff_micro
+FROM deg d LEFT JOIN corners c ON d.node = c.node
+WHERE d.degree >= 3
+ORDER BY coeff_micro DESC, d.node ASC LIMIT 20
+"""
+
+QUERIES["local_clustering_topk"] = q_local_clustering_topk
+ORACLES["local_clustering_topk"] = ORACLE_LOCAL_CLUSTERING_TOPK

@@ -440,3 +440,30 @@ def test_doubly_robust_combines_dm_and_correction(spark):
     ips = QUERIES["ips_policy_eval"](spark, SF).collect()[0]
     # DR and SNIPS estimate the same quantity: same order of magnitude
     assert r.dr_value_micro > 0 and ips.snips_value_micro > 0
+
+
+def test_per_vertex_triangles_sum_to_three_times_census(spark):
+    import pyspark.sql.functions as F
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.graph import (
+        per_vertex_triangles,
+        triangle_count,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources import (
+        load_table,
+    )
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+    pv = per_vertex_triangles(edges, "a", "b")
+    total = pv.agg(F.sum("n_triangles")).collect()[0][0]
+    census = triangle_count(edges, "a", "b").collect()[0]
+    assert total == 3 * census.n_triangles
+    assert pv.count() == census.n_nodes
+    for r in QUERIES["local_clustering_topk"](spark, SF).collect():
+        assert 0 <= r.coeff_micro <= 1000000
