@@ -19062,3 +19062,162 @@ ORDER BY coeff_micro DESC, d.node ASC LIMIT 20
 
 QUERIES["local_clustering_topk"] = q_local_clustering_topk
 ORACLES["local_clustering_topk"] = ORACLE_LOCAL_CLUSTERING_TOPK
+
+
+def q_grouped_kfold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware k-fold assignment audit: folds are assigned per
+    USER (md5 coin), so no user's rows straddle train/validation — the
+    group-leakage guarantee row-level splits silently violate. The
+    audit certifies it structurally: per fold the row share, user
+    share, class (click) balance in integer micro, and
+    users_spanning_folds — computed as a real check (distinct folds
+    per user, counted > 1), which the construction forces to 0; the
+    column exists so a refactor that breaks the invariant fails the
+    driver hash, not just a code review. One pass + one per-user
+    aggregate."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("user_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    rows = e.withColumn("fold", fold)
+    tot = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("nu"),
+    )
+    span = (
+        rows.groupBy("user_id")
+        .agg(F.countDistinct("fold").cast("long").alias("nf"))
+        .agg(
+            F.sum((F.col("nf") > 1).cast("long"))
+            .cast("long")
+            .alias("users_spanning_folds")
+        )
+    )
+    per_fold = rows.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("n_clicks"),
+    )
+    return (
+        per_fold.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(span))
+        .select(
+            "fold",
+            "n_rows",
+            "n_users",
+            F.expr("(n_rows * 1000000) div n").alias("row_share_micro"),
+            F.expr("(n_users * 1000000) div nu").alias("user_share_micro"),
+            F.expr("(n_clicks * 1000000) div n_rows").alias("click_rate_micro"),
+            "users_spanning_folds",
+        )
+    )
+
+
+ORACLE_GROUPED_KFOLD_AUDIT = """
+WITH rows_f AS (
+  SELECT user_id, event_type,
+         ('0x' || substr(md5('fold:' || CAST(user_id AS VARCHAR)), 1, 6))::BIGINT
+           % 5 AS fold
+  FROM events),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+  FROM rows_f),
+span AS (
+  SELECT CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS users_spanning_folds
+  FROM (SELECT user_id, CAST(COUNT(DISTINCT fold) AS BIGINT) AS nf
+        FROM rows_f GROUP BY user_id)),
+per_fold AS (
+  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clicks
+  FROM rows_f GROUP BY fold)
+SELECT fold, n_rows, n_users,
+       (n_rows * 1000000) // n AS row_share_micro,
+       (n_users * 1000000) // nu AS user_share_micro,
+       (n_clicks * 1000000) // n_rows AS click_rate_micro,
+       users_spanning_folds
+FROM per_fold, tot, span
+"""
+
+QUERIES["grouped_kfold_audit"] = q_grouped_kfold_audit
+ORACLES["grouped_kfold_audit"] = ORACLE_GROUPED_KFOLD_AUDIT
+
+
+def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion check on per-user event counts (index of
+    dispersion var/mean — Poisson ⇒ 1, clumpy arrivals ⇒ >1): the
+    monitoring statistic that tells an ingestion pipeline whether user
+    activity is bursty enough to need skew handling. Per-type: fact →
+    per-(user, type) counts → EXACT integer moments (Σx, Σx² in
+    DECIMAL(38,0)/HUGEINT, the r9 idiom), variance numerator
+    U·Σx² − (Σx)² formed exactly, ONE division chain to double, 6dp.
+    Users missing a type count as zero via the identity Σ over
+    present rows + (U − present)·0 — no dense fill needed."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    nu = e.agg(F.countDistinct("user_id").cast("long").alias("u"))
+    per = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    dec = "decimal(19,0)"
+    agg = (
+        per.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("present"),
+            F.sum("c").cast("long").alias("sx"),
+            F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("sxx"),
+        )
+        .crossJoin(F.broadcast(nu))
+    )
+    num = F.col("u").cast(dec) * F.col("sxx") - F.col("sx").cast(
+        dec
+    ) * F.col("sx").cast(dec)
+    mean = F.col("sx").cast("double") / F.col("u").cast("double")
+    var = num.cast("double") / (
+        F.col("u").cast("double") * F.col("u").cast("double")
+    )
+    return agg.select(
+        "event_type",
+        F.col("u").alias("n_users"),
+        "sx",
+        F.round(mean, 6).alias("mean_per_user"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+    )
+
+
+ORACLE_DISPERSION_INDEX = """
+WITH e AS (SELECT user_id, event_type FROM events),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u FROM e),
+per AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY event_type, user_id),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS present,
+         CAST(SUM(c) AS BIGINT) AS sx,
+         SUM(CAST(c AS HUGEINT) * c) AS sxx
+  FROM per GROUP BY event_type)
+SELECT a.event_type, n.u AS n_users, a.sx,
+       round(CAST(a.sx AS DOUBLE) / CAST(n.u AS DOUBLE), 6) AS mean_per_user,
+       round((CAST(n.u * a.sxx - CAST(a.sx AS HUGEINT) * a.sx AS DOUBLE)
+              / (CAST(n.u AS DOUBLE) * CAST(n.u AS DOUBLE)))
+             / (CAST(a.sx AS DOUBLE) / CAST(n.u AS DOUBLE)), 6)
+         AS dispersion_index
+FROM agg a, nu n
+"""
+
+QUERIES["dispersion_index"] = q_dispersion_index
+ORACLES["dispersion_index"] = ORACLE_DISPERSION_INDEX

@@ -467,3 +467,20 @@ def test_per_vertex_triangles_sum_to_three_times_census(spark):
     assert pv.count() == census.n_nodes
     for r in QUERIES["local_clustering_topk"](spark, SF).collect():
         assert 0 <= r.coeff_micro <= 1000000
+
+
+def test_group_folds_never_leak_users(spark):
+    rows = QUERIES["grouped_kfold_audit"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.users_spanning_folds == 0
+        assert r.n_users <= r.n_rows
+    assert abs(sum(r.row_share_micro for r in rows) - 1000000) <= 5
+
+
+def test_dispersion_index_flags_bursty_arrivals(spark):
+    rows = QUERIES["dispersion_index"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.mean_per_user > 0
+        assert r.dispersion_index >= 0
