@@ -19221,3 +19221,361 @@ FROM agg a, nu n
 
 QUERIES["dispersion_index"] = q_dispersion_index
 ORACLES["dispersion_index"] = ORACLE_DISPERSION_INDEX
+
+
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type — the nonparametric
+    significance complement to `theil_sen_trend`'s slope: S = Σ
+    sign(c_j − c_i) over all hour pairs i<j of the hourly count
+    series. The series is CALENDAR-bounded (≤720 hours at any SF —
+    the bounded-domain class), so the pair join is ≤260k rows per
+    type: S, the tie-corrected variance numerator 18·Var = n(n−1)
+    (2n+5) − Σ_t t(t−1)(2t+5), and the continuity-corrected z are all
+    exact integers until ONE division + sqrt, 6dp. |z| > 1.96 flags a
+    significant monotone trend."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", epoch_us(F.col("ts")).alias("us")
+    )
+    hourly = e.groupBy(
+        "event_type", F.expr("us div 3600000000").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = hourly.select(
+        "event_type", F.col("h").alias("hi"), F.col("c").alias("ci")
+    )
+    b = hourly.select(
+        "event_type", F.col("h").alias("hj"), F.col("c").alias("cj")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("hi") < F.col("hj"))
+    s_df = pairs.groupBy("event_type").agg(
+        F.sum(F.signum(F.col("cj") - F.col("ci")).cast("long"))
+        .cast("long")
+        .alias("s"),
+    )
+    n_df = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ties = (
+        hourly.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    out = (
+        s_df.join(n_df, "event_type")
+        .join(ties, "event_type")
+        .withColumn(
+            "var18",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            ).cast("long"),
+        )
+    )
+    z = F.when(F.col("s") > 0, (F.col("s") - 1).cast("double")).otherwise(
+        F.when(F.col("s") < 0, (F.col("s") + 1).cast("double")).otherwise(
+            F.lit(0.0)
+        )
+    ) / F.sqrt(F.col("var18").cast("double") / 18.0)
+    return out.select(
+        "event_type",
+        "n",
+        "s",
+        "var18",
+        F.round(z, 6).alias("z"),
+    )
+
+
+ORACLE_MANN_KENDALL_TREND = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+s_t AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+                       ELSE 0 END) AS BIGINT) AS s
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND a.h < b.h
+  GROUP BY a.event_type),
+n_t AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM hourly GROUP BY event_type),
+ties AS (
+  SELECT event_type,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS t
+        FROM hourly GROUP BY event_type, c)
+  GROUP BY event_type),
+o AS (
+  SELECT s_t.event_type, n_t.n, s_t.s,
+         CAST(n_t.n * (n_t.n - 1) * (2 * n_t.n + 5) - ties.tie_term
+              AS BIGINT) AS var18
+  FROM s_t JOIN n_t ON s_t.event_type = n_t.event_type
+  JOIN ties ON s_t.event_type = ties.event_type)
+SELECT event_type, n, s, var18,
+       round((CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                   WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                   ELSE 0.0 END)
+             / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) AS z
+FROM o
+"""
+
+QUERIES["mann_kendall_trend"] = q_mann_kendall_trend
+ORACLES["mann_kendall_trend"] = ORACLE_MANN_KENDALL_TREND
+
+
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for experimentation: using each
+    user's FIRST-half activity (covariate x) to denoise their
+    second-half purchase revenue (metric y), the adjustment
+    θ = cov(x,y)/var(x) shrinks metric variance by corr² — the
+    standard pre-experiment-data trick an A/B platform applies before
+    the t-test. Time split at the corpus midpoint; one per-user
+    aggregate, then ALL moments (Σx, Σy, Σxy, Σx², Σy²) exact in
+    DECIMAL(38,0)/HUGEINT, the covariance/variance numerators
+    n·Σxy − Σx·Σy formed exactly, θ and the variance-reduction share
+    each ONE division of exact integers, 6dp."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        epoch_us(F.col("ts")).alias("us"),
+    )
+    mid = e.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
+    per_user = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("us") >= F.col("mid"))
+                    & (F.col("event_type") == "purchase"),
+                    F.col("cents"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    dec = "decimal(19,0)"
+    xd, yd = F.col("x").cast(dec), F.col("y").cast(dec)
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    nd = F.col("n").cast(dec)
+    cov_num = nd * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+    varx_num = nd * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    vary_num = nd * F.col("syy") - F.col("sy").cast(dec) * F.col("sy").cast(dec)
+    theta = cov_num.cast("double") / varx_num.cast("double")
+    rho2 = (cov_num.cast("double") * cov_num.cast("double")) / (
+        varx_num.cast("double") * vary_num.cast("double")
+    )
+    return m.select(
+        "n",
+        "sx",
+        "sy",
+        F.round(theta, 6).alias("theta"),
+        F.round(rho2, 6).alias("variance_reduction"),
+    )
+
+
+ORACLE_CUPED_ADJUSTMENT = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS us
+  FROM events),
+mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN us >= mid AND event_type = 'purchase'
+                       THEN cents ELSE 0 END) AS BIGINT) AS y
+  FROM e, mid GROUP BY user_id),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM per_user)
+SELECT n, sx, sy,
+       round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
+         AS theta,
+       round((CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+              * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE))
+             / (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6)
+         AS variance_reduction
+FROM m
+"""
+
+QUERIES["cuped_adjustment"] = q_cuped_adjustment
+ORACLES["cuped_adjustment"] = ORACLE_CUPED_ADJUSTMENT
+
+
+def q_emd_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D earth-mover's distance (Wasserstein-1) between the first
+    and second half of the purchase-value distribution — the drift
+    metric that, unlike KS (max gap, `value_drift_ks`) and PSI
+    (binned log-ratio, `value_drift_psi`), weights HOW FAR mass
+    moved. Values land on a 100-bucket grid (bounded domain, the
+    `auc_rank_eval` shape); on a shared grid EMD = Σ_b |CDF_a − CDF_b|
+    · bucket_width, computed here EXACTLY in integers: cumulative
+    scaled counts na·|B| vs nb·|A| cross-multiplied (no per-bucket
+    rational division), one tiny prefix-sum window over ≤100 rows, a
+    single final `div` to micro units of the value range."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        epoch_us(F.col("ts")).alias("us"),
+    )
+    bounds = e.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("mid"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    )
+    g = e.crossJoin(F.broadcast(bounds)).select(
+        F.expr("((cents - lo) * 100) div (hi - lo + 1)").alias("b"),
+        (F.col("us") < F.col("mid")).alias("first_half"),
+    )
+    hist = g.groupBy("b").agg(
+        F.sum(F.col("first_half").cast("long")).cast("long").alias("ca"),
+        F.sum((~F.col("first_half")).cast("long")).cast("long").alias("cb"),
+    )
+    tot = hist.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn("cuma", F.sum("ca").over(w).cast("long"))
+        .withColumn("cumb", F.sum("cb").over(w).cast("long"))
+    )
+    # |CDF_a - CDF_b| = |cuma*nb - cumb*na| / (na*nb): keep the exact
+    # integer numerator per bucket, divide ONCE after summing
+    diff = F.abs(
+        F.col("cuma").cast("decimal(19,0)") * F.col("nb").cast("decimal(19,0)")
+        - F.col("cumb").cast("decimal(19,0)") * F.col("na").cast("decimal(19,0)")
+    )
+    agg = cum.groupBy("na", "nb").agg(F.sum(diff).alias("num"))
+    return agg.select(
+        "na",
+        "nb",
+        F.expr(
+            "CAST((num * 1000000) div (CAST(na AS DECIMAL(38,0)) * nb * 100)"
+            " AS BIGINT)"
+        ).alias("emd_micro_of_range"),
+    )
+
+
+ORACLE_EMD_VALUE_DRIFT = """
+WITH e AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents, epoch_us(ts) AS us
+  FROM events),
+bounds AS (
+  SELECT (MIN(us) + MAX(us)) // 2 AS mid,
+         MIN(cents) AS lo, MAX(cents) AS hi
+  FROM e),
+g AS (
+  SELECT ((cents - lo) * 100) // (hi - lo + 1) AS b,
+         us < mid AS first_half
+  FROM e, bounds),
+hist AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN first_half THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM g GROUP BY b),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+  FROM hist),
+cum AS (
+  SELECT b, na, nb,
+         CAST(SUM(ca) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cuma,
+         CAST(SUM(cb) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cumb
+  FROM hist, tot),
+agg AS (
+  SELECT na, nb,
+         SUM(abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na))
+           AS num
+  FROM cum GROUP BY na, nb)
+SELECT na, nb,
+       CAST((num * 1000000) // (CAST(na AS HUGEINT) * nb * 100) AS BIGINT)
+         AS emd_micro_of_range
+FROM agg
+"""
+
+QUERIES["emd_value_drift"] = q_emd_value_drift
+ORACLES["emd_value_drift"] = ORACLE_EMD_VALUE_DRIFT
+
+
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal index per event type: each (type, hour)
+    cell's share of the type's traffic against the uniform 1/24
+    baseline, as an integer-micro seasonal index (1e6 = flat) — the
+    profile a capacity planner and a seasonal-adjustment step both
+    read. One 5×24-cell hash aggregate with map-side partials; peak
+    flag via exact integer comparison against the type max (struct
+    argmax over the 24 bounded cells, no window over facts)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000) % 24").alias(
+            "hod"
+        ),
+    )
+    cells = e.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_type"),
+        F.max(F.struct(F.col("n"), F.col("hod"))).alias("pk"),
+    )
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "hod",
+            "n",
+            F.expr("(n * 24 * 1000000) div n_type").alias("seasonal_index_micro"),
+            (
+                (F.col("hod") == F.col("pk.hod")) & (F.col("n") == F.col("pk.n"))
+            ).alias("is_peak_hour"),
+        )
+    )
+
+
+ORACLE_SEASONAL_PROFILE = """
+WITH e AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod FROM events),
+cells AS (
+  SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY event_type, hod),
+tot AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type,
+         MAX(n * 100 + hod) AS pk
+  FROM cells GROUP BY event_type)
+SELECT c.event_type, c.hod, c.n,
+       (c.n * 24 * 1000000) // t.n_type AS seasonal_index_micro,
+       (c.n * 100 + c.hod) = t.pk AS is_peak_hour
+FROM cells c JOIN tot t ON c.event_type = t.event_type
+"""
+
+QUERIES["seasonal_profile"] = q_seasonal_profile
+ORACLES["seasonal_profile"] = ORACLE_SEASONAL_PROFILE

@@ -484,3 +484,38 @@ def test_dispersion_index_flags_bursty_arrivals(spark):
     for r in rows:
         assert r.mean_per_user > 0
         assert r.dispersion_index >= 0
+
+
+def test_mann_kendall_z_is_finite_and_tie_corrected(spark):
+    rows = QUERIES["mann_kendall_trend"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r.s) <= r.n * (r.n - 1) // 2
+        assert 0 < r.var18 <= r.n * (r.n - 1) * (2 * r.n + 5)
+        assert abs(r.z) < 50
+
+
+def test_cuped_reduction_is_a_squared_correlation(spark):
+    r = QUERIES["cuped_adjustment"](spark, SF).collect()[0]
+    assert 0.0 <= r.variance_reduction <= 1.0
+    assert r.n > 0
+
+
+def test_emd_is_bounded_by_the_value_range(spark):
+    r = QUERIES["emd_value_drift"](spark, SF).collect()[0]
+    assert 0 <= r.emd_micro_of_range <= 1000000
+    assert r.na > 0 and r.nb > 0
+
+
+def test_seasonal_profile_has_one_peak_per_type_and_mean_index_flat(spark):
+    rows = QUERIES["seasonal_profile"](spark, SF).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, cells in by_type.items():
+        assert sum(1 for c in cells if c.is_peak_hour) == 1
+        # indices average to flat: Σ over the 24 cells ≈ 24·1e6
+        # (each cell floors once, so the sum undershoots by < 24)
+        assert len(cells) == 24
+        total_idx = sum(c.seasonal_index_micro for c in cells)
+        assert 24 * 1000000 - 24 <= total_idx <= 24 * 1000000
