@@ -179,6 +179,28 @@ _DRIVER_VERIFIED = frozenset(
         "stream_restart_attribution", "stream_restart_dedup",
         "stream_restart_sessions", "subsample_ci_revenue",
         "theil_sen_trend", "touch_attribution_split", "winnowing_overlap",
+        # round 10 (50 green rows in CORRECTNESS_r10.json — the 46 new
+        # r10 queries below plus 4 fragile-first re-verifications;
+        # cumulative 354/354 distinct queries driver-green)
+        "auc_rank_eval", "bitemporal_asof", "brier_score",
+        "calibration_ece", "cdc_chunk_dedup", "clustering_ari",
+        "cohens_kappa", "cuped_adjustment", "degree_assortativity",
+        "dhondt_apportionment", "dispersion_index", "doubly_robust_ope",
+        "dp_clipped_mean", "dynamic_gap_sessions", "emd_value_drift",
+        "functional_dependency_audit", "golden_record_survivorship",
+        "grouped_kfold_audit", "happens_before_pairs", "ips_policy_eval",
+        "isotonic_calibration", "jsd_source_divergence",
+        "kaplan_meier_churn", "levenshtein_pairs", "limit_offset_page",
+        "local_clustering_topk", "mann_kendall_trend",
+        "pinball_loss_eval", "pps_sample", "pr_curve_deciles",
+        "python_datasource_stream", "rake_keyphrases",
+        "reciprocal_best_match", "rle_compression_estimate",
+        "seasonal_profile", "shapley_attribution",
+        "stream_cdc_merge_replay", "stream_cdc_merge_restart",
+        "stream_rocksdb_halfhourly", "stream_rocksdb_restart",
+        "stream_two_level_hourly", "stream_two_level_restart",
+        "top_user_paths", "weighted_median_price", "weighted_price_band",
+        "zone_map_skipping",
     }
 )
 
@@ -193,21 +215,26 @@ _DRIVER_VERIFIED = frozenset(
 #      quantiles) — tolerance / engine-numerics risk;
 #   4. everything else, stable registry order.
 _FRAGILE_FIRST = (
-    # touched in round 10 (winsorize rebuilt on grouped_percentile_exact;
-    # ntile_exact/grouped_ntile_exact bucket math moved to BIGINT div;
-    # reserved-name guards added to global_rank/grouped_rank) — green
-    # history, new code: every query through those operators must
-    # re-verify ahead of the stability set
+    # new-in-round-10 machinery that must re-verify under the r11
+    # driver window: the six new streaming replays (CDC merge pair,
+    # RocksDB state-store pair, chained two-level rollup pair), the
+    # two-phase weighted-order-statistics queries
+    # (operators/windows.py:weighted_rank machinery), and the
+    # distributed-PAVA isotonic calibration
+    # code changed in r11 (ADVICE fixes: dhondt 1e6 overflow-safe
+    # scale, doubly_robust_ope symmetric empty-match aggregate) —
+    # green history, new code, must re-verify first
+    "dhondt_apportionment", "doubly_robust_ope",
+    "stream_cdc_merge_replay", "stream_cdc_merge_restart",
+    "stream_rocksdb_halfhourly", "stream_rocksdb_restart",
+    "stream_two_level_hourly", "stream_two_level_restart",
+    "weighted_median_price", "weighted_price_band",
+    "isotonic_calibration",
+    # r9/r10 exact-order-statistics rebuilds (grouped_rank /
+    # grouped_percentile_exact / ntile BIGINT-div bucket math)
     "value_winsorized", "global_value_ntile", "global_value_rank",
-    "curriculum_plan", "rfm_segments", "decile_lift_curve",
-    "woe_binning", "gini_concentration", "pareto_revenue_curve",
-    "grouped_value_quartiles", "grouped_exact_median",
-    "forecast_conformal_band", "layout_locality_audit",
-    "kmv_sketch_overlap",
-    # reimplemented in round 9 (grouped_rank / grouped_percentile_exact
-    # rebuilds of scale-weak shapes)
     "value_percentiles", "approx_quantile_check", "mad_by_type",
-    "percentile_cont_parity", "spearman_rank_correlation",
+    "percentile_cont_parity",
     # streaming replays and stateful pipelines
     "stream_restart_hourly", "stream_update_merge_hourly",
     "stream_join_then_window", "stream_outer_attribution",

@@ -75,6 +75,13 @@ def main() -> None:
     # result. One raising query must NEVER abort the run: the contract
     # is that this script ALWAYS prints its one JSON line. Failures are
     # recorded per-query as {"err": ...} and excluded from the total.
+    # Drift adjudication metadata: late-session runs on this host have
+    # shown ~15-20% across-the-board inflation (BENCH_NOTES_r10.md).
+    # Record start time + 1/5/15-min load averages at start and end so
+    # a future bench_diff against this file can tell machine drift from
+    # code regressions without prose archaeology.
+    bench_started = time.strftime("%Y-%m-%dT%H:%M:%S%z")
+    load_at_start = list(os.getloadavg()) if hasattr(os, "getloadavg") else None
     timings: dict[str, object] = {}
     errors = 0
     for name in names:
@@ -102,6 +109,13 @@ def main() -> None:
         "n_queries": len(timings),
         "errors": errors,
         "sf": float(sf),
+        "host": {
+            "started": bench_started,
+            "loadavg_start": load_at_start,
+            "loadavg_end": list(os.getloadavg())
+            if hasattr(os, "getloadavg")
+            else None,
+        },
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
