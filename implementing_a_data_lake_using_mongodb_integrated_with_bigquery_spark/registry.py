@@ -16895,17 +16895,22 @@ def q_dhondt_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget grows over pipeline runs. The fact table collapses to one
     row per language first, so the divisor table (langs × 100
     quotients) is a few hundred rows: quotients are EXACT scaled
-    integers ((votes·1e12) div d — no float ratios anywhere), the
-    top-100 selection is a total-ordered TakeOrderedAndProject
-    (quotient desc, lang, d), and seats per language is a count over
-    the winners."""
+    integers ((votes·1e6) div d — no float ratios anywhere; the 1e6
+    scale is provably order-exact for d ≤ 100 because two distinct
+    quotients a/d₁ ≠ b/d₂ differ by ≥ 1/(d₁·d₂) ≥ 1e-4, so their
+    ×1e6-scaled floors differ by ≥ 100 — and it keeps votes·1e6
+    BIGINT-safe to ~9.2e12 docs per language, where the previous 1e12
+    scale overflowed int64 past ~9.2e6 docs with silent wraparound on
+    Spark vs a raise on DuckDB), the top-100 selection is a
+    total-ordered TakeOrderedAndProject (quotient desc, lang, d), and
+    seats per language is a count over the winners."""
     d = load_table(spark, sf_dir, "documents").select("lang")
     votes = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("votes"))
     quot = votes.select(
         "lang",
         "votes",
         F.explode(F.sequence(F.lit(1), F.lit(100))).alias("d"),
-    ).withColumn("q", F.expr("(votes * 1000000000000) div d"))
+    ).withColumn("q", F.expr("(votes * 1000000) div d"))
     winners = quot.orderBy(
         F.col("q").desc(), F.col("lang").asc(), F.col("d").asc()
     ).limit(100)
@@ -16926,7 +16931,7 @@ ORACLE_DHONDT_APPORTIONMENT = """
 WITH votes AS (
   SELECT lang, CAST(COUNT(*) AS BIGINT) AS votes FROM documents GROUP BY lang),
 quot AS (
-  SELECT lang, votes, d, (votes * 1000000000000) // d AS q
+  SELECT lang, votes, d, (votes * 1000000) // d AS q
   FROM votes, (SELECT unnest(generate_series(1, 100)) AS d)),
 winners AS (
   SELECT lang FROM quot ORDER BY q DESC, lang ASC, d ASC LIMIT 100),
@@ -18945,13 +18950,17 @@ def q_doubly_robust_ope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(CAST(r_t AS DECIMAL(38,0)) * 1000000"
                 " - CAST(m_t AS DECIMAL(38,0)) * qmicro) * n div n_t"
             ).alias("corr_t"),
-            "n",
         )
-        .groupBy("n")
+        # GROUP-BY-less aggregate: always exactly one row (corr_num
+        # NULL when no logged event matches the policy), mirroring the
+        # oracle's grouping-free corr CTE — a groupBy("n") here yields
+        # ZERO rows in that degenerate case and the engines diverge
+        # (n comes from tot in the final select instead)
         .agg(F.sum("corr_t").alias("corr_num"))
     )
     return (
         dm.crossJoin(corr)
+        .crossJoin(F.broadcast(tot))
         .select(
             "n",
             F.expr("CAST(dm_num div n AS BIGINT)").alias("dm_value_micro"),
@@ -18985,17 +18994,16 @@ dm AS (
 corr AS (
   SELECT SUM((CAST(m.r_t AS HUGEINT) * 1000000
               - CAST(m.m_t AS HUGEINT) * q.qmicro) * t.n // q.n_t)
-           AS corr_num,
-         MIN(t.n) AS n
+           AS corr_num
   FROM (SELECT event_type, CAST(SUM(r) AS BIGINT) AS r_t,
                CAST(COUNT(*) AS BIGINT) AS m_t
         FROM base WHERE event_type = pol GROUP BY event_type) m
   JOIN qhat q ON m.event_type = q.event_type, tot t)
-SELECT c.n,
-       CAST(d.dm_num // c.n AS BIGINT) AS dm_value_micro,
-       CAST(c.corr_num // c.n AS BIGINT) AS correction_micro,
-       CAST((d.dm_num + c.corr_num) // c.n AS BIGINT) AS dr_value_micro
-FROM dm d, corr c
+SELECT t.n,
+       CAST(d.dm_num // t.n AS BIGINT) AS dm_value_micro,
+       CAST(c.corr_num // t.n AS BIGINT) AS correction_micro,
+       CAST((d.dm_num + c.corr_num) // t.n AS BIGINT) AS dr_value_micro
+FROM dm d, corr c, tot t
 """
 
 QUERIES["doubly_robust_ope"] = q_doubly_robust_ope
@@ -19579,3 +19587,89 @@ FROM cells c JOIN tot t ON c.event_type = t.event_type
 
 QUERIES["seasonal_profile"] = q_seasonal_profile
 ORACLES["seasonal_profile"] = ORACLE_SEASONAL_PROFILE
+
+
+# --------------------- round 11: fasttext-style quality classifier
+
+
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-linear-classifier quality filtering (CCNet §4.2 /
+    fasttext, Joulin et al. 2017) — the inference page the registry's
+    `lm_quality_filter` (unigram log-prob) doesn't cover: hashed
+    bag-of-words features × a FROZEN integer weight vector →
+    mean-pooled micro-logit score → sigmoid-threshold keep/drop →
+    per-source keep-rate report. Weights come from one Python builder
+    (`operators/text.py:quality_weights`) inlined literally into both
+    engines (the hyperplanes/pq_codebooks convention). The scoring
+    pass is a per-row higher-order-function expression — ZERO shuffles,
+    a map-only corpus sweep at 100 TB; the only shuffle is the
+    |sources|-group report aggregate (map-side partials). Keep decision
+    is an exact integer compare (score ≥ 0 ⟺ σ ≥ ½); the per-source
+    score sum runs in DECIMAL(38,0)/HUGEINT so billions of ±1e9
+    micro-logits can't overflow, with ONE `div` back to BIGINT."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        quality_classifier_scores,
+        quality_weights,
+    )
+
+    w, bias = quality_weights(64)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    scored = quality_classifier_scores(docs, w, bias)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_keep"),
+            F.sum(F.col("score_micro").cast("decimal(38,0)")).alias("_ssum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_keep",
+            F.expr("(n_keep * 1000000) div n_docs").alias("keep_rate_micro"),
+            F.expr("CAST(_ssum div n_docs AS BIGINT)").alias(
+                "avg_score_micro"
+            ),
+        )
+    )
+
+
+def _oracle_quality_classifier() -> str:
+    """DuckDB twin: identical md5 feature buckets, the SAME inlined
+    integer weights/bias, identical truncating integer division
+    (DuckDB `//` == Spark `div`, both toward zero — pinned), HUGEINT
+    score sum mirroring the Spark DECIMAL(38,0) accumulator."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        quality_weights,
+    )
+
+    w, bias = quality_weights(64)
+    w_list = ", ".join(str(x) for x in w)
+    return f"""
+WITH scored AS (
+  SELECT source,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+           t -> ([{w_list}])[
+             CAST(('0x' || substr(md5('qcls:' || t), 1, 4))::BIGINT % 64
+                  AS INT) + 1])) AS BIGINT) AS sum_w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+s2 AS (
+  SELECT source, (sum_w * 1000) // n_tok + {int(bias) * 1000} AS score_micro
+  FROM scored)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN score_micro >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep,
+       (CAST(SUM(CASE WHEN score_micro >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        * 1000000) // CAST(COUNT(*) AS BIGINT) AS keep_rate_micro,
+       CAST(SUM(CAST(score_micro AS HUGEINT)) // COUNT(*) AS BIGINT)
+         AS avg_score_micro
+FROM s2 GROUP BY source
+"""
+
+
+QUERIES["quality_classifier_scores"] = q_quality_classifier_scores
+ORACLES["quality_classifier_scores"] = _oracle_quality_classifier()

@@ -14,8 +14,11 @@ scale-up being demonstrated. Text/embeddings repeat verbatim, so the
 dedup/ANN families face a 10-way exact-duplicate stress — the
 dup-heavy regime those operators exist for.
 
-Usage: python tools/scale_probe.py [out_dir] [query ...]
-Writes SCALE_SF1.md next to the repo root.
+Usage: python tools/scale_probe.py [out_dir] [--copies N] [query ...]
+Writes SCALE_SF{N/10}.json next to the repo root (SCALE_SF1.json for
+the default 10 copies; --copies 30 → SCALE_SF3.json — the 30×-row
+probe that validates the O(√E) wedge-join bound where it actually
+bends instead of interpolating the 100× claim from 10×).
 """
 
 from __future__ import annotations
@@ -33,6 +36,7 @@ import duckdb
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark import get_spark
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.plans.explain import (
     _plan_children,
+    broadcast_exchange_stats,
 )
 
 SRC = "/root/testdata/sf0.1"
@@ -65,7 +69,7 @@ DEFAULT_QUERIES = [
 ]
 
 
-def build_replica(out_dir: str) -> None:
+def build_replica(out_dir: str, copies: int = COPIES) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     for table, keys in KEYMAP.items():
@@ -82,14 +86,14 @@ def build_replica(out_dir: str) -> None:
             shutil.copyfile(f"{SRC}/{table}.parquet", dst)
             continue
         parts = []
-        for i in range(COPIES):
+        for i in range(copies):
             sel = ", ".join(
                 f"({c} + {i * OFF}) AS {c}" if c in keys else c for c in cols
             )
             parts.append(f"SELECT {sel} FROM '{SRC}/{table}.parquet'")
         union = " UNION ALL ".join(parts)
         con.execute(f"COPY ({union}) TO '{dst}' (FORMAT PARQUET)")
-        print(f"built {table}: {COPIES}x")
+        print(f"built {table}: {copies}x")
 
 
 def shuffle_stats(df) -> tuple[int, int]:
@@ -121,9 +125,14 @@ def shuffle_stats(df) -> tuple[int, int]:
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_replica"
-    names = sys.argv[2:] or DEFAULT_QUERIES
-    build_replica(out_dir)
+    args = sys.argv[1:]
+    out_dir = args.pop(0) if args and not args[0].startswith("--") else "/tmp/sf1_replica"
+    copies = COPIES
+    if args and args[0] == "--copies":
+        args.pop(0)
+        copies = int(args.pop(0))
+    names = args or DEFAULT_QUERIES
+    build_replica(out_dir, copies)
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -137,6 +146,7 @@ def main() -> None:
             n = len(df.collect())
             wall = time.time() - t0
             mx, tot = shuffle_stats(df)
+            bc = broadcast_exchange_stats(df)
             results.append(
                 {
                     "query": name,
@@ -144,15 +154,24 @@ def main() -> None:
                     "rows": n,
                     "max_task_shuffle_mb": round(mx / 1e6, 2),
                     "total_shuffle_mb": round(tot / 1e6, 2),
+                    # largest broadcast built at this SF — the
+                    # executor-memory audit for hinted broadcasts
+                    "max_bcast_mb": round(
+                        max((s["bytes"] or 0 for s in bc), default=0) / 1e6, 2
+                    ),
+                    "max_bcast_rows": max(
+                        (s["rows"] or 0 for s in bc), default=0
+                    ),
                 }
             )
             print(results[-1])
         except Exception as exc:  # noqa: BLE001
             results.append({"query": name, "err": f"{type(exc).__name__}: {exc}"[:300]})
             print(results[-1])
-    with open("/root/repo/SCALE_SF1.json", "w") as fh:
-        json.dump(results, fh, indent=1)
-    print("wrote SCALE_SF1.json")
+    label = "SF1" if copies == 10 else f"SF{copies // 10}"
+    with open(f"/root/repo/SCALE_{label}.json", "w") as fh:
+        json.dump({"copies": copies, "results": results}, fh, indent=1)
+    print(f"wrote SCALE_{label}.json")
 
 
 if __name__ == "__main__":
