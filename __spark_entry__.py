@@ -221,10 +221,21 @@ _FRAGILE_FIRST = (
     # two-phase weighted-order-statistics queries
     # (operators/windows.py:weighted_rank machinery), and the
     # distributed-PAVA isotonic calibration
-    # code changed in r11 (ADVICE fixes: dhondt 1e6 overflow-safe
-    # scale, doubly_robust_ope symmetric empty-match aggregate) —
-    # green history, new code, must re-verify first
+    # code changed in r11 — green history, new code, must re-verify
+    # first: ADVICE fixes (dhondt 1e6 overflow-safe scale,
+    # doubly_robust_ope symmetric empty-match aggregate), then the 14
+    # queries whose data-proportional broadcast hints the r11 audit
+    # removed (plan-only change, but the driver is the proof), plus
+    # the three consumers of the de-hinted integrity helpers
     "dhondt_apportionment", "doubly_robust_ope",
+    "fk_semi_urgent", "dlq_split_fk", "top_unshipped_orders",
+    "nation_pair_volume", "promo_revenue_share",
+    "product_profit_rollup", "top_revenue_suppliers",
+    "excess_volume_suppliers", "local_supplier_volume",
+    "item_cooccurrence_similarity", "cheapest_supplier_per_part",
+    "association_rules", "incremental_join_maintenance",
+    "degree_assortativity", "dedup_load", "orders_without_lineitems",
+    "reconcile_counts",
     "stream_cdc_merge_replay", "stream_cdc_merge_restart",
     "stream_rocksdb_halfhourly", "stream_rocksdb_restart",
     "stream_two_level_hourly", "stream_two_level_restart",

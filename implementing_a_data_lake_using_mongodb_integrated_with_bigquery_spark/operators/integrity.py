@@ -11,10 +11,14 @@ The reference enforces integrity procedurally, one RPC per record:
   ``README.md:140``.
 
 Here every check is a *set-oriented join over the whole batch*:
-one broadcast/shuffle join replaces N network round-trips. At 100 TB
-the dim side is broadcast (dims are small by construction) so the fact
-side never shuffles for FK validation; the PK anti-join shuffles once
-on the key, which AQE sizes at runtime.
+one broadcast/shuffle join replaces N network round-trips. The key-set
+side carries NO broadcast hint (r11 audit fix): the referenced key set
+is data-proportional in general (an orders key set, a warehouse PK
+set), and a hint is obeyed at ANY size — at 100 TB it would OOM the
+executors. Catalyst/AQE auto-broadcast the key set whenever its
+runtime size is actually under the threshold (identical plan at every
+tested SF) and fall back to a shuffled semi/anti join when it isn't —
+exactly the adaptive behavior a hint forfeits.
 """
 
 from __future__ import annotations
@@ -39,11 +43,14 @@ def fk_filter(fact: DataFrame, dim: DataFrame, fk: str | list[str]) -> DataFrame
     """Keep fact rows whose FK exists in ``dim`` (referential integrity).
 
     Set-oriented form of ``check_foreign_key``
-    (``src/process_insert_update_weather_data.py:66-79``). ``dim`` is
-    broadcast — a left-semi broadcast hash join never shuffles the fact.
+    (``src/process_insert_update_weather_data.py:66-79``). No broadcast
+    hint: the planner broadcasts the key set when it is genuinely small
+    (a left-semi broadcast hash join never shuffles the fact) and
+    shuffles both sides when it isn't — a hint here is an executor OOM
+    once the referenced table grows with the data (r11 audit).
     """
     keys = [fk] if isinstance(fk, str) else list(fk)
-    return fact.join(F.broadcast(dim.select(*keys)), on=keys, how="left_semi")
+    return fact.join(dim.select(*keys), on=keys, how="left_semi")
 
 
 def fk_violations(fact: DataFrame, dim: DataFrame, fk: str | list[str]) -> DataFrame:
@@ -51,7 +58,7 @@ def fk_violations(fact: DataFrame, dim: DataFrame, fk: str | list[str]) -> DataF
     (``src/process_insert_update_weather_data.py:75-79``); we route them
     to a dead-letter sink instead of dropping them silently."""
     keys = [fk] if isinstance(fk, str) else list(fk)
-    return fact.join(F.broadcast(dim.select(*keys)), on=keys, how="left_anti")
+    return fact.join(dim.select(*keys), on=keys, how="left_anti")
 
 
 def reconcile_counts(source: DataFrame, target: DataFrame, key: str) -> DataFrame:

@@ -226,7 +226,9 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
 
 
 def q_fk_semi_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2.4 J2: FK semi-join (broadcast) then aggregate —
+    """SURVEY §2.4 J2: FK semi-join (planner-sized; the urgent-orders
+    key set is data-proportional, so no broadcast hint — r11 audit)
+    then aggregate —
     lineitems of urgent orders (reference ``check_foreign_key``,
     set-oriented)."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -3327,8 +3329,10 @@ ORACLES["session_window_stats"] = ORACLE_SESSION_WINDOW
 def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with selective
     filters on all three tables, revenue aggregate per order, top 10.
-    Customer dim broadcasts; the orders↔lineitem join shuffles on the
-    order key with both filters pushed to the scans."""
+    The filtered customer key set joins UNHINTED (customer is
+    data-proportional — the planner auto-broadcasts it while small and
+    shuffles at scale; r11 audit); the orders↔lineitem join shuffles on
+    the order key with both filters pushed to the scans."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -3339,7 +3343,7 @@ def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1995-03-15")
     )
     j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).join(
-        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+        c, o["o_custkey"] == c["c_custkey"]
     )
     agg = j.groupBy("l_orderkey", "o_orderdate").agg(
         _scaled_sum(
@@ -4025,9 +4029,10 @@ def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: revenue shipped between distinct nation pairs by
     year — a 6-table star with TWO independent dimension legs (supplier
     nation and customer nation). The ship-date filter pushes to the
-    fact scan; both nation joins and the supplier join broadcast; the
-    only big shuffles are the fact⋈orders join and the final |pairs|
-    aggregate."""
+    fact scan; both nation joins broadcast (25-row bounded dims); the
+    supplier join is unhinted — supplier scales with SF, so the planner
+    decides (r11 audit). The big shuffles are the fact⋈orders join and
+    the final |pairs| aggregate."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01"))
         & (F.col("l_shipdate") <= F.lit("1996-12-31"))
@@ -4039,7 +4044,7 @@ def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
     j = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -4492,15 +4497,16 @@ ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20
 
 def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promotional revenue share — two-branch
-    conditional aggregate over the part⋈lineitem join. The part dim
-    broadcasts; the share divides two scaled-integer sums, so the 6dp
-    ratio is partition-order-independent."""
+    conditional aggregate over the part⋈lineitem join. The part join
+    is unhinted (part is data-proportional; the planner auto-broadcasts
+    while small — r11 audit); the share divides two scaled-integer
+    sums, so the 6dp ratio is partition-order-independent."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-09-01"))
         & (F.col("l_shipdate") < F.lit("1995-10-01"))
     )
     p = load_table(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
     out = j.agg(
@@ -7792,9 +7798,11 @@ def q_product_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is proxied as 1% of p_retailprice per unit): profit by supplier
     nation × order year for parts whose name carries a marker word.
     The optimizer exercise is the 5-table star with a LIKE filter on
-    the smallest dim: part (filtered, broadcast) prunes lineitem
-    first, supplier→nation (broadcast) labels the survivors, orders
-    (key join) supplies the year. Profit aggregates as exact cents."""
+    the smallest dim: the filtered part key set prunes lineitem first
+    and supplier labels the survivors — both UNHINTED (part/supplier
+    scale with SF; the planner auto-broadcasts them while small, r11
+    audit) — nation (25-row bounded) broadcasts, orders (key join)
+    supplies the year. Profit aggregates as exact cents."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%e%"))
@@ -7806,8 +7814,8 @@ def q_product_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice") * F.col("l_quantity")
     ).cast("long")
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
@@ -7847,7 +7855,9 @@ def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern. Revenue is an exact BIGINT cents sum on BOTH the ranking
     and the max side, so the equality join cannot flake on float
     summation order (the CLAUDE.md float-threshold rule applied to
-    Q15's revenue = max(revenue) equijoin). The 1-row max broadcasts."""
+    Q15's revenue = max(revenue) equijoin). The 1-row max broadcasts;
+    the supplier join is unhinted — the ~1-row winners side is what the
+    planner broadcasts, and supplier scales with SF (r11 audit)."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01"))
         & (F.col("l_shipdate") < F.lit("1995-04-01"))
@@ -7865,7 +7875,7 @@ def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("_rev_cents").alias("_mx"))
     return (
         rev.join(F.broadcast(mx), F.col("_rev_cents") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey").cast("long").alias("s_suppkey"),
             "s_name",
@@ -8633,8 +8643,10 @@ def q_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20 shape adapted to the lake's schema (no partsupp table):
     the nested IN chain — suppliers who, for SOME red-prefixed part,
     shipped more than 50 scaled units in 1996 — lowered the way
-    Catalyst decorrelates it: the part filter broadcast-semi-joins
-    into the lineitem scan, the grouped HAVING aggregate runs once,
+    Catalyst decorrelates it: the red-part key set semi-joins into
+    the lineitem scan UNHINTED (part scales with SF; the planner
+    broadcasts it while small — r11 audit), the grouped HAVING
+    aggregate runs once,
     and the outer IN becomes a left-semi join against the aggregated
     supplier keys. The HAVING threshold compares a SCALED-BIGINT
     quantity sum (the float-SUM boundary rule)."""
@@ -8647,7 +8659,7 @@ def q_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") < F.lit("1997-01-01"))
         )
-        .join(F.broadcast(red), l.l_partkey == red.p_partkey, "left_semi")
+        .join(red, l.l_partkey == red.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("_q"))
         .filter(F.col("_q") > 5000)
@@ -8816,9 +8828,10 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     sit in the same nation (the two-sided nation-key equality that
     makes Q5 distinctive — it rides the supplier join as an extra
     conjunct, not a separate shuffle), region- and date-filtered.
-    Dims (region⋈nation broadcast into customer; supplier broadcast
-    into the fact) never shuffle the fact table beyond the two
-    key joins. Revenue is the scaled-BIGINT sum."""
+    Region⋈nation broadcast into customer (bounded dims); the
+    supplier join is UNHINTED — supplier scales with SF, so the
+    planner broadcasts it while small and shuffles at scale (r11
+    audit). Revenue is the scaled-BIGINT sum."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -8837,7 +8850,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey)
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -9988,7 +10001,9 @@ def q_item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFram
     memory-based recommender statistic. Pair generation is bounded by
     the BASKET, not the catalog (≤7 lineitems per order ⇒ ≤21 pairs,
     the same boundedness argument as the triangle census), then one
-    pair aggregate + two broadcast degree joins. √ of exact BIGINTs is
+    pair aggregate + two UNHINTED degree joins (the |parts|-row degree
+    table scales with SF — the planner broadcasts it while small and
+    shuffles at scale, r11 audit). √ of exact BIGINTs is
     correctly rounded IEEE on both engines; 6dp output. Top-20 pairs
     under a total order via ``orderBy().limit()`` — compiles to
     distributed TakeOrderedAndProject (per-partition heaps, no global
@@ -10008,8 +10023,8 @@ def q_item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("long").alias("n")
     )
     scored = (
-        co.join(F.broadcast(deg.withColumnRenamed("p", "i").withColumnRenamed("n", "_ni")), "i")
-        .join(F.broadcast(deg.withColumnRenamed("p", "j").withColumnRenamed("n", "_nj")), "j")
+        co.join(deg.withColumnRenamed("p", "i").withColumnRenamed("n", "_ni"), "i")
+        .join(deg.withColumnRenamed("p", "j").withColumnRenamed("n", "_nj"), "j")
         .select(
             "i",
             "j",
@@ -10158,9 +10173,12 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
         s.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", "s_name")
+    # part key set and ASIA-supplier set join UNHINTED: both scale
+    # with SF (r11 audit) — the planner broadcasts them while small;
+    # nation⋈region above stays hinted (bounded dims)
     ps = (
-        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(asia_supp), l.l_suppkey == F.col("s_suppkey"))
+        l.join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"))
+        .join(asia_supp, l.l_suppkey == F.col("s_suppkey"))
         .groupBy("p_partkey", "s_suppkey", "s_name")
         .agg(
             # micro-cents mean: floor((Σcents·10000)/n) — integer-exact
@@ -14482,8 +14500,9 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (co/n_A) and lift (N·co / (n_A·n_B)) — the classic recommender /
     cross-sell miner. Pair generation is bounded by the BASKET (≤7
     lineitems per order ⇒ ≤42 directed pairs), never the catalog; one
-    pair aggregate + two broadcast degree joins + a 1-row basket-count
-    broadcast. Exact BIGINT counts end-to-end; the two scores are
+    pair aggregate + two UNHINTED degree joins (|parts|-proportional —
+    planner's call, r11 audit) + a 1-row basket-count broadcast.
+    Exact BIGINT counts end-to-end; the two scores are
     single divisions, 6dp. Top-20 rules by (lift, confidence, A, B)
     total order via TakeOrderedAndProject."""
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -14502,15 +14521,11 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_baskets = l.select(F.countDistinct("l_orderkey").cast("long").alias("_nb"))
     scored = (
         co.join(
-            F.broadcast(
-                deg.withColumnRenamed("p", "ante").withColumnRenamed("n", "_na")
-            ),
+            deg.withColumnRenamed("p", "ante").withColumnRenamed("n", "_na"),
             "ante",
         )
         .join(
-            F.broadcast(
-                deg.withColumnRenamed("p", "cons").withColumnRenamed("n", "_nc")
-            ),
+            deg.withColumnRenamed("p", "cons").withColumnRenamed("n", "_nc"),
             "cons",
         )
         .crossJoin(F.broadcast(n_baskets))
@@ -14627,8 +14642,12 @@ def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     aggregate-only maintenance). Spark side: the base view's state is
     the big O_base⋈C_base rollup computed ONCE; the refresh applies
     the three delta terms, each a join where at least one side is a
-    small delta (broadcast) — at 100 TB the refresh never re-touches
-    base⋈base. The final view must equal a full recompute over the
+    small delta — UNHINTED (r11 audit): this test fixture's delta is a
+    fixed FRACTION of the table, so a broadcast hint would grow with
+    SF; in production deltas are batch-bounded and the planner
+    auto-broadcasts them per refresh, falling back safely on the
+    occasional backfill-sized delta. At 100 TB the refresh never
+    re-touches base⋈base either way. The final view must equal a full recompute over the
     full tables, which is exactly what the oracle runs — the IVM
     correctness check, not a restatement of the plan. Exact cents."""
     o = load_table(spark, sf_dir, "orders").select(
@@ -14642,8 +14661,8 @@ def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     cb = c.where(F.col("c_custkey") % 11 != 0)
     dc = c.where(F.col("c_custkey") % 11 == 0)
 
-    def rollup(orders, custs, bcast_cust=False):
-        side = F.broadcast(custs) if bcast_cust else custs
+    def rollup(orders, custs):
+        side = custs
         return (
             orders.join(side, orders["o_custkey"] == side["c_custkey"])
             .groupBy("c_mktsegment")
@@ -14656,8 +14675,8 @@ def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     base = rollup(ob, cb)  # the materialized view state (one big join)
     terms = [
         rollup(do, cb),  # ΔO ⋈ C_base  (delta orders — small left side)
-        rollup(ob, dc, bcast_cust=True),  # O_base ⋈ ΔC (broadcast delta dim)
-        rollup(do, dc, bcast_cust=True),  # ΔO ⋈ ΔC
+        rollup(ob, dc),  # O_base ⋈ ΔC
+        rollup(do, dc),  # ΔO ⋈ ΔC
     ]
     merged = base
     for t in terms:
@@ -18346,7 +18365,9 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges) that tells a GNN/recsys feature pipeline whether hubs link
     to hubs. Edges are the bounded per-order pair fanout
     (`copurchase_triangles` construction), DISTINCT-ed; degrees come
-    from one edge aggregate and broadcast back; the correlation runs
+    from one edge aggregate and join back UNHINTED (the |vertices|-row
+    degree table scales with SF — planner's call, r11 audit); the
+    correlation runs
     on the EXACT integer moment sums over the symmetrized edge list
     (each undirected edge contributes (da,db) and (db,da), so
     Σx = Σy and the formula collapses symmetrically) in
@@ -18374,8 +18395,8 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     j = (
-        sym.join(F.broadcast(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da")), "a")
-        .join(F.broadcast(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db")), "b")
+        sym.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
     )
     dec = "decimal(19,0)"
     agg = j.agg(

@@ -42,6 +42,10 @@ def test_column_pruning_reads_only_projected_columns(spark, sf_dir):
 
 
 def test_fk_filter_is_broadcast_semi_join(spark, sf_dir):
+    # r11: fk_filter no longer HINTS the broadcast (the key set is
+    # data-proportional in general); the contract is that the PLANNER
+    # still picks a broadcast semi-join while the key set is small —
+    # size-adaptive, not size-blind.
     fact = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
     dim = load_table(spark, sf_dir, "orders")
     assert uses_broadcast_join(fk_filter(fact, dim, "o_orderkey"))

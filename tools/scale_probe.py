@@ -59,13 +59,31 @@ KEYMAP: dict[str, list[str]] = {
 }
 
 DEFAULT_QUERIES = [
-    # 10 heaviest from BENCH_DETAIL (r9) + the r9-rebuilt spearman +
-    # the exact-decimal subsampling CI
-    "copurchase_triangles", "stream_update_merge_hourly",
-    "stream_incremental_dedup", "pq_recall_eval", "stream_ivf_ingest",
-    "ivf_pq_search", "purchase_pagerank", "boilerplate_flags",
-    "stream_dedup_then_window", "bpe_train_merges",
-    "spearman_rank_correlation", "subsample_ci_revenue",
+    # top-30 heaviest from the fresh r11 BENCH_DETAIL baseline — full
+    # coverage of the expensive set (VERDICT r10 task 6)
+    "stream_cdc_merge_replay", "local_clustering_topk",
+    "copurchase_triangles", "stream_incremental_dedup",
+    "stream_cdc_merge_restart", "stream_update_merge_hourly",
+    "python_datasource_stream", "stream_two_level_restart",
+    "stream_restart_attribution", "stream_ivf_ingest",
+    "winnowing_overlap", "purchase_pagerank", "pq_recall_eval",
+    "ivf_pq_search", "boilerplate_flags", "stream_dedup_then_window",
+    "two_hop_reach", "kcore_copurchase", "subsample_ci_revenue",
+    "stream_rocksdb_restart", "ann_ranking_quality", "ann_recall_eval",
+    "mad_by_type", "stream_restart_sessions", "stream_restart_hourly",
+    "association_rules", "stream_two_level_hourly",
+    "stream_restart_dedup", "stream_scd2_maintenance",
+    "stream_attribution_join",
+    # retained r9 probe members not in the current top-30 (trend
+    # continuity across rounds)
+    "bpe_train_merges", "spearman_rank_correlation",
+]
+
+# The three heaviest BATCH queries get an additional 30x-row probe
+# (--copies 30): the O(sqrt E) wedge-join bound and the winnowing
+# prefix filter are validated where they bend, not interpolated.
+SF3_QUERIES = [
+    "local_clustering_topk", "copurchase_triangles", "winnowing_overlap",
 ]
 
 
