@@ -10,9 +10,13 @@ on local[N]):
   one network round-trip per record — here one shuffle per stage).
 - Arrow on: every pandas-UDF boundary is vectorized batch transfer.
 - Broadcast threshold left at default (10 MB) — dimension tables
-  (region/nation/supplier, the reference's 63-row places dim) broadcast
-  automatically; we additionally hint ``F.broadcast`` at call sites so
-  the plan survives a stats-less file source.
+  (region/nation, the reference's 63-row places dim) broadcast
+  automatically. ``F.broadcast`` hints appear at call sites ONLY for
+  DOMAIN-BOUNDED relations (bounded dims, 1-row scalars,
+  centroid/codebook tables, capped top-k) so the plan survives a
+  stats-less file source; hints on data-proportional tables were
+  removed by the r11 broadcast audit (a hint is obeyed at any size —
+  executor OOM at 100×; the planner sizes those joins instead).
 - Session timezone pinned to UTC so timestamp semantics are identical
   to the DuckDB oracle and stable across hosts.
 """
