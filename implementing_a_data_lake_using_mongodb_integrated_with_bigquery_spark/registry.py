@@ -19694,3 +19694,171 @@ FROM s2 GROUP BY source
 
 QUERIES["quality_classifier_scores"] = q_quality_classifier_scores
 ORACLES["quality_classifier_scores"] = _oracle_quality_classifier()
+
+
+def q_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, NeurIPS): select raw-corpus documents whose hashed-n-gram
+    feature distribution matches a TARGET corpus (here: the English
+    docs as the target domain), the canonical target-matching selector
+    that complements the registry's quality filters (lm_quality_filter
+    scores fluency, quality_classifier_scores a trained keep/drop —
+    DSIR reweights toward a DISTRIBUTION). Pipeline, all engine-exact:
+
+    1. hashed unigram buckets (64, md5 'dsir:' — feature_hash
+       convention);
+    2. per-bucket importance log-ratio ln(p̂_target/p̂_raw) with
+       Laplace smoothing, computed as an IDENTICAL scalar tree on
+       both engines and rounded to micro-nats (the
+       jsd_source_divergence convention) — so per-doc log-weights are
+       order-free BIGINT sums;
+    3. Gumbel top-k resampling (k=200) — the without-replacement
+       sampler DSIR prescribes — with deterministic md5-uniform
+       Gumbel noise (same micro-rounded tree both engines), total
+       order (key desc, doc_id);
+    4. per-lang report: selection rate + mean selected log-weight.
+       On THIS synthetic corpus the per-lang token distributions
+       nearly coincide (|log-weight| ≲ 0.25 nats), so a calibrated
+       DSIR correctly selects near-uniformly — the capability
+       evidence is the avg_logw_micro ordering (en strictly highest,
+       pinned in tests/test_round11.py); on a real web corpus the
+       same pipeline concentrates on the target domain.
+
+    Scale shape: two wordcount aggregates (64-row outputs), scoring =
+    explode ⋈ broadcast(64-row ratio — domain-bounded hint) + per-doc
+    sum, selection = TakeOrderedAndProject; no fact-sized state
+    anywhere. At 100 TB this is the DSIR paper's map-reduce shape."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    tb = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("t"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("t"))), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        ).alias("b"),
+    )
+    raw = tb.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tgt = (
+        tb.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    tots = tb.agg(
+        F.count(F.lit(1)).cast("long").alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .select("b", "cr", F.coalesce(F.col("ct"), F.lit(0)).cast("long").alias("ct"))
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.expr(
+                "CAST(round(ln(((ct + 1) / (cr + 1))"
+                " * ((CAST(nr AS DOUBLE) + 64.0) / (CAST(nt AS DOUBLE) + 64.0)))"
+                " * 1000000) AS BIGINT)"
+            ).alias("r_micro"),
+        )
+    )
+    scored = (
+        tb.join(F.broadcast(ratio), "b")  # 64-row ratio: domain-bounded
+        .groupBy("doc_id")
+        .agg(F.sum("r_micro").cast("long").alias("logw_micro"))
+    )
+    keyed = scored.select(
+        "doc_id",
+        "logw_micro",
+        F.expr(
+            "logw_micro + CAST(round(-ln(-ln("
+            "CAST(CAST(CONV(SUBSTRING(MD5(CONCAT('dsirg:',"
+            " CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT) + 1"
+            " AS DOUBLE) / CAST(281474976710657 AS DOUBLE)"
+            ")) * 1000000) AS BIGINT)"
+        ).alias("gkey"),
+    )
+    sel = keyed.orderBy(
+        F.col("gkey").desc(), F.col("doc_id").asc()
+    ).limit(200)  # TakeOrderedAndProject
+    return (
+        docs.select("doc_id", "lang")
+        .join(sel.select("doc_id", "logw_micro"), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("logw_micro").cast("long").alias("n_selected"),
+            F.sum("logw_micro").cast("decimal(38,0)").alias("_sw"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_selected",
+            F.expr("(n_selected * 1000000) div n_docs").alias(
+                "select_rate_micro"
+            ),
+            F.expr(
+                "CASE WHEN n_selected = 0 THEN NULL"
+                " ELSE CAST(_sw div n_selected AS BIGINT) END"
+            ).alias("avg_logw_micro"),
+        )
+    )
+
+
+ORACLE_DSIR = """
+WITH tb AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('dsir:' || t), 1, 4))::BIGINT % 64 AS b
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents)),
+raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tb GROUP BY 1),
+tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tb
+        WHERE lang = 'en' GROUP BY 1),
+tots AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt
+  FROM tb),
+ratio AS (
+  SELECT raw.b,
+         CAST(round(ln(((COALESCE(ct, 0) + 1) / (cr + 1))
+              * ((CAST(nr AS DOUBLE) + 64.0) / (CAST(nt AS DOUBLE) + 64.0)))
+              * 1000000) AS BIGINT) AS r_micro
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tots),
+scored AS (
+  SELECT doc_id, CAST(SUM(r_micro) AS BIGINT) AS logw_micro
+  FROM tb JOIN ratio USING (b) GROUP BY doc_id),
+keyed AS (
+  SELECT doc_id, logw_micro,
+         logw_micro + CAST(round(-ln(-ln(
+           CAST(('0x' || substr(md5('dsirg:' || CAST(doc_id AS VARCHAR)),
+                 1, 12))::BIGINT + 1 AS DOUBLE)
+           / CAST(281474976710657 AS DOUBLE)
+         )) * 1000000) AS BIGINT) AS gkey
+  FROM scored),
+sel AS (
+  SELECT doc_id, logw_micro FROM keyed
+  ORDER BY gkey DESC, doc_id ASC LIMIT 200)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(s.doc_id) AS BIGINT) AS n_selected,
+       (CAST(COUNT(s.doc_id) AS BIGINT) * 1000000)
+         // CAST(COUNT(*) AS BIGINT) AS select_rate_micro,
+       CASE WHEN COUNT(s.doc_id) = 0 THEN NULL
+            ELSE CAST(SUM(s.logw_micro) // COUNT(s.doc_id) AS BIGINT) END
+         AS avg_logw_micro
+FROM documents d LEFT JOIN sel s ON d.doc_id = s.doc_id
+GROUP BY d.lang
+"""
+
+QUERIES["dsir_importance_resample"] = q_dsir_importance_resample
+ORACLES["dsir_importance_resample"] = ORACLE_DSIR

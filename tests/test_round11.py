@@ -168,3 +168,28 @@ def test_broadcast_audit_artifact_allowlist():
         audit = json.load(fh)
     allowed: set[str] = set()
     assert set(audit["flagged"]) <= allowed, audit["flagged"]
+
+
+# ------------------------------------------------ DSIR resampling
+
+
+def test_dsir_weights_rank_target_language_highest(spark, sf01_dir):
+    """DSIR's importance weights must rank the TARGET domain (en)
+    strictly highest in mean selected log-weight — the direction
+    invariant that survives even when the synthetic corpora overlap
+    enough for selection rates to stay near-uniform."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.registry import (
+        q_dsir_importance_resample,
+    )
+
+    rows = {
+        r["lang"]: r
+        for r in q_dsir_importance_resample(spark, sf01_dir).collect()
+    }
+    assert set(rows) == {"de", "en", "es", "fr", "zh"}
+    en = rows["en"]["avg_logw_micro"]
+    assert all(
+        en > rows[lang]["avg_logw_micro"] for lang in ("de", "es", "fr", "zh")
+    )
+    # fixed-k selection: exactly 200 docs selected corpus-wide
+    assert sum(r["n_selected"] for r in rows.values()) == 200
