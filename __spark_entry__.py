@@ -236,6 +236,12 @@ _FRAGILE_FIRST = (
     "association_rules", "incremental_join_maintenance",
     "degree_assortativity", "dedup_load", "orders_without_lineitems",
     "reconcile_counts",
+    # r11 int64-overflow sweep (decimal accumulators; cms_join_size
+    # and spearman changed OUTPUT types — driver must re-hash them)
+    "cms_join_size", "spearman_rank_correlation", "value_moments",
+    "event_rate_anomalies", "acf_hourly_lags", "value_outlier_flags",
+    "hourly_value_regression", "join_skew_report", "pq_codebook_audit",
+    "pricing_summary", "star_revenue",
     "stream_cdc_merge_replay", "stream_cdc_merge_restart",
     "stream_rocksdb_halfhourly", "stream_rocksdb_restart",
     "stream_two_level_hourly", "stream_two_level_restart",

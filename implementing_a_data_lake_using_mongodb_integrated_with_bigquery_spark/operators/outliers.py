@@ -73,17 +73,24 @@ def zscore_flags(
 ) -> DataFrame:
     """Per-row z-score against the row's group mean/stddev, plus an
     ``is_outlier`` flag at |z| > threshold. Moments come from exact
-    integer power sums so the flag set is partition-order-independent."""
+    integer power sums so the flag set is partition-order-independent;
+    the sums accumulate in DECIMAL(38,0) (r11 int64-overflow sweep: a
+    LONG Σvi² wraps silently past ~9.2e18/vi²_max rows per group —
+    ~293k rows at the events value span — where DuckDB's HUGEINT
+    raises) and cast to DOUBLE before the division tree, which keeps
+    the float values bit-identical to the BIGINT-summing oracles."""
     vi = F.round(F.col(value_col) * scale).cast("long")
     stats = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(vi).alias("_s1"),
-        F.sum(vi * vi).alias("_s2"),
+        F.sum(vi.cast("decimal(38,0)")).alias("_s1d"),
+        F.sum((vi * vi).cast("decimal(38,0)")).alias("_s2d"),
     )
-    mean = F.col("_s1") / F.col("_n") / float(scale)
+    _s1 = F.col("_s1d").cast("double")
+    _s2 = F.col("_s2d").cast("double")
+    mean = _s1 / F.col("_n") / float(scale)
     var = (
-        F.col("_s2") / F.col("_n")
-        - (F.col("_s1") / F.col("_n")) * (F.col("_s1") / F.col("_n"))
+        _s2 / F.col("_n")
+        - (_s1 / F.col("_n")) * (_s1 / F.col("_n"))
     ) / float(scale * scale)
     # zero-variance groups have no defined z — NULL score, never
     # flagged (a plain divide is an ANSI-mode runtime error)

@@ -36,17 +36,22 @@ def grouped_linreg(
     hour index...); ``y`` is scaled+rounded to integers internally."""
     xi = x.cast("long")
     yi = F.round(y * y_scale).cast("long")
+    # per-term products stay long (bounded by the scaled value span);
+    # the SUMS accumulate in DECIMAL(38,0) — a LONG Σy² wraps silently
+    # past ~9.2e18/y²_max rows per group (r11 int64-overflow sweep)
+    # while the oracle's HUGEINT stays exact
+    _d38 = "decimal(38,0)"
     agg = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(xi).alias("sx"),
-        F.sum(yi).alias("sy"),
-        F.sum(xi * xi).alias("sxx"),
-        F.sum(xi * yi).alias("sxy"),
-        F.sum(yi * yi).alias("syy"),
+        F.sum(xi.cast(_d38)).alias("sx"),
+        F.sum(yi.cast(_d38)).alias("sy"),
+        F.sum((xi * xi).cast(_d38)).alias("sxx"),
+        F.sum((xi * yi).cast(_d38)).alias("sxy"),
+        F.sum((yi * yi).cast(_d38)).alias("syy"),
     )
     # identical double-arithmetic shape as the SQL oracle: every sum is
-    # cast to double BEFORE any product, so no integer overflow and no
-    # engine-specific widening (DuckDB sums land in int128)
+    # cast to double BEFORE any product, so no float-path overflow and
+    # no engine-specific widening (DuckDB sums land in int128)
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")

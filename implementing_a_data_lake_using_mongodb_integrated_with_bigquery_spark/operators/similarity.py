@@ -818,9 +818,12 @@ def pq_assign_audit(
 
     Map-only until one hash aggregate keyed by (subspace, code) —
     ``m``×|corpus| rows into a map-side-combined agg of ``m·k`` groups.
-    Int64 error sums are safe to ~800k vectors per cell at this dim and
-    span (per-row subspace error ≤ ~1.1·10¹³); larger cells should
-    switch the total to a mean-of-means or decimal accumulator.
+    Per-ROW subspace error stays int64 (≤ ~1.1·10¹³ at this dim/span);
+    the per-cell TOTAL accumulates in DECIMAL(38,0)/HUGEINT (r11 fix:
+    an int64 total overflows past ~800k vectors per cell — billions at
+    100 TB — with Spark wrapping silently while DuckDB raises, the
+    dhondt int64-overflow class), with ONE division to double for the
+    mean.
     """
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
@@ -862,12 +865,17 @@ def pq_assign_audit(
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.sum("pq.err").cast("long").alias("total_sq_err"),
+            F.sum(F.col("pq.err").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("total_sq_err"),
         )
         .withColumn(
             "avg_err",
             F.round(
-                F.col("total_sq_err") / F.col("n_vecs") / F.lit(1e12), 6
+                F.col("total_sq_err").cast("double")
+                / F.col("n_vecs").cast("double")
+                / F.lit(1e12),
+                6,
             ),
         )
     )

@@ -144,12 +144,21 @@ def cms_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
     Muthukrishnan 2005 §4.2 — every row's inner product equals the
     true equi-join size plus non-negative collision mass, so min is
     the tightest and still never underestimates). Returns one row
-    (est_size BIGINT). Pure integer arithmetic on two grid-sized
-    inputs — the 100 TB join never runs to be sized."""
+    (est_size DECIMAL(38,0) — r11 int64-overflow sweep: the estimate
+    carries collision mass ~N_a·N_b/width, which exceeds int64 long
+    before the TRUE join size does at 100 TB, and a counter product of
+    two ~5e8 cell counts already overflows int64 per term; Spark wraps
+    silently where DuckDB raises). Pure integer arithmetic on two
+    grid-sized inputs — the 100 TB join never runs to be sized."""
     j = sk_a.alias("a").join(
         sk_b.alias("b"), ["seed", "bucket"]
     )  # absent cells are 0 ⇒ contribute nothing: inner join suffices
     per_seed = j.groupBy("seed").agg(
-        F.sum(F.col("a.counter") * F.col("b.counter")).cast("long").alias("ip")
+        F.sum(
+            F.col("a.counter").cast("decimal(38,0)")
+            * F.col("b.counter").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("ip")
     )
-    return per_seed.agg(F.min("ip").cast("long").alias("est_size"))
+    return per_seed.agg(F.min("ip").cast("decimal(38,0)").alias("est_size"))

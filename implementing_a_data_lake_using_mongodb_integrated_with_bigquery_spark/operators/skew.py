@@ -70,14 +70,20 @@ def skew_report(
     ranked = freq.select(
         "k", "x", F.row_number().over(w).cast("long").alias("i")
     )
+    # Σ i·x in DECIMAL(38,0) with cast-before-multiply, and the n·tot
+    # denominator formed in DOUBLE (r11 int64-overflow sweep: rank i ~
+    # |keys| times count x ~ rows/key overflows a LONG per term at
+    # 100 TB, and n·tot as an integer product wraps before its cast)
     scalars = ranked.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("x").alias("_tot"),
-        F.sum(F.col("i") * F.col("x")).alias("_iwx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)"))
+        .alias("_iwx"),
         F.max("x").alias("_max"),
     ).select(
         F.round(
-            (2.0 * F.col("_iwx")) / (F.col("_n") * F.col("_tot")).cast("double")
+            (2.0 * F.col("_iwx").cast("double"))
+            / (F.col("_n").cast("double") * F.col("_tot").cast("double"))
             - (F.col("_n") + 1) / F.col("_n").cast("double"),
             6,
         ).alias("gini"),

@@ -56,8 +56,19 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sourc
 
 def _scaled_sum(col: F.Column, scale: int, alias: str) -> F.Column:
     """Order-independent float sum: per-row scale+round to bigint,
-    integer-sum, unscale."""
-    return (F.sum(F.round(col * scale).cast("long")) / float(scale)).alias(alias)
+    integer-sum in DECIMAL(38,0), unscale with ONE division to double.
+
+    The accumulator is DECIMAL, not LONG (r11 int64-overflow sweep): a
+    1e4-scaled revenue term is ~3e8 per lineitem row, so a LONG sum
+    wraps silently past ~3e10 rows per group — pricing_summary's
+    4-group rollup crosses that around TPC-H sf5000, well inside the
+    100 TB design point — while the DuckDB oracles' HUGEINT stays
+    exact. double(decimal)/scale equals double(long)/scale wherever
+    the long didn't wrap, so every oracle hash is unchanged."""
+    return (
+        F.sum(F.round(col * scale).cast("decimal(38,0)")).cast("double")
+        / float(scale)
+    ).alias(alias)
 
 
 # materialized-layout cache for queries that must rewrite a base table
@@ -1484,16 +1495,23 @@ FROM events GROUP BY event_type
 def q_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean/variance/stddev derived from scaled-integer power sums —
     bit-deterministic under any partitioning (built-in stddev is a
-    streaming estimator whose low bits depend on visit order)."""
+    streaming estimator whose low bits depend on visit order). Power
+    sums accumulate in DECIMAL(38,0) (r11 int64-overflow sweep: the
+    per-row square v4² is ≤ ~3.1e13, so a LONG Σv4² wraps silently at
+    ~293k rows per type — sf3 territory, certain at 100 TB — while
+    the DuckDB twin's HUGEINT raises); both sides cast the exact sums
+    to DOUBLE before the identical division tree, so parity holds."""
     e = load_table(spark, sf_dir, "events")
     v4 = F.round(F.col("value") * 10000).cast("long")  # value in 1e-4 units
     agg = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(v4).alias("_s1"),
-        F.sum(v4 * v4).alias("_s2"),
+        F.sum(v4.cast("decimal(38,0)")).alias("_s1d"),
+        F.sum((v4 * v4).cast("decimal(38,0)")).alias("_s2d"),
     )
-    mean = F.col("_s1") / F.col("n") / 10000.0
-    var = (F.col("_s2") / F.col("n") - (F.col("_s1") / F.col("n")) * (F.col("_s1") / F.col("n"))) / 100000000.0
+    s1 = F.col("_s1d").cast("double")
+    s2 = F.col("_s2d").cast("double")
+    mean = s1 / F.col("n") / 10000.0
+    var = (s2 / F.col("n") - (s1 / F.col("n")) * (s1 / F.col("n"))) / 100000000.0
     return agg.select(
         "event_type",
         "n",
@@ -7414,10 +7432,17 @@ def q_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # moment sums in DECIMAL(38,0) (r11 int64-overflow sweep): an
+    # hourly count n ~1e10 at extreme scale makes n² overflow int64
+    # PER TERM, and Σn² long before that — Spark wraps silently where
+    # DuckDB's HUGEINT stays exact; cast-before-multiply keeps the
+    # square itself exact, and both engines cast the exact sums to
+    # DOUBLE before the identical z tree
+    _d38 = "decimal(38,0)"
     mom = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_hours"),
-        F.sum("n").cast("long").alias("s1"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+        F.sum(F.col("n").cast(_d38)).alias("s1"),
+        F.sum(F.col("n").cast(_d38) * F.col("n").cast(_d38)).alias("s2"),
     )
     mean = F.col("s1").cast("double") / F.col("n_hours")
     var = F.greatest(
@@ -9066,8 +9091,9 @@ assigned AS (
 )
 SELECT subspace, code,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       CAST(SUM(err) AS BIGINT) AS total_sq_err,
-       round(CAST(SUM(err) AS BIGINT) / COUNT(*) / 1000000000000.0, 6) AS avg_err
+       CAST(SUM(CAST(err AS HUGEINT)) AS DECIMAL(38,0)) AS total_sq_err,
+       round(CAST(SUM(CAST(err AS HUGEINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000000000.0, 6) AS avg_err
 FROM assigned GROUP BY subspace, code
 """
 
@@ -11269,7 +11295,12 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(F.broadcast(est)).select(
         "exact_size",
         "est_size",
-        (F.col("est_size") - F.col("exact_size")).cast("long").alias("overestimate"),
+        # est_size/overestimate are DECIMAL(38,0): the CMS estimate
+        # carries ~N_o*N_l/width collision mass, which exceeds int64
+        # long before the true join size does (r11 overflow sweep)
+        (F.col("est_size") - F.col("exact_size"))
+        .cast("decimal(38,0)")
+        .alias("overestimate"),
     )
 
 
@@ -11297,15 +11328,15 @@ sk_l AS (
     {cells('l')}
   ) GROUP BY 1, 2),
 est AS (
-  SELECT CAST(MIN(ip) AS BIGINT) AS est_size FROM (
-    SELECT a.seed, CAST(SUM(a.counter * b.counter) AS BIGINT) AS ip
+  SELECT CAST(MIN(ip) AS DECIMAL(38,0)) AS est_size FROM (
+    SELECT a.seed, SUM(CAST(a.counter AS HUGEINT) * CAST(b.counter AS HUGEINT)) AS ip
     FROM sk_o a JOIN sk_l b ON a.seed = b.seed AND a.bucket = b.bucket
     GROUP BY 1)),
 exact AS (
   SELECT CAST(SUM(o.n * l.n) AS BIGINT) AS exact_size
   FROM o JOIN l USING (key))
 SELECT exact_size, est_size,
-       CAST(est_size - exact_size AS BIGINT) AS overestimate
+       CAST(est_size - exact_size AS DECIMAL(38,0)) AS overestimate
 FROM exact, est
 """
 
@@ -11882,14 +11913,17 @@ ranked AS (
   FROM freq),
 sc AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS tot,
-         CAST(SUM(i * x) AS BIGINT) AS iwx, CAST(MAX(x) AS BIGINT) AS mx
+         SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS iwx,
+         CAST(MAX(x) AS BIGINT) AS mx
   FROM ranked),
 q AS (
   SELECT MAX(CASE WHEN i = CAST(ceil(n * 0.5) AS BIGINT) THEN x END) AS p50,
          MAX(CASE WHEN i = CAST(ceil(n * 0.99) AS BIGINT) THEN x END) AS p99
   FROM ranked CROSS JOIN sc)
 SELECT 'gini' AS metric, CAST(NULL AS BIGINT) AS key,
-       round(2.0 * iwx / (n * tot) - (n + 1) / CAST(n AS DOUBLE), 6) AS value
+       round(2.0 * CAST(iwx AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+             - (n + 1) / CAST(n AS DOUBLE), 6) AS value
 FROM sc
 UNION ALL
 SELECT 'top_key_share', NULL, round(mx / CAST(tot AS DOUBLE), 6) FROM sc
@@ -13582,7 +13616,12 @@ def q_spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells broadcast back. Ranks are identical to the window form (the
     DuckDB oracle keeps row_number() OVER (PARTITION BY ...)). n² is
     squared in DOUBLE on both engines: a BIGINT n·n wraps silently on
-    Spark past ~3e9 rows per group (non-ANSI) while DuckDB raises."""
+    Spark past ~3e9 rows per group (non-ANSI) while DuckDB raises.
+    Σd² accumulates in DECIMAL(38,0)/HUGEINT and is EMITTED as
+    DECIMAL(38,0) (r11 int64-overflow sweep: |d| < n makes Σd² ≤ n³,
+    which wraps a LONG past ~2.1e6 rows per type — and d² itself
+    overflows per-term at n ~ 3e9, so the cast happens BEFORE the
+    square)."""
     from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
         grouped_rank,
     )
@@ -13597,18 +13636,19 @@ def q_spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rv = grouped_rank(base, ["event_type"], ["_cents", "event_id"], "_rv")
     rt = grouped_rank(rv, ["event_type"], ["_tus", "event_id"], "_rt")
     ranked = rt.select(
-        "event_type", (F.col("_rv") - F.col("_rt")).alias("_d")
+        "event_type",
+        (F.col("_rv") - F.col("_rt")).cast("decimal(38,0)").alias("_d"),
     )
     nd = F.col("n").cast("double")
     return ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("_d") * F.col("_d")).cast("long").alias("sum_d2"),
+        F.sum(F.col("_d") * F.col("_d")).cast("decimal(38,0)").alias("sum_d2"),
     ).select(
         "event_type",
         "n",
         "sum_d2",
         F.round(
-            1 - (6.0 * F.col("sum_d2")) / (nd * (nd * nd - 1)),
+            1 - (6.0 * F.col("sum_d2").cast("double")) / (nd * (nd * nd - 1)),
             6,
         ).alias("spearman_rho"),
     )
@@ -13628,8 +13668,9 @@ ranked AS (
               ORDER BY tus ASC, event_id ASC) AS BIGINT) AS d
   FROM base)
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(d * d) AS BIGINT) AS sum_d2,
-       round(1 - (6.0 * SUM(d * d))
+       CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS DECIMAL(38,0))
+         AS sum_d2,
+       round(1 - (6.0 * CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS DOUBLE))
              / (CAST(COUNT(*) AS DOUBLE)
                 * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1)),
              6)
@@ -14343,15 +14384,22 @@ def q_acf_hourly_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cur.event_type") == F.col("lagged.l_type"))
         & (F.col("cur.h") == F.col("lagged.l_h") + F.col("cur.lag")),
     ).select("cur.event_type", "lag", "x", "y")
+    # power sums in DECIMAL(38,0), cast BEFORE the product (r11
+    # int64-overflow sweep: x·y of two ~1e10 hourly counts overflows a
+    # LONG per term; Spark wraps silently, DuckDB's HUGEINT raises) —
+    # the exact cross-multiplied moments below then never re-enter
+    # int64
+    _xd = F.col("x").cast("decimal(38,0)")
+    _yd = F.col("y").cast("decimal(38,0)")
     mom = pairs.groupBy("event_type", "lag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("_sx"),
-        F.sum("y").cast("long").alias("_sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("_sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("_sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("_syy"),
+        F.sum(_xd).alias("_sx"),
+        F.sum(_yd).alias("_sy"),
+        F.sum(_xd * _yd).alias("_sxy"),
+        F.sum(_xd * _xd).alias("_sxx"),
+        F.sum(_yd * _yd).alias("_syy"),
     )
-    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = d("n") * d("_sxy") - d("_sx") * d("_sy")
     dx = d("n") * d("_sxx") - d("_sx") * d("_sx")
     dy = d("n") * d("_syy") - d("_sy") * d("_sy")
