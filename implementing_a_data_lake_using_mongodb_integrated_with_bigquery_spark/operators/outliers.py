@@ -75,10 +75,11 @@ def zscore_flags(
     ``is_outlier`` flag at |z| > threshold. Moments come from exact
     integer power sums so the flag set is partition-order-independent;
     the sums accumulate in DECIMAL(38,0) (r11 int64-overflow sweep: a
-    LONG Σvi² wraps silently past ~9.2e18/vi²_max rows per group —
-    ~293k rows at the events value span — where DuckDB's HUGEINT
-    raises) and cast to DOUBLE before the division tree, which keeps
-    the float values bit-identical to the BIGINT-summing oracles."""
+    LONG Σvi² overflows past ~9.2e18/vi²_max rows per group — ~293k
+    rows at the events value span; an ANSI ArithmeticException at
+    scale, a silent wrap with ANSI off) and cast to DOUBLE before the
+    division tree, which keeps the float values bit-identical to the
+    BIGINT-summing oracles."""
     vi = F.round(F.col(value_col) * scale).cast("long")
     stats = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("_n"),

@@ -37,9 +37,9 @@ def grouped_linreg(
     xi = x.cast("long")
     yi = F.round(y * y_scale).cast("long")
     # per-term products stay long (bounded by the scaled value span);
-    # the SUMS accumulate in DECIMAL(38,0) — a LONG Σy² wraps silently
-    # past ~9.2e18/y²_max rows per group (r11 int64-overflow sweep)
-    # while the oracle's HUGEINT stays exact
+    # the SUMS accumulate in DECIMAL(38,0) — a LONG Σy² overflows past
+    # ~9.2e18/y²_max rows per group (r11 int64-overflow sweep; ANSI
+    # raises at scale) while the oracle's HUGEINT stays exact
     _d38 = "decimal(38,0)"
     agg = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),

@@ -821,8 +821,8 @@ def pq_assign_audit(
     Per-ROW subspace error stays int64 (≤ ~1.1·10¹³ at this dim/span);
     the per-cell TOTAL accumulates in DECIMAL(38,0)/HUGEINT (r11 fix:
     an int64 total overflows past ~800k vectors per cell — billions at
-    100 TB — with Spark wrapping silently while DuckDB raises, the
-    dhondt int64-overflow class), with ONE division to double for the
+    100 TB; an ANSI ArithmeticException at scale, the dhondt
+    int64-overflow class), with ONE division to double for the
     mean.
     """
     if dim % m != 0:

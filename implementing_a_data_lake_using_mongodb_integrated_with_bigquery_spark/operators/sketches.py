@@ -147,8 +147,8 @@ def cms_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
     (est_size DECIMAL(38,0) — r11 int64-overflow sweep: the estimate
     carries collision mass ~N_a·N_b/width, which exceeds int64 long
     before the TRUE join size does at 100 TB, and a counter product of
-    two ~5e8 cell counts already overflows int64 per term; Spark wraps
-    silently where DuckDB raises). Pure integer arithmetic on two
+    two ~5e8 cell counts already overflows int64 per term — an ANSI
+    ArithmeticException at scale). Pure integer arithmetic on two
     grid-sized inputs — the 100 TB join never runs to be sized."""
     j = sk_a.alias("a").join(
         sk_b.alias("b"), ["seed", "bucket"]

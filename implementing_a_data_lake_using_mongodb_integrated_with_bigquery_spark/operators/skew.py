@@ -73,7 +73,8 @@ def skew_report(
     # Σ i·x in DECIMAL(38,0) with cast-before-multiply, and the n·tot
     # denominator formed in DOUBLE (r11 int64-overflow sweep: rank i ~
     # |keys| times count x ~ rows/key overflows a LONG per term at
-    # 100 TB, and n·tot as an integer product wraps before its cast)
+    # 100 TB, and n·tot as an integer product overflows before its
+    # cast — ANSI raises at scale)
     scalars = ranked.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("x").alias("_tot"),

@@ -60,11 +60,16 @@ def _scaled_sum(col: F.Column, scale: int, alias: str) -> F.Column:
 
     The accumulator is DECIMAL, not LONG (r11 int64-overflow sweep): a
     1e4-scaled revenue term is ~3e8 per lineitem row, so a LONG sum
-    wraps silently past ~3e10 rows per group — pricing_summary's
-    4-group rollup crosses that around TPC-H sf5000, well inside the
-    100 TB design point — while the DuckDB oracles' HUGEINT stays
-    exact. double(decimal)/scale equals double(long)/scale wherever
-    the long didn't wrap, so every oracle hash is unchanged."""
+    overflows past ~3e10 rows per group — pricing_summary's 4-group
+    rollup crosses that around TPC-H sf5000, well inside the 100 TB
+    design point. Under ANSI (the Spark 4 default, on in this session
+    AND the driver's vanilla session) that's a loud
+    ArithmeticException; with ANSI off it's a silent wrap — either
+    way the query cannot answer at scale, where the DECIMAL
+    accumulator (like the oracles' HUGEINT) stays exact.
+    double(decimal)/scale equals double(long)/scale wherever the long
+    didn't overflow, so every oracle hash is unchanged. Measured cost
+    at sf0.1: ~1.3× per decimal aggregate (BENCH_NOTES_r11.md)."""
     return (
         F.sum(F.round(col * scale).cast("decimal(38,0)")).cast("double")
         / float(scale)
@@ -1497,10 +1502,14 @@ def q_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-deterministic under any partitioning (built-in stddev is a
     streaming estimator whose low bits depend on visit order). Power
     sums accumulate in DECIMAL(38,0) (r11 int64-overflow sweep: the
-    per-row square v4² is ≤ ~3.1e13, so a LONG Σv4² wraps silently at
-    ~293k rows per type — sf3 territory, certain at 100 TB — while
-    the DuckDB twin's HUGEINT raises); both sides cast the exact sums
-    to DOUBLE before the identical division tree, so parity holds."""
+    per-row square v4² is ≤ ~3.1e13, so a LONG Σv4² overflows at
+    ~293k rows per type — sf3 territory, certain at 100 TB. Under
+    ANSI, the Spark 4 default and what this session and the driver's
+    vanilla session both run, that's a loud ArithmeticException; with
+    ANSI off it's a silent wrap — either way the query cannot answer
+    at scale, where the HUGEINT-summing oracle can); both sides cast
+    the exact sums to DOUBLE before the identical division tree, so
+    parity holds."""
     e = load_table(spark, sf_dir, "events")
     v4 = F.round(F.col("value") * 10000).cast("long")  # value in 1e-4 units
     agg = e.groupBy("event_type").agg(
@@ -7434,10 +7443,11 @@ def q_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     # moment sums in DECIMAL(38,0) (r11 int64-overflow sweep): an
     # hourly count n ~1e10 at extreme scale makes n² overflow int64
-    # PER TERM, and Σn² long before that — Spark wraps silently where
-    # DuckDB's HUGEINT stays exact; cast-before-multiply keeps the
-    # square itself exact, and both engines cast the exact sums to
-    # DOUBLE before the identical z tree
+    # PER TERM, and Σn² long before that — an ArithmeticException
+    # under ANSI (the Spark 4 default here and in the driver), a
+    # silent wrap without it; cast-before-multiply keeps the square
+    # itself exact, and both engines cast the exact sums to DOUBLE
+    # before the identical z tree
     _d38 = "decimal(38,0)"
     mom = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_hours"),
@@ -13619,9 +13629,9 @@ def q_spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark past ~3e9 rows per group (non-ANSI) while DuckDB raises.
     Σd² accumulates in DECIMAL(38,0)/HUGEINT and is EMITTED as
     DECIMAL(38,0) (r11 int64-overflow sweep: |d| < n makes Σd² ≤ n³,
-    which wraps a LONG past ~2.1e6 rows per type — and d² itself
-    overflows per-term at n ~ 3e9, so the cast happens BEFORE the
-    square)."""
+    which overflows a LONG past ~2.1e6 rows per type — an ANSI
+    ArithmeticException at scale — and d² itself overflows per-term
+    at n ~ 3e9, so the cast happens BEFORE the square)."""
     from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
         grouped_rank,
     )
@@ -14386,9 +14396,8 @@ def q_acf_hourly_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("cur.event_type", "lag", "x", "y")
     # power sums in DECIMAL(38,0), cast BEFORE the product (r11
     # int64-overflow sweep: x·y of two ~1e10 hourly counts overflows a
-    # LONG per term; Spark wraps silently, DuckDB's HUGEINT raises) —
-    # the exact cross-multiplied moments below then never re-enter
-    # int64
+    # LONG per term — an ANSI ArithmeticException at scale) — the
+    # exact cross-multiplied moments below then never re-enter int64
     _xd = F.col("x").cast("decimal(38,0)")
     _yd = F.col("y").cast("decimal(38,0)")
     mom = pairs.groupBy("event_type", "lag").agg(
