@@ -242,6 +242,9 @@ _FRAGILE_FIRST = (
     "event_rate_anomalies", "acf_hourly_lags", "value_outlier_flags",
     "hourly_value_regression", "join_skew_report", "pq_codebook_audit",
     "pricing_summary", "star_revenue",
+    # r11 two-phase partial-sum rewrites (scale-exact AND faster)
+    "cube_revenue", "rollup_revenue", "lineitem_unpivot",
+    "grouping_sets_revenue",
     "stream_cdc_merge_replay", "stream_cdc_merge_restart",
     "stream_rocksdb_halfhourly", "stream_rocksdb_restart",
     "stream_two_level_hourly", "stream_two_level_restart",

@@ -69,11 +69,45 @@ def _scaled_sum(col: F.Column, scale: int, alias: str) -> F.Column:
     accumulator (like the oracles' HUGEINT) stays exact.
     double(decimal)/scale equals double(long)/scale wherever the long
     didn't overflow, so every oracle hash is unchanged. Measured cost
-    at sf0.1: ~1.3× per decimal aggregate (BENCH_NOTES_r11.md)."""
+    at sf0.1: ~1.3× per decimal aggregate (BENCH_NOTES_r11.md); hot
+    multi-grouping queries avoid it via the two-phase
+    :func:`_partial_scaled_sums` shape instead."""
     return (
         F.sum(F.round(col * scale).cast("decimal(38,0)")).cast("double")
         / float(scale)
     ).alias(alias)
+
+
+def _partial_scaled_sums(
+    df, keys: list[str], terms: dict[str, tuple[F.Column, int]]
+):
+    """Phase 1 of the two-phase exact float sum — the fast form of
+    `_scaled_sum` for hot low-cardinality/multi-grouping aggregates:
+    LONG partial sums per (keys, input partition), which stay far from
+    int64 overflow because partition sizes are bounded
+    (maxPartitionBytes / AQE ⇒ ≤ ~1e7 rows ⇒ partials ≤ ~3e15 at the
+    largest term scale — ~3000× margin), then the caller aggregates
+    the tiny |keys × partitions| partial table with DECIMAL(38,0)
+    sums, where the decimal cost is nil. Identical values to the
+    one-shot decimal sum (integer addition reassociates freely); one
+    extra tiny shuffle. Returns (keys..., _pn, <term aliases>)."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("_pn")]
+    for alias, (col, scale) in terms.items():
+        aggs.append(F.sum(F.round(col * scale).cast("long")).alias(alias))
+    return (
+        df.groupBy(*keys, F.spark_partition_id().alias("_pid"))
+        .agg(*aggs)
+        .drop("_pid")
+    )
+
+
+def _dec_total(alias: str, scale: int, out: str) -> F.Column:
+    """Phase 2 of the two-phase sum: decimal-exact total of a phase-1
+    partial column, unscaled to double."""
+    return (
+        F.sum(F.col(alias).cast("decimal(38,0)")).cast("double")
+        / float(scale)
+    ).alias(out)
 
 
 # materialized-layout cache for queries that must rewrite a base table
@@ -110,16 +144,26 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _scaled_sum(F.col("l_quantity"), 100, "sum_qty"),
-            _scaled_sum(F.col("l_extendedprice"), 100, "sum_base_price"),
-            _scaled_sum(disc_price, 10000, "sum_disc_price"),
-            _scaled_sum(charge, 10000, "sum_charge"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    # two-phase exact sums (_partial_scaled_sums): LONG partials per
+    # (group, partition) — bounded, fast, codegen'd — then decimal
+    # totals over the tiny partial table (scale-exact at 100 TB
+    # without paying the decimal agg cost on every fact row)
+    partials = _partial_scaled_sums(
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02")),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "_q": (F.col("l_quantity"), 100),
+            "_bp": (F.col("l_extendedprice"), 100),
+            "_dp": (disc_price, 10000),
+            "_ch": (charge, 10000),
+        },
+    )
+    return partials.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_total("_q", 100, "sum_qty"),
+        _dec_total("_bp", 100, "sum_base_price"),
+        _dec_total("_dp", 10000, "sum_disc_price"),
+        _dec_total("_ch", 10000, "sum_charge"),
+        F.sum("_pn").cast("long").alias("count_order"),
     )
 
 
@@ -1066,10 +1110,17 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
     )
-    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    partials = _partial_scaled_sums(
+        joined,
+        ["r_name", "n_name"],
+        {"_r": (F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)},
+    )
     return (
-        joined.rollup("r_name", "n_name")
-        .agg((F.sum(rev) / 10000.0).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        partials.rollup("r_name", "n_name")
+        .agg(
+            _dec_total("_r", 10000, "revenue"),
+            F.sum("_pn").cast("long").alias("n_items"),
+        )
         .select(
             F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
             F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
@@ -4176,14 +4227,17 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     j = li.join(o, li.l_orderkey == o.o_orderkey)
+    partials = _partial_scaled_sums(
+        j,
+        ["o_orderpriority", "l_returnflag"],
+        {"_r": (F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)},
+    )
     return (
-        j.cube("o_orderpriority", "l_returnflag")
+        partials.cube("o_orderpriority", "l_returnflag")
         .agg(
             F.grouping_id().cast("long").alias("gid"),
-            F.count(F.lit(1)).alias("n_items"),
-            _scaled_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, "revenue"
-            ),
+            F.sum("_pn").cast("long").alias("n_items"),
+            _dec_total("_r", 10000, "revenue"),
         )
         .select(
             F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
@@ -4970,9 +5024,12 @@ def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
-    return long_df.groupBy("measure").agg(
-        F.count(F.lit(1)).alias("n"),
-        _scaled_sum(F.col("val"), 100, "sum_val"),
+    partials = _partial_scaled_sums(
+        long_df, ["measure"], {"_v": (F.col("val"), 100)}
+    )
+    return partials.groupBy("measure").agg(
+        F.sum("_pn").cast("long").alias("n"),
+        _dec_total("_v", 100, "sum_val"),
     )
 
 
@@ -5980,15 +6037,24 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single Expand + hash aggregate, so the fact table is scanned
     once, not once per set. grouping_id() disambiguates the null
     grouping keys."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    # two-phase exact sum (_partial_scaled_sums): LONG partials per
+    # (flag, status, partition), then the grouping-sets pass runs over
+    # the tiny partial table with a DECIMAL(38,0) total — scale-exact
+    # (a BIGINT SUM raises under ANSI at ~3e10 rows/group) without
+    # decimal agg cost on the fact rows
+    _partial_scaled_sums(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        {"_bp": (F.col("l_extendedprice"), 100)},
+    ).createOrReplaceTempView("gs_partials")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
                CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-               CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               CAST(SUM(_pn) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(_bp AS DECIMAL(38,0))) AS DOUBLE)
                  / 100.0 AS revenue
-        FROM gs_lineitem
+        FROM gs_partials
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
