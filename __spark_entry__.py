@@ -138,7 +138,7 @@ _DRIVER_VERIFIED = frozenset(
         "local_supplier_volume", "mad_by_type",
         "markov_prediction_accuracy", "merkle_bucket_diff",
         "minhash_signature_merge", "order_priority_counts",
-        "pareto_revenue_curve", "phrase_search", "pq_codebook_audit",
+        "pareto_revenue_curve", "phrase_search",
         "proration_allocation", "recursive_ancestor_rollup",
         "rendezvous_shards", "resampling_executed",
         "revenue_seasonality_yoy", "rfm_segments", "shingle_novelty",
@@ -155,7 +155,7 @@ _DRIVER_VERIFIED = frozenset(
         "asof_tolerance_attribution", "audience_overlap_matrix",
         "bigram_familiarity", "blocking_quality_report",
         "cascade_delete_plan", "chunk_retrieval_agreement",
-        "cms_join_size", "curriculum_plan", "decile_lift_curve",
+        "curriculum_plan", "decile_lift_curve",
         "dp_noisy_histogram", "embedding_truncation_audit",
         "group_by_all_rollup", "heaps_vocab_growth",
         "histogram_selectivity", "ivf_pq_search", "join_skew_report",
@@ -163,7 +163,7 @@ _DRIVER_VERIFIED = frozenset(
         "order_streaks", "part_skyline", "percentile_cont_parity",
         "pipe_syntax_rollup", "pq_recall_eval", "range_frame_smoothing",
         "rolling_distinct_users", "span_corruption_plan",
-        "spearman_rank_correlation", "sql_udf_rollup",
+        "sql_udf_rollup",
         "time_weighted_average", "two_hop_reach", "woe_binning",
         "zipf_rank_frequency",
         # round 9 (50 green rows in CORRECTNESS_r09.json — the 23 new
@@ -201,6 +201,13 @@ _DRIVER_VERIFIED = frozenset(
         "stream_two_level_hourly", "stream_two_level_restart",
         "top_user_paths", "weighted_median_price", "weighted_price_band",
         "zone_map_skipping",
+        # round 11 (47 green rows in CORRECTNESS_r11.json: the 2 new
+        # queries below plus 45 fragile-first re-verifications; the 3
+        # hash-fails — cms_join_size, spearman_rank_correlation,
+        # pq_codebook_audit, all decimal-output casualties of the r11
+        # overflow sweep — were REMOVED from this set until they
+        # re-verify green under the r12 string-output convention)
+        "quality_classifier_scores", "dsir_importance_resample",
     }
 )
 
@@ -215,12 +222,12 @@ _DRIVER_VERIFIED = frozenset(
 #      quantiles) — tolerance / engine-numerics risk;
 #   4. everything else, stable registry order.
 _FRAGILE_FIRST = (
-    # new-in-round-10 machinery that must re-verify under the r11
-    # driver window: the six new streaming replays (CDC merge pair,
-    # RocksDB state-store pair, chained two-level rollup pair), the
-    # two-phase weighted-order-statistics queries
-    # (operators/windows.py:weighted_rank machinery), and the
-    # distributed-PAVA isotonic calibration
+    # r12 head: the three r11 decimal-output hash-fails, re-emitted as
+    # STRING of the scale-0 decimal (registry docstring convention) —
+    # they are also out of _DRIVER_VERIFIED, so the unverified branch
+    # already puts them in the window; listing them here keeps them
+    # pinned even after they re-verify
+    "cms_join_size", "spearman_rank_correlation", "pq_codebook_audit",
     # code changed in r11 — green history, new code, must re-verify
     # first: ADVICE fixes (dhondt 1e6 overflow-safe scale,
     # doubly_robust_ope symmetric empty-match aggregate), then the 14

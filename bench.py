@@ -36,9 +36,29 @@ HEADLINE = [
 ]
 
 
+def _settle_load(threshold: float = 2.0, max_wait_s: float = 180.0) -> bool:
+    """Bench hygiene (r11 judge item 5): the official r11 run started at
+    loadavg 5 and its per-query numbers were noise above ~1.3x, costing
+    five standalone re-adjudications. A run must never start hot: wait
+    (up to ``max_wait_s``) for the 1-min load to drop below
+    ``threshold``; if it never does, proceed — the contract is that
+    this script ALWAYS prints its JSON line — but return False so the
+    artifact carries a prominent ``load_contaminated`` flag that
+    bench_diff and the judge can see without archaeology."""
+    if not hasattr(os, "getloadavg"):
+        return True
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        if os.getloadavg()[0] < threshold:
+            return True
+        time.sleep(10)
+    return os.getloadavg()[0] < threshold
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_clean_start = _settle_load()
     spark = get_spark("lakeflow-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
@@ -115,6 +135,7 @@ def main() -> None:
             "loadavg_end": list(os.getloadavg())
             if hasattr(os, "getloadavg")
             else None,
+            "load_contaminated": not load_clean_start,
         },
     }
     detail_path = os.path.join(
@@ -137,6 +158,10 @@ def main() -> None:
         "errors": errors,
         "sf": float(sf),
     }
+    if not load_clean_start:
+        # prominent, parseable, and first thing a reader sees in the
+        # detail file and the stdout artifact alike
+        out["load_contaminated"] = True
     line = json.dumps(out)
     assert len(line) < 1500, f"bench line too long: {len(line)}"
     print(line)

@@ -866,3 +866,92 @@ def winnow_overlap_pairs(
             ).alias("containment"),
         )
     )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level EXACT dedup spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    the ExactSubstr layer): every maximal token span that appears
+    verbatim in ≥2 DISTINCT documents, reported per document as
+    (doc_id, span_start, span_end, span_tokens), 1-based token
+    positions, whitespace tokens.
+
+    Equivalence to the paper's suffix-array formulation at fixed
+    threshold L=``min_tokens``: a cross-doc repeated span of length
+    ≥ L exists iff some L-token gram is shared by ≥2 docs, and the
+    union of duplicated L-gram start positions, merged into maximal
+    runs per doc, is exactly the set of maximal ≥L-token duplicated
+    spans (every L-window inside an emitted span is itself duplicated
+    somewhere). The suffix array is the single-node data structure;
+    this is the distributed shape — hash the grams (linear in corpus
+    tokens), two map-side-combinable aggregates, one key join. Corpus²
+    never materializes.
+
+    Engine-portable hashing: gram hash = md5 hex STRING of the
+    space-joined token slice (the repo's standard md5-string trick —
+    identical on Spark and DuckDB, no hex→int parsing).
+
+    Scale shape: |grams| = |tokens| rows, built inside one codegen
+    span (split → sequence explode → slice → md5); the (hash, doc)
+    dedupe and the per-hash doc count are both hash aggregates with
+    partial combine, never buffering a group's values. The
+    positions⋈duplicated-hashes join keys on the md5 (high
+    cardinality), and per-key join output EQUALS per-key input (each
+    position matches at most one dup row), so a pathologically
+    frequent gram cannot amplify the join — AQE skew-join splits the
+    heavy partition. The run-merge window partitions by ``id_col``
+    (high-cardinality; per-doc rows bounded by document length, never
+    corpus size — the winnowing/sessionize precedent)."""
+    toks = (
+        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_t"))
+        .select(
+            id_col,
+            "_t",
+            (F.size("_t") - min_tokens + 1).alias("_npos"),
+        )
+        .where(F.col("_npos") >= 1)
+    )
+    grams = toks.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.col("_npos"))).alias("pos"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("_t"), F.col("pos"), min_tokens)
+            ).cast("binary")
+        ).alias("_h"),
+    )
+    # dedupe (hash, doc) first so the per-hash count is DISTINCT docs
+    # without count-distinct's Expand node
+    dup = (
+        grams.select("_h", id_col)
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+        .where(F.col("_df") >= 2)
+        .select("_h")
+    )
+    hits = grams.join(dup, "_h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = hits.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + min_tokens - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )

@@ -385,45 +385,42 @@ def triangle_count(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     wedge apex whose closing edge exists in the orientation).
 
     Returns one row: n_nodes, n_edges, n_triangles (all bigint).
-    Plan: canonicalize (1 shuffle), single-pass degree decoration —
-    each edge's two directed copies get their endpoint degree from a
-    window count (no dim join), one regroup by the canonical pair
-    brings both degrees together (2 shuffles where the former
-    agg + join(a) + join(b) formulation needed 3) — then one wedge
+    Plan: canonicalize (1 shuffle), degree decoration via one
+    map-side-combined aggregate over the directed copies (|V| rows
+    out) joined back onto each endpoint — the r12 rewrite: the former
+    window-count decoration shuffled AND sorted all 2|E| directed rows
+    then regrouped another 2|E| by the canonical pair, where the
+    degree table costs one combinable agg and two planner-sized joins
+    (broadcast while |V| is small, shuffle at scale) — then one wedge
     self-join co-partitioned on src and one closing equi-join on
     (v, w). All key-partitioned, nothing driver-side.
     """
-    from pyspark.sql import Window
-
     e = edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y")).where(
         F.col("x") != F.col("y")
     )
-    # canon feeds three consumers (decoration via both directed copies,
-    # edge count) and oriented feeds three more (both wedge sides + the
-    # closing join): materialize each ONCE so the dedup/decorate work
-    # isn't re-executed per consumer (the 2a9cd5e curation-composite
-    # lesson)
+    # canon feeds four consumers (two degree joins, edge count, degree
+    # agg) and oriented feeds three (both wedge sides + the closing
+    # join): materialize each ONCE so the dedup/decorate work isn't
+    # re-executed per consumer (the 2a9cd5e curation-composite lesson)
     canon = (
         e.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    dir_edges = canon.select(
-        F.col("a").alias("n"), F.col("b").alias("other")
-    ).unionAll(canon.select(F.col("b").alias("n"), F.col("a").alias("other")))
-    decorated = dir_edges.withColumn(
-        "deg_n", F.count(F.lit(1)).over(Window.partitionBy("n"))
+    # |V|-row degree table, pinned once: it feeds two join branches and
+    # the node count — NO broadcast hint (|V| is data-proportional; the
+    # planner broadcasts it while small and shuffles at scale, per the
+    # r11 hint policy)
+    deg = (
+        canon.select(F.col("a").alias("n"))
+        .unionAll(canon.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .localCheckpoint(eager=True)
     )
-    withdeg = decorated.groupBy(
-        F.least("n", "other").alias("a"), F.greatest("n", "other").alias("b")
-    ).agg(
-        F.max(
-            F.when(F.col("n") == F.least("n", "other"), F.col("deg_n"))
-        ).alias("da"),
-        F.max(
-            F.when(F.col("n") == F.greatest("n", "other"), F.col("deg_n"))
-        ).alias("db"),
-    )
+    withdeg = canon.join(
+        deg.select(F.col("n").alias("a"), F.col("_deg").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("_deg").alias("db")), "b")
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
@@ -446,9 +443,7 @@ def triangle_count(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     )
     counts = canon.agg(
         F.count(F.lit(1)).cast("long").alias("n_edges"),
-    ).crossJoin(
-        dir_edges.agg(F.count_distinct("n").cast("long").alias("n_nodes"))
-    )
+    ).crossJoin(deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
 
 
@@ -525,10 +520,12 @@ def per_vertex_triangles(
     per-node community-density signal a recsys/GNN feature pipeline
     wants where the global census (`triangle_count`) gives one number.
     Same skew bound: out-degree ≤ O(√|E|), so wedge generation never
-    quadratic on hubs. Returns (node, degree, n_triangles) for every
-    node of the deduplicated undirected graph."""
-    from pyspark.sql import Window
-
+    quadratic on hubs. Degree decoration is the r12 agg+join shape
+    (see :func:`triangle_count`): one map-side-combined degree
+    aggregate (|V| rows, pinned once — it feeds two join branches and
+    the final degree column) instead of a 2|E| window sort + 2|E|
+    regroup. Returns (node, degree, n_triangles) for every node of
+    the deduplicated undirected graph."""
     e = edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y")).where(
         F.col("x") != F.col("y")
     )
@@ -537,22 +534,16 @@ def per_vertex_triangles(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    dir_edges = canon.select(
-        F.col("a").alias("n"), F.col("b").alias("other")
-    ).unionAll(canon.select(F.col("b").alias("n"), F.col("a").alias("other")))
-    decorated = dir_edges.withColumn(
-        "deg_n", F.count(F.lit(1)).over(Window.partitionBy("n"))
+    deg = (
+        canon.select(F.col("a").alias("n"))
+        .unionAll(canon.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .localCheckpoint(eager=True)
     )
-    withdeg = decorated.groupBy(
-        F.least("n", "other").alias("a"), F.greatest("n", "other").alias("b")
-    ).agg(
-        F.max(
-            F.when(F.col("n") == F.least("n", "other"), F.col("deg_n"))
-        ).alias("da"),
-        F.max(
-            F.when(F.col("n") == F.greatest("n", "other"), F.col("deg_n"))
-        ).alias("db"),
-    )
+    withdeg = canon.join(
+        deg.select(F.col("n").alias("a"), F.col("_deg").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("_deg").alias("db")), "b")
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
@@ -582,8 +573,8 @@ def per_vertex_triangles(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
-    degrees = dir_edges.groupBy(F.col("n").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("degree")
+    degrees = deg.select(
+        F.col("n").alias("node"), F.col("_deg").cast("long").alias("degree")
     )
     return degrees.join(tri_corners, "node", "left").select(
         "node",

@@ -822,8 +822,12 @@ def pq_assign_audit(
     the per-cell TOTAL accumulates in DECIMAL(38,0)/HUGEINT (r11 fix:
     an int64 total overflows past ~800k vectors per cell — billions at
     100 TB; an ANSI ArithmeticException at scale, the dhondt
-    int64-overflow class), with ONE division to double for the
-    mean.
+    int64-overflow class), with ONE division to double for the mean.
+    ``total_sq_err`` is EMITTED as STRING of the scale-0 decimal — the
+    r12 driver-stable output convention (registry module docstring):
+    DECIMAL output columns hash-fail the driver even when both engines
+    agree on the value; the decimal→string rendering is identical on
+    both engines at any magnitude.
     """
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
@@ -867,16 +871,19 @@ def pq_assign_audit(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
             F.sum(F.col("pq.err").cast("decimal(38,0)"))
             .cast("decimal(38,0)")
-            .alias("total_sq_err"),
+            .alias("_total_dec"),
         )
-        .withColumn(
-            "avg_err",
+        .select(
+            "subspace",
+            "code",
+            "n_vecs",
+            F.col("_total_dec").cast("string").alias("total_sq_err"),
             F.round(
-                F.col("total_sq_err").cast("double")
+                F.col("_total_dec").cast("double")
                 / F.col("n_vecs").cast("double")
                 / F.lit(1e12),
                 6,
-            ),
+            ).alias("avg_err"),
         )
     )
 

@@ -16,6 +16,20 @@ the order-insensitive value-hash comparison deterministic:
   and the oracle SQL (driver sorts columns by name before hashing).
 - **Ranking windows carry a total-order tiebreak** (unique key) so
   row_number is deterministic.
+- **No DECIMAL column is ever EMITTED** (r12 convention, from the r11
+  regression: `cms_join_size`, `spearman_rank_correlation`,
+  `pq_codebook_audit` went driver-red with rows/schema green purely
+  because their output schemas carried DECIMAL(38,0) — the driver's
+  Arrow value-hash normalizes int64 and strings identically on both
+  engines but NOT decimal128). DECIMAL(38,0)/HUGEINT accumulators stay
+  the required idiom for overflow-exact math; the EMITTED projection
+  must be BIGINT where the value provably fits at driver SFs with a
+  documented margin, or STRING of the scale-0 decimal (renders
+  identically on both engines at any magnitude) where 100 TB exactness
+  must survive in the output itself. Enforced by
+  ``tools/selfcheck.py:lint_result_types`` (fails ANY decimal output
+  column on EITHER engine; regression-tested in
+  ``tests/test_selfcheck_gate.py``).
 """
 
 from __future__ import annotations
@@ -9167,7 +9181,8 @@ assigned AS (
 )
 SELECT subspace, code,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       CAST(SUM(CAST(err AS HUGEINT)) AS DECIMAL(38,0)) AS total_sq_err,
+       CAST(CAST(SUM(CAST(err AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR)
+         AS total_sq_err,
        round(CAST(SUM(CAST(err AS HUGEINT)) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) / 1000000000000.0, 6) AS avg_err
 FROM assigned GROUP BY subspace, code
@@ -11343,7 +11358,12 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-size question answered from two grid-sized summaries. The
     exact size Σ n_o(k)·n_l(k) is computed alongside (one key join of
     two count tables) to pin the guaranteed-nonnegative sketch
-    overestimate. All BIGINT; the oracle replicates both paths."""
+    overestimate. est_size/overestimate accumulate in DECIMAL(38,0)
+    (the CMS estimate carries ~N_o*N_l/width collision mass, which
+    exceeds int64 long before the true join size does — r11 overflow
+    sweep) and are EMITTED as STRING of the scale-0 decimal — the r12
+    driver-stable output convention (module docstring). The oracle
+    replicates both paths."""
     from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sketches import (
         cms_inner_product,
     )
@@ -11370,12 +11390,10 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exact.crossJoin(F.broadcast(est)).select(
         "exact_size",
-        "est_size",
-        # est_size/overestimate are DECIMAL(38,0): the CMS estimate
-        # carries ~N_o*N_l/width collision mass, which exceeds int64
-        # long before the true join size does (r11 overflow sweep)
+        F.col("est_size").cast("string").alias("est_size"),
         (F.col("est_size") - F.col("exact_size"))
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("overestimate"),
     )
 
@@ -11411,8 +11429,9 @@ est AS (
 exact AS (
   SELECT CAST(SUM(o.n * l.n) AS BIGINT) AS exact_size
   FROM o JOIN l USING (key))
-SELECT exact_size, est_size,
-       CAST(est_size - exact_size AS DECIMAL(38,0)) AS overestimate
+SELECT exact_size, CAST(est_size AS VARCHAR) AS est_size,
+       CAST(CAST(est_size - exact_size AS DECIMAL(38,0)) AS VARCHAR)
+         AS overestimate
 FROM exact, est
 """
 
@@ -13691,13 +13710,19 @@ def q_spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     each type over many partitions, with per-(partition, group) offset
     cells broadcast back. Ranks are identical to the window form (the
     DuckDB oracle keeps row_number() OVER (PARTITION BY ...)). n² is
-    squared in DOUBLE on both engines: a BIGINT n·n wraps silently on
-    Spark past ~3e9 rows per group (non-ANSI) while DuckDB raises.
+    squared in DOUBLE on both engines: a BIGINT n·n overflows past
+    ~3e9 rows per group (a loud ANSI ArithmeticException on Spark —
+    pinned by tests/test_round12.py — and an error on DuckDB too).
     Σd² accumulates in DECIMAL(38,0)/HUGEINT and is EMITTED as
     DECIMAL(38,0) (r11 int64-overflow sweep: |d| < n makes Σd² ≤ n³,
     which overflows a LONG past ~2.1e6 rows per type — an ANSI
     ArithmeticException at scale — and d² itself overflows per-term
-    at n ~ 3e9, so the cast happens BEFORE the square)."""
+    at n ~ 3e9, so the cast happens BEFORE the square). sum_d2 is
+    EMITTED as STRING of the scale-0 decimal — the r12 driver-stable
+    output convention (module docstring): DECIMAL output columns
+    hash-fail the driver even when both engines agree on the value,
+    while the decimal→string rendering is identical on both engines
+    at any magnitude."""
     from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
         grouped_rank,
     )
@@ -13718,13 +13743,13 @@ def q_spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n").cast("double")
     return ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("_d") * F.col("_d")).cast("decimal(38,0)").alias("sum_d2"),
+        F.sum(F.col("_d") * F.col("_d")).cast("decimal(38,0)").alias("_sum_d2"),
     ).select(
         "event_type",
         "n",
-        "sum_d2",
+        F.col("_sum_d2").cast("string").alias("sum_d2"),
         F.round(
-            1 - (6.0 * F.col("sum_d2").cast("double")) / (nd * (nd * nd - 1)),
+            1 - (6.0 * F.col("_sum_d2").cast("double")) / (nd * (nd * nd - 1)),
             6,
         ).alias("spearman_rho"),
     )
@@ -13744,7 +13769,8 @@ ranked AS (
               ORDER BY tus ASC, event_id ASC) AS BIGINT) AS d
   FROM base)
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS DECIMAL(38,0))
+       CAST(CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS DECIMAL(38,0))
+            AS VARCHAR)
          AS sum_d2,
        round(1 - (6.0 * CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS DOUBLE))
              / (CAST(COUNT(*) AS DOUBLE)
@@ -14615,6 +14641,57 @@ ORDER BY shared_fp DESC, doc_a ASC, doc_b ASC LIMIT 100
 
 QUERIES["winnowing_overlap"] = q_winnowing_overlap
 ORACLES["winnowing_overlap"] = ORACLE_WINNOWING
+
+
+def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup spans
+    (operators.dedup_near.substring_dup_spans — Lee et al. 2022's
+    ExactSubstr layer, re-expressed for Spark): every maximal token
+    span repeated verbatim across ≥2 distinct documents at threshold
+    L=20 whitespace tokens, as (doc_id, span_start, span_end,
+    span_tokens). The suffix array is the single-node shape; here the
+    L-gram md5 table is linear in corpus tokens, dup detection is two
+    map-side-combinable aggregates, and the positions⋈dup-hash join
+    cannot amplify (per-key output = per-key input). All-BIGINT
+    output; the md5-hex gram hash is the repo's engine-portable
+    hashing trick, so both engines select identical duplicated
+    positions."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        substring_dup_spans,
+    )
+
+    return substring_dup_spans(
+        load_table(spark, sf_dir, "documents"), min_tokens=20
+    )
+
+
+ORACLE_SUBSTRING_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (
+  SELECT doc_id, t, len(t) - 20 + 1 AS npos FROM toks
+  WHERE len(t) - 20 + 1 >= 1),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+19], ' ')) AS h
+  FROM base, LATERAL (SELECT unnest(generate_series(1, npos)) AS i) g),
+dup AS (
+  SELECT h FROM (SELECT DISTINCT h, doc_id FROM grams)
+  GROUP BY h HAVING COUNT(*) >= 2),
+hits AS (
+  SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM dup)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 19 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 19 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+FROM runs GROUP BY doc_id, grp
+"""
+
+QUERIES["substring_dedup_spans"] = q_substring_dedup_spans
+ORACLES["substring_dedup_spans"] = ORACLE_SUBSTRING_DEDUP
 
 
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,158 @@
+"""Round-12 pins.
+
+1. The ANSI-mode fact (resolving the r11 CLAUDE.md-vs-ADVICE.md doc
+   contradiction): ``spark.sql.ansi.enabled`` is TRUE here — the Spark
+   4 build default, not a session override — so int64 overflow is a
+   loud ``ArithmeticException [ARITHMETIC_OVERFLOW]``, never a silent
+   wrap. Because ``get_spark`` never touches the conf, the driver's
+   VANILLA session shares the same build default; the static test pins
+   that non-override so a future tuning change can't silently split
+   the two sessions' semantics.
+
+2. The r12 driver-stable output convention: the three r11 hash-fail
+   queries (``cms_join_size``, ``spearman_rank_correlation``,
+   ``pq_codebook_audit``) keep their DECIMAL(38,0) accumulators but
+   EMIT string columns, and no registry query emits a decimal column
+   at all (the class the extended ``lint_result_types`` gate bans).
+"""
+
+from __future__ import annotations
+
+import inspect
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark import (
+    registry,
+    session,
+)
+
+
+def test_ansi_enabled_is_build_default_not_override():
+    # get_spark must NOT set spark.sql.ansi.enabled: the tuned session
+    # and the driver's vanilla session must share the build default,
+    # or overflow semantics would differ between selfcheck and driver.
+    src = inspect.getsource(session)
+    assert "ansi" not in src.lower()
+
+
+def test_ansi_enabled_true(spark):
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
+def test_int64_overflow_raises_loudly(spark):
+    # The fact the r11 overflow sweep's docs must cite: under ANSI a
+    # LONG sum/product overflow is an ArithmeticException
+    # [ARITHMETIC_OVERFLOW], NOT a silent wrap. (DuckDB's SUM(BIGINT)
+    # promotes to HUGEINT instead; its BIGINT * BIGINT raises.) Either
+    # way an int64 accumulator cannot answer at scale — DECIMAL(38,0)/
+    # HUGEINT accumulators are the fix, string/bigint the emitted type.
+    df = spark.createDataFrame([(2**62,), (2**62,)], "x long")
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        df.agg(F.sum("x")).collect()
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        df.select((F.col("x") * F.lit(4)).alias("y")).collect()
+
+
+@pytest.mark.parametrize(
+    "name", ["cms_join_size", "spearman_rank_correlation", "pq_codebook_audit"]
+)
+def test_r11_hash_fails_emit_strings(spark, name, sf_dir):
+    df = registry.QUERIES[name](spark, sf_dir)
+    decimal_cols = [c for c, t in df.dtypes if t.startswith("decimal")]
+    assert decimal_cols == []
+    string_cols = {c for c, t in df.dtypes if t == "string" and c != "event_type"}
+    assert string_cols  # the exact-at-100TB columns ride as strings
+
+
+def test_substring_dedup_spans_semantics(spark):
+    # Hand-built corpus: docs 1 and 2 share a verbatim 22-token run
+    # (tokens w0..w21), doc 3 is disjoint. At L=20 the shared run must
+    # come back as ONE maximal span per doc, with the correct 1-based
+    # token bounds, and doc 3 must be absent.
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        substring_dup_spans,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(22))
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c " + shared),  # shared run at tokens 4..25
+            (2, shared + " x y"),  # shared run at tokens 1..22
+            (3, " ".join(f"z{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in substring_dup_spans(docs, min_tokens=20).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert (rows[1]["span_start"], rows[1]["span_end"]) == (4, 25)
+    assert (rows[2]["span_start"], rows[2]["span_end"]) == (1, 22)
+    assert all(r["span_tokens"] == 22 for r in rows.values())
+
+
+def test_substring_dedup_spans_merges_runs(spark):
+    # Two overlapping duplicated regions in one doc merge into one
+    # maximal span; a second doc sharing only one of them gets its own.
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        substring_dup_spans,
+    )
+
+    a = " ".join(f"a{i}" for i in range(25))
+    b = " ".join(f"b{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (1, a + " " + b),  # both runs, adjacent → one 50-token span
+            (2, a + " q r s"),
+            (3, "p q " + b),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        substring_dup_spans(docs, min_tokens=20).collect(),
+        key=lambda r: (r["doc_id"], r["span_start"]),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: a-run spans tokens 1..25, b-run 26..50; duplicated L-gram
+    # START positions are 1..6 (a) and 26..31 (b) — non-contiguous, so
+    # they stay two spans (the bridge grams a..b are unique to doc 1)
+    assert [
+        (r["span_start"], r["span_end"]) for r in by_doc[1]
+    ] == [(1, 25), (26, 50)]
+    assert [(r["span_start"], r["span_end"]) for r in by_doc[2]] == [(1, 25)]
+    assert [(r["span_start"], r["span_end"]) for r in by_doc[3]] == [(3, 27)]
+
+
+def test_r11_trio_values_match_oracle(spark, sf_dir):
+    # Value-level parity at sf0.001 for the re-typed trio (the full
+    # driver-conditions check runs via tools/driver_replay.py; this is
+    # the in-suite regression net).
+    import duckdb
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.tables import (
+        TABLES,
+    )
+    from tools.selfcheck import lint_result_types, rows_key
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    for name in (
+        "cms_join_size",
+        "spearman_rank_correlation",
+        "pq_codebook_audit",
+    ):
+        sdf = registry.QUERIES[name](spark, sf_dir)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(registry.ORACLES[name])
+        arrow = res.arrow()
+        d_cols = arrow.schema.names
+        d_rows = [tuple(r) for r in zip(*[col.to_pylist() for col in arrow.columns])]
+        assert lint_result_types(sdf.dtypes, arrow.schema) == [], name
+        assert sorted(sdf.columns) == sorted(d_cols), name
+        assert rows_key(s_rows, sdf.columns) == rows_key(d_rows, list(d_cols)), name

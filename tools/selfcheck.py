@@ -49,22 +49,36 @@ def lint_result_types(spark_dtypes, arrow_schema):
     ``DataFrame.dtypes``. ``arrow_schema``: ``pyarrow.Schema`` of the
     DuckDB oracle result. Returns a list of problem strings.
 
-    Hard failure: an Arrow decimal column (DuckDB HUGEINT / DECIMAL)
-    whose Spark twin is not a decimal — the driver's value hasher
-    treats decimal128 and int64 as different even for equal values.
+    Hard failure: ANY decimal column in an EMITTED result schema, on
+    EITHER engine. The r3 class was an uncast DuckDB HUGEINT whose
+    Spark twin was bigint; the r11 class was both-sides DECIMAL(38,0)
+    outputs — values equal, local fetchall/collect comparison
+    normalizes Decimal and passes, but the driver's Arrow value-hash
+    of decimal128 differs and all three such queries went hash-red
+    (cms_join_size, spearman_rank_correlation, pq_codebook_audit).
+    Convention (registry module docstring): keep DECIMAL/HUGEINT
+    accumulators internal, emit BIGINT (documented margin) or STRING
+    of the scale-0 decimal.
     """
     import pyarrow.types as pat
 
     sd = {n: t for n, t in spark_dtypes}
     problems = []
+    for n, t in spark_dtypes:
+        if t.startswith("decimal"):
+            problems.append(
+                f"spark col {n!r} is {t}: decimal OUTPUT columns are "
+                f"driver-hash-unsafe (r11 regression) — keep the decimal "
+                f"accumulator internal and emit BIGINT or CAST(... AS STRING)"
+            )
     for field in arrow_schema:
         st = sd.get(field.name)
-        if st is None:
-            continue  # column-name mismatch is reported separately
-        if pat.is_decimal(field.type) and not st.startswith("decimal"):
+        if pat.is_decimal(field.type):
             problems.append(
-                f"oracle col {field.name!r} is {field.type} (HUGEINT/DECIMAL?) "
-                f"but spark col is {st}: cast the aggregate (CAST(... AS BIGINT))"
+                f"oracle col {field.name!r} is {field.type} (HUGEINT/DECIMAL?)"
+                f"{'' if st is None else f' (spark twin is {st})'}: decimal "
+                f"OUTPUT columns are driver-hash-unsafe — cast the aggregate "
+                f"(CAST(... AS BIGINT) or CAST(... AS VARCHAR))"
             )
     return problems
 
