@@ -907,35 +907,7 @@ def substring_dup_spans(
     heavy partition. The run-merge window partitions by ``id_col``
     (high-cardinality; per-doc rows bounded by document length, never
     corpus size — the winnowing/sessionize precedent)."""
-    toks = (
-        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_t"))
-        .select(
-            id_col,
-            "_t",
-            (F.size("_t") - min_tokens + 1).alias("_npos"),
-        )
-        .where(F.col("_npos") >= 1)
-    )
-    grams = toks.select(
-        id_col,
-        F.explode(F.sequence(F.lit(1), F.col("_npos"))).alias("pos"),
-        F.md5(
-            F.concat_ws(
-                " ", F.slice(F.col("_t"), F.col("pos"), min_tokens)
-            ).cast("binary")
-        ).alias("_h"),
-    )
-    # dedupe (hash, doc) first so the per-hash count is DISTINCT docs
-    # without count-distinct's Expand node
-    dup = (
-        grams.select("_h", id_col)
-        .distinct()
-        .groupBy("_h")
-        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
-        .where(F.col("_df") >= 2)
-        .select("_h")
-    )
-    hits = grams.join(dup, "_h").select(id_col, "pos")
+    _, hits = _substring_dup_hits(docs, min_tokens, id_col, text_col)
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = hits.withColumn(
         "_grp", F.col("pos") - F.row_number().over(w)
@@ -954,4 +926,182 @@ def substring_dup_spans(
             .cast("long")
             .alias("span_tokens"),
         )
+    )
+
+
+def _substring_dup_hits(
+    docs: DataFrame, min_tokens: int, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared detection core of :func:`substring_dup_spans` /
+    :func:`substring_dedup_apply`: returns ``(toks, hits)`` where
+    ``toks`` is EVERY doc as (id, _t token array, _npos gram count —
+    possibly < 1 for short docs) and ``hits`` the duplicated L-gram
+    occurrences (id, pos, _h) — grams whose md5 appears in ≥2 distinct
+    docs. See the callers' docstrings for the scale argument.
+
+    The gram build (explode → slice → concat → md5 per position) is
+    the expression-dense hot loop, so the input is ``parallelize``d
+    first (no-op on well-split production tables; spreads the
+    single-split test fixture — the module's shingle-path precedent)."""
+    toks = parallelize(docs).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
+    ).select(
+        id_col,
+        "_t",
+        (F.size("_t") - min_tokens + 1).alias("_npos"),
+    )
+    grams = toks.where(F.col("_npos") >= 1).select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.col("_npos"))).alias("pos"),
+        F.col("_t"),
+    ).select(
+        id_col,
+        "pos",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("_t"), F.col("pos"), min_tokens)
+            ).cast("binary")
+        ).alias("_h"),
+    )
+    # dedupe (hash, doc) first so the per-hash count is DISTINCT docs
+    # without count-distinct's Expand node. The eager localCheckpoint
+    # is broadcast-safety, not caching: Catalyst's STATIC size estimate
+    # of this filtered two-level aggregate is far below its true size
+    # (every gram duplicated ⇒ |dup| ~ |grams|), the static plan picks
+    # BroadcastHashJoin, and AQE never demotes a statically-planned
+    # broadcast — the 10× probe built a 302 MB broadcast (the r11
+    # estimate-miss class, executor OOM at 100×). Checkpointing gives
+    # the planner the TRUE size, so it broadcasts only when dup is
+    # genuinely small and shuffle-joins at scale.
+    dup = (
+        grams.select("_h", id_col)
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+        .where(F.col("_df") >= 2)
+        .select("_h")
+        .localCheckpoint(eager=True)
+    )
+    hits = grams.join(dup, "_h").select(id_col, "pos", "_h")
+    return toks, hits
+
+
+def substring_dedup_apply(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The CUT step of the Lee et al. 2022 ExactSubstr pipeline:
+    rewrite the corpus with cross-doc duplicated spans removed under a
+    deterministic first-occurrence representative policy, and certify
+    the rewrite with an engine-portable md5 of each document's kept
+    text.
+
+    Policy (run-granular): spans are the maximal duplicated runs of
+    :func:`substring_dup_spans`; spans are grouped by their OPENING
+    gram's hash, and within each group the span at the corpus-minimum
+    (doc_id, span_start) is the kept representative — every other
+    span in the group is cut whole. Deterministic and total (every
+    duplicated opening gram keeps exactly one copy); run-granular
+    rather than the paper's token-exact suffix-array cut, which is the
+    single-node formulation.
+
+    Returns per document: n_tokens, n_spans_removed, n_tokens_removed,
+    n_tokens_kept, kept_md5 (md5 of the space-joined kept tokens;
+    NULL when nothing is kept) — ALL docs appear, untouched docs with
+    zero removals and kept_md5 = md5(original tokens).
+
+    Scale shape: detection is :func:`_substring_dup_hits` (linear gram
+    table, combinable aggregates, amplification-free join). Spans per
+    doc are DISJOINT (merged runs), each ≥ min_tokens, so the per-doc
+    cut list is ≤ len(doc)/min_tokens entries — the collect_list
+    buffer is bounded by the document's own size/20, strictly smaller
+    than the input row every text operator already holds. The rewrite
+    itself is MAP-ONLY: the cut list rides a struct array onto the doc
+    row and the kept tokens fall out of one higher-order filter — the
+    corpus text never shuffles (tokens explode only inside DuckDB's
+    oracle; Spark keeps arrays in place)."""
+    toks, hits = _substring_dup_hits(docs, min_tokens, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+    spans = runs.groupBy(id_col, "_grp").agg(
+        F.min(F.struct(F.col("pos"), F.col("_h"))).alias("_first"),
+        (F.max("pos") + min_tokens - 1).cast("long").alias("span_end"),
+    ).select(
+        F.col(id_col),
+        F.col("_first.pos").cast("long").alias("span_start"),
+        "span_end",
+        F.col("_first._h").alias("_h0"),
+    )
+    # keep_one and cuts are data-proportional aggregate outputs joined
+    # against bigger sides — eager localCheckpoints give the planner
+    # their TRUE sizes (same estimate-miss guard as the dup table in
+    # _substring_dup_hits: a statically-underestimated broadcast is
+    # never demoted by AQE)
+    keep_one = spans.groupBy("_h0").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_start"))).alias("_k")
+    ).localCheckpoint(eager=True)
+    decided = spans.join(keep_one, "_h0").select(
+        id_col,
+        "span_start",
+        "span_end",
+        (
+            ~(
+                (F.col(id_col) == F.col(f"_k.{id_col}"))
+                & (F.col("span_start") == F.col("_k.span_start"))
+            )
+        ).alias("_removed"),
+    )
+    cuts = (
+        decided.where("_removed")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("_cuts"),
+            F.count(F.lit(1)).cast("long").alias("n_spans_removed"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    indexed = F.transform(
+        F.col("_t"),
+        lambda x, i: F.struct(
+            x.alias("tok"), (i + F.lit(1)).cast("long").alias("i")
+        ),
+    )
+    cut_arr = F.coalesce(
+        F.col("_cuts"),
+        F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            cut_arr,
+            lambda c: (s["i"] >= c["span_start"]) & (s["i"] <= c["span_end"]),
+        ),
+    )
+    n_removed = F.coalesce(F.col("n_tokens_removed"), F.lit(0)).cast("long")
+    return toks.join(cuts, id_col, "left").select(
+        F.col(id_col),
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_spans_removed"), F.lit(0))
+        .cast("long")
+        .alias("n_spans_removed"),
+        n_removed.alias("n_tokens_removed"),
+        (F.size("_t") - n_removed).cast("long").alias("n_tokens_kept"),
+        F.when(
+            (F.size("_t") - n_removed) == 0, F.lit(None).cast("string")
+        )
+        .otherwise(
+            F.md5(
+                F.concat_ws(
+                    " ", F.transform(kept, lambda s: s["tok"])
+                ).cast("binary")
+            )
+        )
+        .alias("kept_md5"),
     )

@@ -14694,6 +14694,90 @@ QUERIES["substring_dedup_spans"] = q_substring_dedup_spans
 ORACLES["substring_dedup_spans"] = ORACLE_SUBSTRING_DEDUP
 
 
+def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT step of Lee et al. 2022's ExactSubstr dedup
+    (operators.dedup_near.substring_dedup_apply): duplicated spans
+    grouped by opening-gram hash, the corpus-first (doc_id, span_start)
+    copy kept, every other copy removed whole; per-doc removal
+    accounting plus an md5 certificate of the kept text. The rewrite is
+    map-only on the Spark side (cut list rides a ≤len/20-entry struct
+    array onto the doc row, kept tokens fall out of one higher-order
+    filter — corpus text never shuffles); the DuckDB oracle rebuilds
+    the same kept text via exploded positions + ordered string_agg —
+    each engine its natural idiom, identical md5."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        substring_dedup_apply,
+    )
+
+    return substring_dedup_apply(
+        load_table(spark, sf_dir, "documents"), min_tokens=20
+    )
+
+
+ORACLE_SUBSTRING_APPLY = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (
+  SELECT doc_id, t, len(t) - 20 + 1 AS npos FROM toks),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+19], ' ')) AS h
+  FROM base, LATERAL (SELECT unnest(generate_series(1, npos)) AS i) g
+  WHERE npos >= 1),
+dup AS (
+  SELECT h FROM (SELECT DISTINCT h, doc_id FROM grams)
+  GROUP BY h HAVING COUNT(*) >= 2),
+hits AS (
+  SELECT doc_id, pos, h FROM grams WHERE h IN (SELECT h FROM dup)),
+runs AS (
+  SELECT doc_id, pos, h,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits),
+spans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(MAX(pos) + 19 AS BIGINT) AS span_end,
+         (min({'p': pos, 'h': h})).h AS h0
+  FROM runs GROUP BY doc_id, grp),
+keep1 AS (
+  SELECT h0, min({'d': doc_id, 's': span_start}) AS k
+  FROM spans GROUP BY h0),
+decided AS (
+  SELECT s.doc_id, s.span_start, s.span_end,
+         NOT (s.doc_id = (k).d AND s.span_start = (k).s) AS removed
+  FROM spans s JOIN keep1 USING (h0)),
+cutagg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_spans_removed,
+         CAST(SUM(span_end - span_start + 1) AS BIGINT) AS n_tokens_removed
+  FROM decided WHERE removed GROUP BY doc_id),
+cutpos AS (
+  SELECT doc_id, unnest(generate_series(span_start, span_end)) AS i
+  FROM decided WHERE removed),
+tokpos AS (
+  SELECT doc_id, i, t[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+keptagg AS (
+  SELECT tp.doc_id, md5(string_agg(tp.tok, ' ' ORDER BY tp.i)) AS kept_md5
+  FROM tokpos tp
+  WHERE NOT EXISTS (SELECT 1 FROM cutpos c
+                    WHERE c.doc_id = tp.doc_id AND c.i = tp.i)
+  GROUP BY tp.doc_id)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(ca.n_spans_removed, 0) AS BIGINT) AS n_spans_removed,
+       CAST(COALESCE(ca.n_tokens_removed, 0) AS BIGINT) AS n_tokens_removed,
+       CAST(len(t.t) - COALESCE(ca.n_tokens_removed, 0) AS BIGINT)
+         AS n_tokens_kept,
+       k.kept_md5
+FROM toks t
+LEFT JOIN cutagg ca USING (doc_id)
+LEFT JOIN keptagg k USING (doc_id)
+"""
+
+QUERIES["substring_dedup_apply"] = q_substring_dedup_apply
+ORACLES["substring_dedup_apply"] = ORACLE_SUBSTRING_APPLY
+
+
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order baskets: directional
     A→B rules with support ≥ 3 co-purchases, scored by confidence

@@ -128,6 +128,72 @@ def test_substring_dedup_spans_merges_runs(spark):
     assert [(r["span_start"], r["span_end"]) for r in by_doc[3]] == [(3, 27)]
 
 
+def test_substring_dedup_apply_keeps_first_occurrence(spark):
+    import hashlib
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        substring_dedup_apply,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(22))
+    d3_text = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c " + shared),  # span at 4..25, NOT corpus-first
+            (2, shared + " x y"),  # span at 1..22 — (2,1) > (1,4)? No:
+            # keeper is min (doc_id, span_start) = doc 1 → doc 1 keeps
+            (3, d3_text),  # untouched
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in substring_dedup_apply(docs, 20).collect()}
+    # doc 1 holds (1, 4) < (2, 1) in the (doc, start) order → doc 1
+    # keeps its copy, doc 2 is cut
+    assert rows[1]["n_tokens_removed"] == 0
+    assert rows[1]["kept_md5"] == hashlib.md5(
+        ("a b c " + shared).encode()
+    ).hexdigest()
+    assert rows[2]["n_spans_removed"] == 1
+    assert rows[2]["n_tokens_removed"] == 22
+    assert rows[2]["n_tokens_kept"] == 2
+    assert rows[2]["kept_md5"] == hashlib.md5(b"x y").hexdigest()
+    # untouched doc: zero removals, md5 of the original text
+    assert rows[3]["n_tokens_removed"] == 0
+    assert rows[3]["kept_md5"] == hashlib.md5(d3_text.encode()).hexdigest()
+
+
+def test_substring_dedup_apply_full_removal_is_null(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        substring_dedup_apply,
+    )
+
+    t = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in substring_dedup_apply(docs, 20).collect()}
+    assert rows[1]["n_tokens_removed"] == 0  # corpus-first copy kept
+    assert rows[2]["n_tokens_kept"] == 0  # duplicate fully cut
+    assert rows[2]["kept_md5"] is None
+
+
+def test_triangle_plans_have_no_window(spark, sf01_dir):
+    # The r12 degree-decoration rewrite: triangle_count /
+    # per_vertex_triangles must decorate degrees with a combinable
+    # aggregate + joins, never a WindowExec over the 2|E| directed
+    # copies (the pre-r12 shape sorted the whole directed edge list).
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.plans.explain import (
+        physical_plan,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.registry import (
+        QUERIES,
+    )
+
+    for name in ("copurchase_triangles", "local_clustering_topk"):
+        plan = physical_plan(QUERIES[name](spark, sf01_dir))
+        assert "Window" not in plan, f"{name} regressed to window decoration"
+
+
 def test_r11_trio_values_match_oracle(spark, sf_dir):
     # Value-level parity at sf0.001 for the re-typed trio (the full
     # driver-conditions check runs via tools/driver_replay.py; this is
