@@ -14778,6 +14778,69 @@ QUERIES["substring_dedup_apply"] = q_substring_dedup_apply
 ORACLES["substring_dedup_apply"] = ORACLE_SUBSTRING_APPLY
 
 
+def q_contamination_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-granular decontamination measurement
+    (operators.decontaminate.contamination_spans — the GPT-3
+    appendix-C longest-collision metric): the held-out benchmark is
+    the deterministic doc_id % 7 == 0 slice; for every corpus doc
+    colliding with it on a verbatim ≥8-token span, the longest such
+    span (diagonal-run scan over positional 8-gram md5 matches), the
+    benchmark doc achieving it (total-order argmax: span desc, bench
+    doc asc), and the count of colliding benchmark docs. The
+    span-length complement of `decontamination_flags`' shared-gram
+    count — one verbatim quote outweighs many scattered grams."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.decontaminate import (
+        contamination_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return contamination_spans(
+        d.filter(F.col("doc_id") % 7 != 0),
+        d.filter(F.col("doc_id") % 7 == 0),
+        min_tokens=8,
+    )
+
+
+ORACLE_CONTAMINATION_SPANS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+c AS (SELECT doc_id AS cd, t FROM toks WHERE doc_id % 7 != 0),
+b AS (SELECT doc_id AS bd, t FROM toks WHERE doc_id % 7 = 0),
+cg AS (
+  SELECT cd, i AS cp, md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM c, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+  WHERE len(t) >= 8),
+bg AS (
+  SELECT bd, i AS bp, md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM b, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+  WHERE len(t) >= 8),
+bkeep AS (SELECT h FROM bg GROUP BY h HAVING COUNT(*) <= 20),
+bg2 AS (SELECT * FROM bg WHERE h IN (SELECT h FROM bkeep)),
+pairs AS (
+  SELECT cd, bd, cp, cp - bp AS diag FROM cg JOIN bg2 USING (h)),
+runs AS (
+  SELECT cd, bd, diag, cp,
+         cp - row_number() OVER (PARTITION BY cd, bd, diag ORDER BY cp)
+           AS grp
+  FROM pairs),
+spans AS (
+  SELECT cd, bd, MAX(cp) - MIN(cp) + 8 AS span
+  FROM runs GROUP BY cd, bd, diag, grp),
+pair_best AS (
+  SELECT cd, bd, CAST(MAX(span) AS BIGINT) AS best_span
+  FROM spans GROUP BY cd, bd)
+SELECT cd AS doc_id,
+       CAST(MAX(best_span) AS BIGINT) AS longest_span_tokens,
+       CAST((min({'s': -best_span, 'd': bd})).d AS BIGINT)
+         AS best_bench_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_bench_docs
+FROM pair_best GROUP BY cd
+"""
+
+QUERIES["contamination_span_report"] = q_contamination_span_report
+ORACLES["contamination_span_report"] = ORACLE_CONTAMINATION_SPANS
+
+
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order baskets: directional
     A→B rules with support ≥ 3 co-purchases, scored by confidence

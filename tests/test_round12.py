@@ -194,6 +194,43 @@ def test_triangle_plans_have_no_window(spark, sf01_dir):
         assert "Window" not in plan, f"{name} regressed to window decoration"
 
 
+def test_contamination_spans_semantics(spark):
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.decontaminate import (
+        contamination_spans,
+    )
+
+    w = [f"w{i}" for i in range(30)]
+    bench = spark.createDataFrame(
+        [
+            (100, " ".join(w)),  # the benchmark doc
+            (200, "p q " + " ".join(w[10:20])),  # shares w10..w19 with 100
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x y " + " ".join(w[5:20])),  # 15-token verbatim quote
+            (2, " ".join(w[0:8]) + " z z z"),  # exactly an 8-token span
+            (3, " ".join(w[0:7]) + " u v t s"),  # 7 shared — below L, absent
+            (4, " ".join(w[10:20])),  # 10 tokens, in BOTH bench docs
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in contamination_spans(corpus, bench, min_tokens=8).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    assert rows[1]["longest_span_tokens"] == 15
+    assert rows[1]["best_bench_doc"] == 100
+    assert rows[2]["longest_span_tokens"] == 8
+    # doc 4 ties at span 10 across bench 100 and 200 → argmax tiebreak
+    # is the SMALLER bench doc, and both collisions are counted
+    assert rows[4]["longest_span_tokens"] == 10
+    assert rows[4]["best_bench_doc"] == 100
+    assert rows[4]["n_bench_docs"] == 2
+
+
 def test_r11_trio_values_match_oracle(spark, sf_dir):
     # Value-level parity at sf0.001 for the re-typed trio (the full
     # driver-conditions check runs via tools/driver_replay.py; this is
