@@ -30,6 +30,7 @@ Writes BROADCAST_AUDIT.md + BROADCAST_AUDIT.json at the repo root.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -120,7 +121,21 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and keep going
             results[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
             print(name, results[name])
-    with open("/root/repo/BROADCAST_AUDIT.json", "w") as fh:
+    # Subset runs MERGE into the existing audit instead of clobbering
+    # it (r12 lesson, same as scale_probe): a 3-query probe must not
+    # replace the 358-row artifact. Flags are recomputed over the
+    # merged result set; the regenerated md below reflects the merge.
+    path = "/root/repo/BROADCAST_AUDIT.json"
+    if only and os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh)
+        merged = dict(prior.get("queries", {}))
+        merged.update(results)
+        results = merged
+        flagged = sorted(
+            n for n, r in results.items() if r.get("flags")
+        )
+    with open(path, "w") as fh:
         json.dump({"flagged": flagged, "queries": results}, fh, indent=1)
     lines = [
         "# BROADCAST_AUDIT — hint-forced broadcast growth probe",

@@ -187,9 +187,21 @@ def main() -> None:
             results.append({"query": name, "err": f"{type(exc).__name__}: {exc}"[:300]})
             print(results[-1])
     label = "SF1" if copies == 10 else f"SF{copies // 10}"
-    with open(f"/root/repo/SCALE_{label}.json", "w") as fh:
+    path = f"/root/repo/SCALE_{label}.json"
+    # Subset runs MERGE into the existing evidence file instead of
+    # clobbering it (r12 lesson: a 1-query probe silently replaced the
+    # 32-row r11 file). A full default-list run still rewrites.
+    if args and os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh)
+        if prior.get("copies") == copies:
+            merged = {r["query"]: r for r in prior.get("results", [])}
+            for r in results:
+                merged[r["query"]] = r
+            results = list(merged.values())
+    with open(path, "w") as fh:
         json.dump({"copies": copies, "results": results}, fh, indent=1)
-    print(f"wrote SCALE_{label}.json")
+    print(f"wrote SCALE_{label}.json ({len(results)} rows)")
 
 
 if __name__ == "__main__":
