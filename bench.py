@@ -36,23 +36,37 @@ HEADLINE = [
 ]
 
 
-def _settle_load(threshold: float = 2.0, max_wait_s: float = 180.0) -> bool:
-    """Bench hygiene (r11 judge item 5): the official r11 run started at
-    loadavg 5 and its per-query numbers were noise above ~1.3x, costing
-    five standalone re-adjudications. A run must never start hot: wait
-    (up to ``max_wait_s``) for the 1-min load to drop below
-    ``threshold``; if it never does, proceed — the contract is that
-    this script ALWAYS prints its JSON line — but return False so the
-    artifact carries a prominent ``load_contaminated`` flag that
-    bench_diff and the judge can see without archaeology."""
+def _settle_load(
+    threshold: float = 2.0,
+    threshold_5min: float = 3.0,
+    max_wait_s: float = 600.0,
+) -> bool:
+    """Bench hygiene (r11 judge item 5; 5-min gate added per the r12
+    verdict): the official r11 run started at loadavg 5 and its
+    per-query numbers were noise above ~1.3x, costing five standalone
+    re-adjudications; the r12 run passed the 1-min gate at 2.07 while
+    the 5-MIN average was still 4.98 (machine draining) and read ~11%
+    hot, costing two more. A run must never start hot OR draining:
+    wait (up to ``max_wait_s``) until the 1-min load is below
+    ``threshold`` AND the 5-min load below ``threshold_5min``; if that
+    never happens, proceed — the contract is that this script ALWAYS
+    prints its JSON line — but return False so the artifact carries a
+    prominent ``load_contaminated`` flag that bench_diff and the judge
+    can see without archaeology. max_wait is 10 min because a drained
+    5-min average takes ~5 min of quiet to decay by construction."""
     if not hasattr(os, "getloadavg"):
         return True
+
+    def _quiet() -> bool:
+        la = os.getloadavg()
+        return la[0] < threshold and la[1] < threshold_5min
+
     deadline = time.time() + max_wait_s
     while time.time() < deadline:
-        if os.getloadavg()[0] < threshold:
+        if _quiet():
             return True
         time.sleep(10)
-    return os.getloadavg()[0] < threshold
+    return _quiet()
 
 
 def main() -> None:

@@ -193,3 +193,205 @@ def bigram_familiarity(
             ),
         )
     )
+
+
+# Shared surprisal expression of the interpolated Kneser-Ney trigram LM
+# (kn_perplexity_filter + its DuckDB oracle build the SAME SQL fragment
+# from this template, so both engines execute an IDENTICAL scalar
+# expression tree on identical integer count inputs — r9 float-taxonomy
+# class 1: composed expression arithmetic is bit-equal; the final
+# micro-nat round is the only discretization). `0.75e0` is scientific
+# notation deliberately: a bare `0.75` literal parses as DECIMAL in
+# both Spark SQL strings and DuckDB, silently switching the arithmetic
+# to decimal (the registry's decimal-literal trap).
+KN_SURPRISAL_MICRO_SQL = """
+CAST(round(-ln(
+  (c3 - 0.75e0) / c2 + (0.75e0 * n_follow / c2) * (
+    (cont23 - 0.75e0) / tot2 + (0.75e0 * types2 / tot2) * (cont_u / btot)
+  )
+) * 1000000) AS BIGINT)
+""".strip()
+
+
+def kn_perplexity_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_threshold_micronats: int | None = None,
+) -> DataFrame:
+    """Interpolated Kneser-Ney trigram-LM perplexity filter — the
+    KenLM-class curation page (CCNet §4.1 trains exactly this shape and
+    thresholds documents on per-token perplexity; Wenzek et al. 2020).
+    Sits between the unigram ``lm_quality_filter`` (operators.text) and
+    ``bigram_familiarity`` above: a real backoff LM, trained on the
+    corpus itself and applied as a map-shaped scoring pass.
+
+    Model (absolute discount D = 0.75, all quantities derived from the
+    corpus trigram-type table — the self-contained convention):
+
+    * ``P(w3|w1,w2) = (c3−D)/c2 + D·N1+(w1 w2 •)/c2 · P(w3|w2)``
+    * ``P(w3|w2) = (N1+(• w2 w3)−D)/N1+(• w2 •)
+      + D·N1+(w2 •)/N1+(• w2 •) · P(w3)``
+    * ``P(w3) = N1+(• w3)/N1+(• •)`` (bigram types from the trigram
+      table's (w2,w3) projection).
+
+    Every scored trigram was trained on (count ≥ 1 > D), so no max(·,0)
+    guards are needed and every probability is strictly positive. The
+    per-trigram surprisal ``−ln P`` is computed ONCE PER TRIGRAM TYPE
+    as the shared ``KN_SURPRISAL_MICRO_SQL`` expression on exact
+    integer counts, rounded to integer micro-nats (the
+    ``jsd_source_divergence`` convention), then occurrence-weighted
+    into per-document BIGINT sums — order-free and engine-exact.
+    Mean surprisal per token uses integer division (Spark ``div`` /
+    DuckDB ``//``, the pinned pair).
+
+    Operating point: the score distribution SHIFTS with corpus size
+    (a bigger corpus has more trigram types, so typical surprisal
+    rises — measured sf0.01 median 3.03M vs sf0.1 median 3.35M
+    micro-nats), so a frozen ABSOLUTE threshold cannot hold a keep
+    rate across SFs. The default is therefore distribution-RELATIVE
+    (the CLAUDE.md r11 calibrated-operating-point rule, and what CCNet
+    actually does — it thresholds on perplexity-distribution
+    percentiles, not absolute perplexity): keep = mean_micronats ≤ the
+    corpus MEAN of mean_micronats, computed as an exact integer
+    ``SUM div COUNT`` — order-free, engine-identical, ~50% keep at
+    every SF. Pass ``keep_threshold_micronats`` to pin an absolute
+    operating point instead.
+
+    Emits ``(id, n_trigrams, surprisal_micronats, mean_micronats,
+    keep)`` for documents with ≥1 trigram (shorter docs carry no
+    signal and drop symmetrically on both engines).
+
+    Overflow audit (r11 discipline): per-trigram micro-nat surprisal is
+    bounded by −ln(D²·1/N1+(••))·1e6 ≈ 2·ln(corpus bigram types)·1e6 ≲
+    6e7 at 100 TB; an occurrence-weighted doc sum wraps a LONG only
+    past ~1.5e11 tokens IN ONE DOCUMENT — five orders of magnitude of
+    margin over any real document. The relative-threshold sum
+    (Σ mean_micronats ≤ 6e7·|docs|) wraps past ~1.5e11 documents;
+    a 100 TB corpus of ≥1 KB docs has ≤1e11 — documented ≥30× margin.
+
+    Scale shape: one explode builds trigram occurrences (scanned twice
+    — cheap projection, the ``_substring_dup_hits`` precedent); the
+    trigram-TYPE table and every model table derived from it get eager
+    ``localCheckpoint``s — they are data-proportional aggregates joined
+    against bigger sides, the r12 statically-underestimated-broadcast
+    class that AQE never demotes. Scoring decorates trigram TYPES (not
+    occurrences) through four keyed joins, then one amplification-free
+    (doc, trigram)→type join and a per-doc hash aggregate. No windows,
+    nothing quadratic, corpus text never shuffles past the explode.
+    """
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.text import (
+        tokens,
+    )
+
+    t = tokens(text_col)
+    n3 = F.greatest(F.size(t) - 2, F.lit(0))
+    occ = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.when(
+                F.size(t) < 3,
+                F.array().cast("array<struct<w1:string,w2:string,w3:string>>"),
+            ).otherwise(
+                F.zip_with(
+                    F.slice(t, 1, n3),
+                    F.zip_with(
+                        F.slice(t, 2, n3),
+                        F.slice(t, 3, n3),
+                        lambda b, c: F.struct(b.alias("w2"), c.alias("w3")),
+                    ),
+                    lambda a, bc: F.struct(
+                        a.alias("w1"), bc["w2"].alias("w2"), bc["w3"].alias("w3")
+                    ),
+                )
+            )
+        ).alias("g"),
+    ).select("_id", "g.w1", "g.w2", "g.w3")
+    tri = (
+        occ.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c3"))
+        .localCheckpoint(eager=True)
+    )
+    big = (
+        tri.groupBy("w1", "w2")
+        .agg(
+            F.sum("c3").cast("long").alias("c2"),
+            F.count(F.lit(1)).cast("long").alias("n_follow"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lvl2 = (
+        tri.groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("cont23"))
+        .localCheckpoint(eager=True)
+    )
+    w2stats = (
+        lvl2.groupBy("w2")
+        .agg(
+            F.sum("cont23").cast("long").alias("tot2"),
+            F.count(F.lit(1)).cast("long").alias("types2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    uni = (
+        lvl2.groupBy("w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("cont_u"))
+        .localCheckpoint(eager=True)
+    )
+    btot = lvl2.agg(F.count(F.lit(1)).cast("long").alias("btot"))
+    scored_types = (
+        tri.join(big, ["w1", "w2"])
+        .join(lvl2, ["w2", "w3"])
+        .join(w2stats, "w2")
+        .join(uni, "w3")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.expr(KN_SURPRISAL_MICRO_SQL).alias("_micro"),
+        )
+    )
+    per_doc = occ.groupBy("_id", "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("_k")
+    )
+    doc_scores = (
+        per_doc.join(scored_types, ["w1", "w2", "w3"])
+        .groupBy("_id")
+        .agg(
+            F.sum("_k").cast("long").alias("n_trigrams"),
+            F.sum(F.col("_k") * F.col("_micro"))
+            .cast("long")
+            .alias("surprisal_micronats"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_trigrams",
+            "surprisal_micronats",
+            F.expr("surprisal_micronats div n_trigrams").alias(
+                "mean_micronats"
+            ),
+        )
+    )
+    if keep_threshold_micronats is not None:
+        return doc_scores.select(
+            "*",
+            (F.col("mean_micronats") <= keep_threshold_micronats).alias(
+                "keep"
+            ),
+        )
+    # Relative operating point: both branches below must see ONE
+    # materialization (multi-reference pin; also |docs|-sized — tiny
+    # next to the corpus), and the 1-row threshold is a domain-bounded
+    # broadcast per the r11 hint policy.
+    doc_scores = doc_scores.localCheckpoint(eager=True)
+    thr = doc_scores.agg(
+        F.expr("sum(mean_micronats) div count(1)").alias("_thr")
+    )
+    return doc_scores.crossJoin(F.broadcast(thr)).select(
+        id_col,
+        "n_trigrams",
+        "surprisal_micronats",
+        "mean_micronats",
+        (F.col("mean_micronats") <= F.col("_thr")).alias("keep"),
+    )

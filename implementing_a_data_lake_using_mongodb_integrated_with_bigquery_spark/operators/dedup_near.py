@@ -986,6 +986,46 @@ def _substring_dup_hits(
     return toks, hits
 
 
+def _decided_spans(
+    hits: DataFrame, min_tokens: int, id_col: str
+) -> DataFrame:
+    """Shared span-decision core of :func:`substring_dedup_apply` /
+    :func:`substring_dedup_apply_exact`: merge the duplicated-gram
+    ``hits`` into maximal per-doc runs, group runs by OPENING-gram
+    hash, keep the corpus-minimum (doc, span_start) copy per group,
+    and return (id, span_start, span_end, _removed).
+
+    The keep_one aggregate output is data-proportional and joined
+    against the bigger span side — the eager localCheckpoint gives the
+    planner its TRUE size (the r11 estimate-miss guard: a
+    statically-underestimated broadcast is never demoted by AQE)."""
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+    spans = runs.groupBy(id_col, "_grp").agg(
+        F.min(F.struct(F.col("pos"), F.col("_h"))).alias("_first"),
+        (F.max("pos") + min_tokens - 1).cast("long").alias("span_end"),
+    ).select(
+        F.col(id_col),
+        F.col("_first.pos").cast("long").alias("span_start"),
+        "span_end",
+        F.col("_first._h").alias("_h0"),
+    )
+    keep_one = spans.groupBy("_h0").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_start"))).alias("_k")
+    ).localCheckpoint(eager=True)
+    return spans.join(keep_one, "_h0").select(
+        id_col,
+        "span_start",
+        "span_end",
+        (
+            ~(
+                (F.col(id_col) == F.col(f"_k.{id_col}"))
+                & (F.col("span_start") == F.col("_k.span_start"))
+            )
+        ).alias("_removed"),
+    )
+
+
 def substring_dedup_apply(
     docs: DataFrame,
     min_tokens: int = 20,
@@ -1012,6 +1052,17 @@ def substring_dedup_apply(
     NULL when nothing is kept) — ALL docs appear, untouched docs with
     zero removals and kept_md5 = md5(original tokens).
 
+    Over-deletion bound (documented per the r12 ADVICE): the
+    run-granular policy guarantees one surviving copy per OPENING-gram
+    group, not per duplicated token — a removed run can extend past
+    its group representative's span, so tail content duplicated only
+    among removed runs can lose every copy. The worst case loses up to
+    ``run_length − min_tokens`` tokens of a duplicated tail per group.
+    When content preservation matters use
+    :func:`substring_dedup_apply_exact`, whose gram-representative
+    rescue keeps ≥1 verbatim copy of EVERY duplicated L-gram (its
+    removals are a provable subset of this function's — parity-tested).
+
     Scale shape: detection is :func:`_substring_dup_hits` (linear gram
     table, combinable aggregates, amplification-free join). Spans per
     doc are DISJOINT (merged runs), each ≥ min_tokens, so the per-doc
@@ -1023,36 +1074,7 @@ def substring_dedup_apply(
     corpus text never shuffles (tokens explode only inside DuckDB's
     oracle; Spark keeps arrays in place)."""
     toks, hits = _substring_dup_hits(docs, min_tokens, id_col, text_col)
-    w = Window.partitionBy(id_col).orderBy("pos")
-    runs = hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))
-    spans = runs.groupBy(id_col, "_grp").agg(
-        F.min(F.struct(F.col("pos"), F.col("_h"))).alias("_first"),
-        (F.max("pos") + min_tokens - 1).cast("long").alias("span_end"),
-    ).select(
-        F.col(id_col),
-        F.col("_first.pos").cast("long").alias("span_start"),
-        "span_end",
-        F.col("_first._h").alias("_h0"),
-    )
-    # keep_one and cuts are data-proportional aggregate outputs joined
-    # against bigger sides — eager localCheckpoints give the planner
-    # their TRUE sizes (same estimate-miss guard as the dup table in
-    # _substring_dup_hits: a statically-underestimated broadcast is
-    # never demoted by AQE)
-    keep_one = spans.groupBy("_h0").agg(
-        F.min(F.struct(F.col(id_col), F.col("span_start"))).alias("_k")
-    ).localCheckpoint(eager=True)
-    decided = spans.join(keep_one, "_h0").select(
-        id_col,
-        "span_start",
-        "span_end",
-        (
-            ~(
-                (F.col(id_col) == F.col(f"_k.{id_col}"))
-                & (F.col("span_start") == F.col("_k.span_start"))
-            )
-        ).alias("_removed"),
-    )
+    decided = _decided_spans(hits, min_tokens, id_col)
     cuts = (
         decided.where("_removed")
         .groupBy(id_col)
@@ -1096,6 +1118,152 @@ def substring_dedup_apply(
         F.when(
             (F.size("_t") - n_removed) == 0, F.lit(None).cast("string")
         )
+        .otherwise(
+            F.md5(
+                F.concat_ws(
+                    " ", F.transform(kept, lambda s: s["tok"])
+                ).cast("binary")
+            )
+        )
+        .alias("kept_md5"),
+    )
+
+
+def substring_dedup_apply_exact(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-exact ExactSubstr cut (Lee et al. 2022 §4.2 semantics:
+    keep exactly one verbatim copy of duplicated text, remove the
+    rest) — the precision tier above the run-granular
+    :func:`substring_dedup_apply`.
+
+    Policy: spans and span representatives are decided exactly as in
+    :func:`substring_dedup_apply` (maximal per-doc duplicated runs,
+    grouped by opening-gram hash, corpus-minimum copy kept), and every
+    KEPT span still survives whole. The difference is inside REMOVED
+    spans: any position covered by a GRAM-representative occurrence —
+    the corpus-minimum (doc, pos) occurrence of a duplicated L-gram's
+    hash — is RESCUED instead of cut. Consequences, both parity-tested:
+
+    * removals ⊆ the run-granular policy's removals (only removed-span
+      positions are ever cut, and strictly fewer of them);
+    * EVERY duplicated L-gram keeps ≥1 contiguous verbatim copy in the
+      rewritten corpus (its corpus-min occurrence lies either in a
+      kept span — whole — or in a removed span, where the rescue rule
+      protects all L of its positions). This closes the r12 ADVICE
+      over-deletion gap: tail content duplicated only among removed
+      runs can no longer lose every copy.
+
+    Returns per document: n_tokens, n_spans_removed (removed runs, as
+    in the run-granular variant), n_tokens_removed (exact),
+    n_tokens_rescued (run-granular removals minus exact removals),
+    n_tokens_kept, kept_md5 — ALL docs appear.
+
+    Scale shape: detection and span decision are shared with the run
+    variant (linear gram table, combinable aggregates,
+    amplification-free joins). The gram-representative table is one
+    map-side-combinable min-struct aggregate over the hits (never
+    buffering a group), and its per-doc protected intervals are
+    interval-MERGED before collection, so the per-doc `_prot` array is
+    bounded by the doc's own maximal-run count — dense rescue regions
+    collapse to single intervals (a corpus-first doc whose every gram
+    is representative collects ONE interval, not len(doc)). The
+    rewrite stays MAP-ONLY: removed spans and protected intervals ride
+    struct arrays onto the doc row; kept tokens fall out of one
+    higher-order filter; corpus text never shuffles."""
+    toks, hits = _substring_dup_hits(docs, min_tokens, id_col, text_col)
+    decided = _decided_spans(hits, min_tokens, id_col)
+    cuts = (
+        decided.where("_removed")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("_cuts"),
+            F.count(F.lit(1)).cast("long").alias("n_spans_removed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # Gram representatives: corpus-min (doc, pos) per duplicated hash.
+    # The min-struct aggregate is map-side combinable; the interval
+    # merge below partitions by id_col (high cardinality) and collapses
+    # overlapping/adjacent [pos, pos+L-1] windows so the collected
+    # per-doc list is bounded by the doc's run count, not its length.
+    reps = hits.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_r")
+    ).select(
+        F.col(f"_r.{id_col}").alias(id_col),
+        F.col("_r.pos").cast("long").alias("_ps"),
+        (F.col("_r.pos") + min_tokens - 1).cast("long").alias("_pe"),
+    )
+    wp = Window.partitionBy(id_col).orderBy("_ps")
+    prev_end = F.max("_pe").over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        reps.withColumn(
+            "_new",
+            F.when(
+                prev_end.isNull() | (F.col("_ps") > prev_end + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("_ivl", F.sum("_new").over(wp))
+        .groupBy(id_col, "_ivl")
+        .agg(
+            F.min("_ps").alias("_ps"),
+            F.max("_pe").alias("_pe"),
+        )
+    )
+    prot = (
+        merged.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("_ps", "_pe"))
+            ).alias("_prot")
+        )
+        .localCheckpoint(eager=True)
+    )
+    indexed = F.transform(
+        F.col("_t"),
+        lambda x, i: F.struct(
+            x.alias("tok"), (i + F.lit(1)).cast("long").alias("i")
+        ),
+    )
+    cut_arr = F.coalesce(
+        F.col("_cuts"),
+        F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+    )
+    prot_arr = F.coalesce(
+        F.col("_prot"), F.array().cast("array<struct<_ps:bigint,_pe:bigint>>")
+    )
+
+    def _in_cut(s):
+        return F.exists(
+            cut_arr,
+            lambda c: (s["i"] >= c["span_start"]) & (s["i"] <= c["span_end"]),
+        )
+
+    def _in_prot(s):
+        return F.exists(
+            prot_arr, lambda p: (s["i"] >= p["_ps"]) & (s["i"] <= p["_pe"])
+        )
+
+    kept = F.filter(indexed, lambda s: ~_in_cut(s) | _in_prot(s))
+    rescued = F.filter(indexed, lambda s: _in_cut(s) & _in_prot(s))
+    n_kept = F.size(kept).cast("long")
+    return toks.join(cuts, id_col, "left").join(prot, id_col, "left").select(
+        F.col(id_col),
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_spans_removed"), F.lit(0))
+        .cast("long")
+        .alias("n_spans_removed"),
+        (F.size("_t") - n_kept).cast("long").alias("n_tokens_removed"),
+        F.size(rescued).cast("long").alias("n_tokens_rescued"),
+        n_kept.alias("n_tokens_kept"),
+        F.when(n_kept == 0, F.lit(None).cast("string"))
         .otherwise(
             F.md5(
                 F.concat_ws(

@@ -14778,6 +14778,112 @@ QUERIES["substring_dedup_apply"] = q_substring_dedup_apply
 ORACLES["substring_dedup_apply"] = ORACLE_SUBSTRING_APPLY
 
 
+def q_substring_dedup_apply_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-exact ExactSubstr cut
+    (operators.dedup_near.substring_dedup_apply_exact — Lee et al.
+    2022's keep-one-copy semantics): spans and span representatives as
+    in substring_dedup_apply, but inside REMOVED spans any position
+    covered by a gram-representative occurrence (corpus-min (doc, pos)
+    of a duplicated 20-gram's md5) is rescued, so every duplicated
+    gram keeps ≥1 contiguous verbatim copy and removals are a provable
+    subset of the run-granular policy's. Map-only rewrite on the Spark
+    side (removed spans + merged protected intervals ride struct
+    arrays onto the doc row); the DuckDB oracle rebuilds the same kept
+    text via exploded positions with an EXISTS rescue clause —
+    identical md5 certificates."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        substring_dedup_apply_exact,
+    )
+
+    return substring_dedup_apply_exact(
+        load_table(spark, sf_dir, "documents"), min_tokens=20
+    )
+
+
+ORACLE_SUBSTRING_APPLY_EXACT = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (
+  SELECT doc_id, t, len(t) - 20 + 1 AS npos FROM toks),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+19], ' ')) AS h
+  FROM base, LATERAL (SELECT unnest(generate_series(1, npos)) AS i) g
+  WHERE npos >= 1),
+dup AS (
+  SELECT h FROM (SELECT DISTINCT h, doc_id FROM grams)
+  GROUP BY h HAVING COUNT(*) >= 2),
+hits AS (
+  SELECT doc_id, pos, h FROM grams WHERE h IN (SELECT h FROM dup)),
+runs AS (
+  SELECT doc_id, pos, h,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits),
+spans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(MAX(pos) + 19 AS BIGINT) AS span_end,
+         (min({'p': pos, 'h': h})).h AS h0
+  FROM runs GROUP BY doc_id, grp),
+keep1 AS (
+  SELECT h0, min({'d': doc_id, 's': span_start}) AS k
+  FROM spans GROUP BY h0),
+decided AS (
+  SELECT s.doc_id, s.span_start, s.span_end,
+         NOT (s.doc_id = (k).d AND s.span_start = (k).s) AS removed
+  FROM spans s JOIN keep1 USING (h0)),
+cutagg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_removed
+  FROM decided WHERE removed GROUP BY doc_id),
+reps AS (
+  SELECT min({'d': doc_id, 'p': pos}) AS r FROM hits GROUP BY h),
+prot AS (
+  SELECT (r).d AS doc_id, (r).p AS ps, (r).p + 19 AS pe FROM reps),
+cutpos AS (
+  SELECT doc_id, unnest(generate_series(span_start, span_end)) AS i
+  FROM decided WHERE removed),
+exactcut AS (
+  SELECT c.doc_id, c.i,
+         EXISTS (SELECT 1 FROM prot p
+                 WHERE p.doc_id = c.doc_id AND c.i BETWEEN p.ps AND p.pe)
+           AS rescued
+  FROM cutpos c),
+exagg AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN rescued THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_tokens_removed,
+         CAST(SUM(CASE WHEN rescued THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tokens_rescued
+  FROM exactcut GROUP BY doc_id),
+tokpos AS (
+  SELECT doc_id, i, t[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+keptagg AS (
+  SELECT tp.doc_id, md5(string_agg(tp.tok, ' ' ORDER BY tp.i)) AS kept_md5
+  FROM tokpos tp
+  WHERE NOT EXISTS (SELECT 1 FROM exactcut c
+                    WHERE c.doc_id = tp.doc_id AND c.i = tp.i
+                      AND NOT c.rescued)
+  GROUP BY tp.doc_id)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(ca.n_spans_removed, 0) AS BIGINT) AS n_spans_removed,
+       CAST(COALESCE(ea.n_tokens_removed, 0) AS BIGINT) AS n_tokens_removed,
+       CAST(COALESCE(ea.n_tokens_rescued, 0) AS BIGINT) AS n_tokens_rescued,
+       CAST(len(t.t) - COALESCE(ea.n_tokens_removed, 0) AS BIGINT)
+         AS n_tokens_kept,
+       k.kept_md5
+FROM toks t
+LEFT JOIN cutagg ca USING (doc_id)
+LEFT JOIN exagg ea USING (doc_id)
+LEFT JOIN keptagg k USING (doc_id)
+"""
+
+QUERIES["substring_dedup_apply_exact"] = q_substring_dedup_apply_exact
+ORACLES["substring_dedup_apply_exact"] = ORACLE_SUBSTRING_APPLY_EXACT
+
+
 def q_contamination_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-granular decontamination measurement
     (operators.decontaminate.contamination_spans — the GPT-3
@@ -20209,3 +20315,81 @@ GROUP BY d.lang
 
 QUERIES["dsir_importance_resample"] = q_dsir_importance_resample
 ORACLES["dsir_importance_resample"] = ORACLE_DSIR
+
+
+def q_kn_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram-LM perplexity filter
+    (operators.collocations.kn_perplexity_filter — the KenLM-class
+    CCNet §4.1 curation page): an absolute-discount (D=0.75) backoff
+    trigram LM trained on the corpus itself, per-document surprisal in
+    integer micro-nats (the jsd_source_divergence convention; the
+    −ln P expression is ONE shared SQL fragment executed by both
+    engines on exact integer count tables), keep decided against the
+    distribution-relative corpus-mean operating point (exact
+    SUM div COUNT — ~50% keep at every SF; an absolute threshold
+    cannot hold a keep rate because typical surprisal rises with
+    corpus size). Scoring is per trigram TYPE, then one
+    amplification-free (doc,trigram)→type join — map-shaped after two
+    rounds of count aggregates; corpus text never shuffles past the
+    explode."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.collocations import (
+        kn_perplexity_filter,
+    )
+
+    return kn_perplexity_filter(load_table(spark, sf_dir, "documents"))
+
+
+def _kn_oracle() -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.collocations import (
+        KN_SURPRISAL_MICRO_SQL,
+    )
+
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS MATERIALIZED (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g),
+tri AS MATERIALIZED (
+  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+  FROM occ GROUP BY 1, 2, 3),
+big AS MATERIALIZED (
+  SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c2,
+         CAST(COUNT(*) AS BIGINT) AS n_follow
+  FROM tri GROUP BY 1, 2),
+lvl2 AS MATERIALIZED (
+  SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cont23
+  FROM tri GROUP BY 1, 2),
+w2stats AS MATERIALIZED (
+  SELECT w2, CAST(SUM(cont23) AS BIGINT) AS tot2,
+         CAST(COUNT(*) AS BIGINT) AS types2
+  FROM lvl2 GROUP BY 1),
+uni AS MATERIALIZED (
+  SELECT w3, CAST(COUNT(*) AS BIGINT) AS cont_u FROM lvl2 GROUP BY 1),
+bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS btot FROM lvl2),
+scored AS MATERIALIZED (
+  SELECT w1, w2, w3,
+         {KN_SURPRISAL_MICRO_SQL} AS micro
+  FROM tri JOIN big USING (w1, w2) JOIN lvl2 USING (w2, w3)
+       JOIN w2stats USING (w2) JOIN uni USING (w3), bt),
+per_doc AS (
+  SELECT doc_id, w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS k
+  FROM occ GROUP BY 1, 2, 3, 4),
+ds AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(SUM(k) AS BIGINT) AS n_trigrams,
+         CAST(SUM(k * micro) AS BIGINT) AS surprisal_micronats,
+         CAST(SUM(k * micro) AS BIGINT) // CAST(SUM(k) AS BIGINT)
+           AS mean_micronats
+  FROM per_doc JOIN scored USING (w1, w2, w3) GROUP BY 1),
+thr AS (
+  SELECT CAST(SUM(mean_micronats) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+    AS t FROM ds)
+SELECT doc_id, n_trigrams, surprisal_micronats, mean_micronats,
+       mean_micronats <= t AS keep
+FROM ds, thr
+"""
+
+
+QUERIES["kn_perplexity_filter"] = q_kn_perplexity_filter
+ORACLES["kn_perplexity_filter"] = _kn_oracle()

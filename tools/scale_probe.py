@@ -190,7 +190,12 @@ def main() -> None:
     path = f"/root/repo/SCALE_{label}.json"
     # Subset runs MERGE into the existing evidence file instead of
     # clobbering it (r12 lesson: a 1-query probe silently replaced the
-    # 32-row r11 file). A full default-list run still rewrites.
+    # 32-row r11 file). A full default-list run still rewrites. When a
+    # subset run's copies count DIFFERS from the prior file's (two
+    # copies values can map to one label, e.g. 15 → SF1), merging would
+    # mix incomparable scales and overwriting would clobber evidence —
+    # refuse both: divert to a copies-suffixed path with a loud
+    # warning (r12 ADVICE).
     if args and os.path.exists(path):
         with open(path) as fh:
             prior = json.load(fh)
@@ -199,9 +204,17 @@ def main() -> None:
             for r in results:
                 merged[r["query"]] = r
             results = list(merged.values())
+        else:
+            path = f"/root/repo/SCALE_{label}_copies{copies}.json"
+            print(
+                f"WARNING: existing SCALE_{label}.json was produced with "
+                f"copies={prior.get('copies')}, this subset run used "
+                f"copies={copies} — refusing to merge or overwrite; "
+                f"writing {path} instead"
+            )
     with open(path, "w") as fh:
         json.dump({"copies": copies, "results": results}, fh, indent=1)
-    print(f"wrote SCALE_{label}.json ({len(results)} rows)")
+    print(f"wrote {os.path.basename(path)} ({len(results)} rows)")
 
 
 if __name__ == "__main__":
