@@ -20393,3 +20393,88 @@ FROM ds, thr
 
 QUERIES["kn_perplexity_filter"] = q_kn_perplexity_filter
 ORACLES["kn_perplexity_filter"] = _kn_oracle()
+
+
+def q_semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup centroid pruning (operators.similarity.
+    semdedup_centroid_prune — Abbas et al. 2023): each embedding
+    assigned to its nearest frozen-codebook cell (exact int64
+    distances, the stream_ivf_ingest codebook), scored by integer
+    micro-cosine to that centroid, and pruned one-representative-per
+    (cell, 0.002-wide cosine shell) — the pairs-free cheapest semantic
+    dedup tier (semantic_dedup_keep is the pairwise one). Map-only
+    scoring, one domain-bounded (cell × bucket ≤ 8000 rows) hash
+    aggregate broadcast back. Calibrated operating point: 75% keep at
+    sf0.01, 42% at sf0.1 — keep rate falls as corpus density grows,
+    the direction semantic dedup is for."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        pq_codebooks,
+        semdedup_centroid_prune,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = pq_codebooks(1, 8, 64)[0]
+    return semdedup_centroid_prune(emb, cents, dim=64, eps_micro=2000)
+
+
+def _oracle_semdedup(k: int = 8, dim: int = 64, eps: int = 2000) -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    cents = pq_codebooks(1, k, dim)[0]
+    dists = ", ".join(
+        "("
+        + " + ".join(
+            f"(e[{i + 1}] - ({cents[j][i]})) * (e[{i + 1}] - ({cents[j][i]}))"
+            for i in range(dim)
+        )
+        + f") AS d{j}"
+        for j in range(k)
+    )
+    dots = ", ".join(
+        "("
+        + " + ".join(f"e[{i + 1}] * ({cents[j][i]})" for i in range(dim))
+        + f") AS t{j}"
+        for j in range(k)
+    )
+    se = " + ".join(f"e[{i + 1}] * e[{i + 1}]" for i in range(dim))
+    whens = " ".join(
+        f"WHEN {' AND '.join(f'd{j} <= d{jj}' for jj in range(j + 1, k))} THEN {j}"
+        for j in range(k - 1)
+    )
+    tsel = " ".join(f"WHEN {j} THEN t{j}" for j in range(k))
+    scsel = " ".join(
+        f"WHEN {j} THEN {sum(c * c for c in cents[j])}" for j in range(k)
+    )
+    return f"""
+WITH ints AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e
+  FROM embeddings),
+feats AS (
+  SELECT vec_id, {dists}, {dots}, ({se}) AS se FROM ints),
+assigned AS (
+  SELECT vec_id, CAST(CASE {whens} ELSE {k - 1} END AS BIGINT) AS cell,
+         {", ".join(f"t{j}" for j in range(k))}, se
+  FROM feats),
+scored AS (
+  SELECT vec_id, cell,
+         CAST(floor((CASE cell {tsel} END)
+             / sqrt(CAST(se AS DOUBLE)
+                    * CAST((CASE cell {scsel} END) AS DOUBLE))
+             * 1000000.0) AS BIGINT) AS cos_micro
+  FROM assigned),
+bucketed AS (
+  SELECT vec_id, cell, cos_micro,
+         (cos_micro + 1000000) // {eps} AS bucket
+  FROM scored),
+reps AS (
+  SELECT cell, bucket, MIN(vec_id) AS rep FROM bucketed GROUP BY 1, 2)
+SELECT b.vec_id, b.cell, b.cos_micro, b.bucket, b.vec_id = r.rep AS keep
+FROM bucketed b JOIN reps r USING (cell, bucket)
+"""
+
+
+QUERIES["semdedup_centroid_prune"] = q_semdedup_centroid_prune
+ORACLES["semdedup_centroid_prune"] = _oracle_semdedup()

@@ -212,3 +212,37 @@ def test_kn_perplexity_filter_short_docs_drop(spark):
     )
     got = {r["doc_id"] for r in kn_perplexity_filter(docs).collect()}
     assert got == {3}
+
+
+def test_semdedup_centroid_prune_semantics(spark):
+    """Identical vectors share a (cell, bucket) and only the min id
+    survives; a far-away direction keeps independently; every vector
+    appears exactly once with a keep flag."""
+    import hashlib as _h  # noqa: F401  (keep import style consistent)
+
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        pq_codebooks,
+        semdedup_centroid_prune,
+    )
+
+    dim = 64
+    base = [((i * 37) % 101 - 50) / 100.0 for i in range(dim)]
+    other = [((i * 53) % 89 - 44) / -90.0 for i in range(dim)]
+    rows = [(1, base), (2, base), (7, base), (9, other)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    cents = pq_codebooks(1, 8, dim)[0]
+    out = {
+        r["vec_id"]: r
+        for r in semdedup_centroid_prune(emb, cents, dim=dim).collect()
+    }
+    assert set(out) == {1, 2, 7, 9}
+    # identical vectors: identical cell/bucket, only min id kept
+    assert (
+        out[1]["cell"] == out[2]["cell"] == out[7]["cell"]
+        and out[1]["bucket"] == out[2]["bucket"] == out[7]["bucket"]
+    )
+    assert out[1]["keep"] and not out[2]["keep"] and not out[7]["keep"]
+    assert out[9]["keep"]  # alone in its (cell, bucket)
+    assert all(-1000000 <= r["cos_micro"] <= 1000000 for r in out.values())
