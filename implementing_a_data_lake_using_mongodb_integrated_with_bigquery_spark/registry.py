@@ -20417,7 +20417,11 @@ def q_semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_centroid_prune(emb, cents, dim=64, eps_micro=2000)
 
 
-def _oracle_semdedup(k: int = 8, dim: int = 64, eps: int = 2000) -> str:
+def _semdedup_sql_prefix(k: int, dim: int, eps: int) -> str:
+    """Shared CTE prefix of the two SemDeDup oracles: scaled ints →
+    per-cell distances/dots → first-min cell → micro-cosine → shell
+    bucket → min-id reps. ``bucketed`` carries e and se through for
+    the verified variant's rep-cosine."""
     from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
         pq_codebooks,
     )
@@ -20453,28 +20457,85 @@ WITH ints AS (
            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e
   FROM embeddings),
 feats AS (
-  SELECT vec_id, {dists}, {dots}, ({se}) AS se FROM ints),
+  SELECT vec_id, e, {dists}, {dots}, ({se}) AS se FROM ints),
 assigned AS (
-  SELECT vec_id, CAST(CASE {whens} ELSE {k - 1} END AS BIGINT) AS cell,
+  SELECT vec_id, e, CAST(CASE {whens} ELSE {k - 1} END AS BIGINT) AS cell,
          {", ".join(f"t{j}" for j in range(k))}, se
   FROM feats),
 scored AS (
-  SELECT vec_id, cell,
+  SELECT vec_id, e, se, cell,
          CAST(floor((CASE cell {tsel} END)
              / sqrt(CAST(se AS DOUBLE)
                     * CAST((CASE cell {scsel} END) AS DOUBLE))
              * 1000000.0) AS BIGINT) AS cos_micro
   FROM assigned),
 bucketed AS (
-  SELECT vec_id, cell, cos_micro,
+  SELECT vec_id, e, se, cell, cos_micro,
          (cos_micro + 1000000) // {eps} AS bucket
   FROM scored),
 reps AS (
-  SELECT cell, bucket, MIN(vec_id) AS rep FROM bucketed GROUP BY 1, 2)
+  SELECT cell, bucket, MIN(vec_id) AS rep FROM bucketed GROUP BY 1, 2)"""
+
+
+def _oracle_semdedup(k: int = 8, dim: int = 64, eps: int = 2000) -> str:
+    return (
+        _semdedup_sql_prefix(k, dim, eps)
+        + """
 SELECT b.vec_id, b.cell, b.cos_micro, b.bucket, b.vec_id = r.rep AS keep
 FROM bucketed b JOIN reps r USING (cell, bucket)
 """
+    )
 
 
 QUERIES["semdedup_centroid_prune"] = q_semdedup_centroid_prune
 ORACLES["semdedup_centroid_prune"] = _oracle_semdedup()
+
+
+def q_semdedup_verified_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paper-faithful SemDeDup (operators.similarity.
+    semdedup_verified_prune — Abbas et al. 2023 §2): the centroid-shell
+    screen of semdedup_centroid_prune plus the pairwise VERIFICATION
+    the paper actually requires — a non-representative is dropped only
+    if its exact integer cosine TO THE REPRESENTATIVE clears the
+    threshold. Work stays linear (one comparison per item, never
+    all-pairs); the rep-vector table is domain-bounded (≤8000 rows ×
+    dim longs ≈ 4 MB broadcast). Threshold placed at the measured
+    candidate-median rep-cosine (r11 rule: the fixture corpus has no
+    true near-dups, so a paper-style 0.95 would leave the drop branch
+    untestable)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        pq_codebooks,
+        semdedup_verified_prune,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = pq_codebooks(1, 8, 64)[0]
+    return semdedup_verified_prune(emb, cents, dim=64, eps_micro=2000)
+
+
+def _oracle_semdedup_verified(
+    k: int = 8, dim: int = 64, eps: int = 2000, verify: int = 25000
+) -> str:
+    rdot = " + ".join(f"b.e[{i + 1}] * v.re[{i + 1}]" for i in range(dim))
+    return (
+        _semdedup_sql_prefix(k, dim, eps)
+        + f""",
+repv AS (
+  SELECT b.cell, b.bucket, r.rep, b.e AS re, b.se AS rse
+  FROM bucketed b JOIN reps r
+    ON b.cell = r.cell AND b.bucket = r.bucket AND b.vec_id = r.rep),
+checked AS (
+  SELECT b.vec_id, b.cell, b.cos_micro, b.bucket, v.rep,
+         CAST(floor(({rdot})
+             / sqrt(CAST(b.se AS DOUBLE) * CAST(v.rse AS DOUBLE))
+             * 1000000.0) AS BIGINT) AS cos_rep_micro
+  FROM bucketed b JOIN repv v ON b.cell = v.cell AND b.bucket = v.bucket)
+SELECT vec_id, cell, cos_micro, bucket, cos_rep_micro,
+       (vec_id = rep OR cos_rep_micro < {verify}) AS keep
+FROM checked
+"""
+    )
+
+
+QUERIES["semdedup_verified_prune"] = q_semdedup_verified_prune
+ORACLES["semdedup_verified_prune"] = _oracle_semdedup_verified()

@@ -246,3 +246,45 @@ def test_semdedup_centroid_prune_semantics(spark):
     assert out[1]["keep"] and not out[2]["keep"] and not out[7]["keep"]
     assert out[9]["keep"]  # alone in its (cell, bucket)
     assert all(-1000000 <= r["cos_micro"] <= 1000000 for r in out.values())
+
+
+def test_semdedup_verified_prune_semantics(spark, sf_dir):
+    """Verified SemDeDup: identical vectors (rep-cosine ≈ 1.0) are
+    still dropped, but screen candidates below the rep-cosine
+    threshold are rescued — verified keeps ⊇ pairs-free keeps on the
+    real embeddings table."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        pq_codebooks,
+        semdedup_centroid_prune,
+        semdedup_verified_prune,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.tables import (
+        load_table,
+    )
+
+    dim = 64
+    cents = pq_codebooks(1, 8, dim)[0]
+    base = [((i * 37) % 101 - 50) / 100.0 for i in range(dim)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, base), (9, [-v for v in base])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semdedup_verified_prune(emb, cents, dim=dim).collect()
+    }
+    assert out[1]["keep"]  # representative
+    assert not out[2]["keep"]  # identical → rep-cosine ≈ 1e6 ≥ threshold
+    assert out[2]["cos_rep_micro"] >= 999000
+    assert out[9]["keep"]
+    # superset relation on the fixture corpus: every id the pairs-free
+    # screen keeps is also kept by the verified variant
+    corpus = load_table(spark, sf_dir, "embeddings")
+    screen = {r["vec_id"]: r["keep"]
+              for r in semdedup_centroid_prune(corpus, cents).collect()}
+    ver = {r["vec_id"]: r["keep"]
+           for r in semdedup_verified_prune(corpus, cents).collect()}
+    assert set(screen) == set(ver)
+    assert all(ver[i] for i, k in screen.items() if k)
+    kept_v, kept_s = sum(ver.values()), sum(screen.values())
+    assert kept_v >= kept_s  # verification only rescues
