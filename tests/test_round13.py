@@ -288,3 +288,27 @@ def test_semdedup_verified_prune_semantics(spark, sf_dir):
     assert all(ver[i] for i, k in screen.items() if k)
     kept_v, kept_s = sum(ver.values()), sum(screen.values())
     assert kept_v >= kept_s  # verification only rescues
+
+
+def test_scale_probe_replica_marker_guard(tmp_path):
+    """build_replica must refuse to reuse a replica dir built at a
+    different --copies (the r13 mislabeled-SF3 incident) and must
+    refuse unmarked dirs that already hold replica tables."""
+    import json
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "/root/repo/tools")
+    import scale_probe
+
+    d = tmp_path / "rep"
+    d.mkdir()
+    (d / "_replica_copies.json").write_text(json.dumps({"copies": 10}))
+    with pytest.raises(SystemExit, match="10x replica"):
+        scale_probe.build_replica(str(d), copies=30)
+    d2 = tmp_path / "legacy"
+    d2.mkdir()
+    (d2 / "events.parquet").write_text("")
+    with pytest.raises(SystemExit, match="no scale marker"):
+        scale_probe.build_replica(str(d2), copies=10)

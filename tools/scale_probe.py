@@ -89,6 +89,33 @@ SF3_QUERIES = [
 
 def build_replica(out_dir: str, copies: int = COPIES) -> None:
     os.makedirs(out_dir, exist_ok=True)
+    # Scale marker (r13): build_replica skips tables that already
+    # exist, so reusing one dir for a DIFFERENT --copies silently
+    # probes the old scale while labeling results with the new one
+    # (five 30x rows were nearly recorded from 10x data). The marker
+    # pins the dir's scale; a mismatch is a hard error pointing at a
+    # copies-specific dir instead.
+    marker = os.path.join(out_dir, "_replica_copies.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            built = json.load(fh).get("copies")
+        if built != copies:
+            raise SystemExit(
+                f"{out_dir} holds a {built}x replica but --copies "
+                f"{copies} was requested — use a different out_dir "
+                f"(default picks one per copies count)"
+            )
+    elif any(
+        os.path.exists(os.path.join(out_dir, f"{t}.parquet"))
+        for t in KEYMAP
+    ):
+        raise SystemExit(
+            f"{out_dir} holds replica tables but no scale marker — "
+            f"delete it or pass a fresh out_dir"
+        )
+    else:
+        with open(marker, "w") as fh:
+            json.dump({"copies": copies}, fh)
     con = duckdb.connect()
     for table, keys in KEYMAP.items():
         dst = os.path.join(out_dir, f"{table}.parquet")
@@ -144,11 +171,18 @@ def shuffle_stats(df) -> tuple[int, int]:
 
 def main() -> None:
     args = sys.argv[1:]
-    out_dir = args.pop(0) if args and not args[0].startswith("--") else "/tmp/sf1_replica"
+    out_dir = args.pop(0) if args and not args[0].startswith("--") else None
     copies = COPIES
     if args and args[0] == "--copies":
         args.pop(0)
         copies = int(args.pop(0))
+    if out_dir is None:
+        # copies-specific default so --copies 30 can never silently
+        # reuse the 10x replica (/tmp/sf1_replica kept for 10x
+        # back-compat with existing replicas)
+        out_dir = (
+            "/tmp/sf1_replica" if copies == 10 else f"/tmp/scale_replica_{copies}x"
+        )
     names = args or DEFAULT_QUERIES
     build_replica(out_dir, copies)
     import __spark_entry__ as entrymod
