@@ -313,3 +313,133 @@ def resampling_execute(
     return df.join(
         F.broadcast(plan.select(group_col, "accept_prob")), group_col
     ).filter(h16 < thr)
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_cols: list[str],
+    size_col: Column | str,
+    budget: int | None = None,
+    epoch_cap: int = 4,
+    budget_pct_of_capacity: int | None = None,
+) -> DataFrame:
+    """UniMax budget-capped mixture allocation (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining"): split a fixed training
+    token budget across groups as UNIFORMLY as possible, subject to no
+    group being repeated more than ``epoch_cap`` epochs — the
+    waterfilling complement of the proportional
+    :func:`apportion_budget` (Hamilton) and the sqrt-temperature
+    :func:`mixture_weights`. Small groups are capped at
+    ``epoch_cap · n_tokens``; the residual budget spreads equally over
+    the rest. Pass either an absolute ``budget`` (tokens) or
+    ``budget_pct_of_capacity`` (the budget as an integer percentage of
+    total capacity, computed on the group table itself — the
+    distribution-relative form that cannot go stale as the corpus
+    grows; ``Σcapacity · pct`` ≤ ~1e16 at 100 TB, LONG-safe).
+
+    Closed-form waterfill over the ascending-capacity order (all
+    BIGINT): a group at ascending position j (of m) is CAPPED iff
+    ``c_j · (m − j + 1) ≤ budget − Σ_{i<j} c_i`` — capacities are
+    ascending, so the capped set is provably a prefix and the per-row
+    flag is self-consistent. Uncapped groups split the residual
+    ``R = budget − Σ_capped c`` as ``R div u`` each, with the
+    ``R mod u`` leftover tokens going one each to the first uncapped
+    groups in ``group_cols`` order (largest-remainder convention).
+    The waterfill inequality guarantees base+1 ≤ every uncapped
+    capacity, so no allocation exceeds its cap and
+    ``sum(alloc) == budget`` exactly whenever the budget is feasible
+    (``budget ≤ Σ c``); an infeasible budget caps every group and the
+    shortfall is visible as ``sum(alloc) < budget`` — UniMax's
+    epoch-cap contract, not an error.
+
+    Overflow: ``c_j · (m − j + 1)`` ≤ total corpus tokens × |groups| —
+    LONG-safe below ~9.2e18/m tokens per group (≈1e15 at m=100, 20×
+    the whole-corpus token count of 100 TB of text).
+
+    Returns (group_cols…, n_docs, n_tokens, capacity, capped,
+    alloc_tokens, epochs_micro = alloc·10⁶ div n_tokens).
+
+    Scale shape: ONE map-side-combinable aggregation collapses the
+    corpus to the |groups| mixture table; every window below runs over
+    that tiny table (domain-bounded — languages × sources), never the
+    corpus.
+    """
+    from pyspark.sql import Window
+
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size.cast("long")).alias("n_tokens"),
+    ).withColumn(
+        "capacity", (F.col("n_tokens") * F.lit(int(epoch_cap))).cast("long")
+    )
+    if (budget is None) == (budget_pct_of_capacity is None):
+        raise ValueError(
+            "unimax_allocation: exactly one of budget /"
+            " budget_pct_of_capacity"
+        )
+    asc = [F.col("capacity").asc()] + [F.col(c).asc() for c in group_cols]
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy(*asc)
+    w_prefix = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    if budget is not None:
+        budget_col = F.lit(int(budget)).cast("long")
+    else:
+        # distribution-relative operating point (the r11/r13 rule):
+        # the budget is a fixed share of total CAPACITY, computed on
+        # the same tiny group table — no absolute token number to go
+        # stale as the corpus grows, and no second corpus scan
+        budget_col = F.expr(
+            f"(sum(capacity) OVER () * {int(budget_pct_of_capacity)})"
+            " div 100"
+        )
+    g = (
+        g.withColumn("_b", budget_col)
+        .withColumn("_j", F.row_number().over(w_ord))
+        .withColumn("_m", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "_prefix", F.coalesce(F.sum("capacity").over(w_prefix), F.lit(0))
+        )
+        .withColumn(
+            "capped",
+            F.col("capacity") * (F.col("_m") - F.col("_j") + 1)
+            <= F.col("_b") - F.col("_prefix"),
+        )
+    )
+    u = F.sum(F.when(~F.col("capped"), 1).otherwise(0)).over(w_all)
+    r = F.col("_b") - F.coalesce(
+        F.sum(F.when(F.col("capped"), F.col("capacity"))).over(w_all),
+        F.lit(0),
+    )
+    # leftover tokens: one each to the first (group_cols-ordered)
+    # uncapped groups
+    w_unc = Window.partitionBy("capped").orderBy(
+        *[F.col(c).asc() for c in group_cols]
+    )
+    g = (
+        g.withColumn("_u", u)
+        .withColumn("_r", r)
+        .withColumn("_urank", F.row_number().over(w_unc))
+    )
+    alloc = F.when(F.col("capped"), F.col("capacity")).otherwise(
+        F.expr("_r div _u")
+        + F.when(F.col("_urank") <= F.expr("_r % _u"), 1).otherwise(0)
+    )
+    return g.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        "capacity",
+        "capped",
+        alloc.cast("long").alias("alloc_tokens"),
+    ).withColumn(
+        # alloc·10⁶ can reach epoch_cap·n_tokens·10⁶ ≈ 1e20 at 100 TB —
+        # the r11 ANSI-overflow class: DECIMAL(38,0) internal, BIGINT
+        # emitted (the value itself is ≤ epoch_cap·10⁶)
+        "epochs_micro",
+        F.expr(
+            "CAST((CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000)"
+            " div n_tokens AS BIGINT)"
+        ),
+    )

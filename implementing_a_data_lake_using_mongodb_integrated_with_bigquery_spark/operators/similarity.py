@@ -26,6 +26,7 @@ from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.funct
     cosine_similarity,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.windows import (
+    grouped_rank,
     top_k_per_group,
 )
 from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.tables import (
@@ -1306,5 +1307,150 @@ def semdedup_verified_prune(
                 (F.col(id_col) == F.col("_rep"))
                 | (F.col("cos_rep_micro") < verify_micro)
             ).alias("keep"),
+        )
+    )
+
+
+def _proto_ranked(
+    scored: DataFrame, drop_ppm: int, id_col: str
+) -> DataFrame:
+    """Shared ranking core of :func:`ssl_prototypes_prune` /
+    :func:`d4_prune`: per-cell prototypicality rank (1 = highest
+    centroid-cosine, id tiebreak) over a (id, cell, cos_micro) table,
+    plus the keep decision ``rank > floor(n_cell · drop_ppm / 1e6)``.
+
+    The ranking runs through :func:`grouped_rank` — k cells is the
+    low-cardinality partition key the r8 audit flags, so a
+    ``Window.partitionBy(cell)`` over the fact would collapse into k
+    fact-sized single-task sorts; grouped_rank range-sorts on the
+    composite (cell, −cos, id) key instead. The per-cell count table
+    is domain-bounded (k rows) — broadcast hint per the r11 policy.
+
+    Overflow margin: ``n_cell · drop_ppm`` is an int64 product ≤
+    n_cell·1e6 — safe below ~9.2e12 rows per cell (≈180× the ~5e10
+    embedding rows of a 100 TB corpus); both operands non-negative so
+    Spark ``div`` and DuckDB ``//`` agree."""
+    ranked = grouped_rank(
+        scored.withColumn("_negcos", -F.col("cos_micro")),
+        ["cell"],
+        ["_negcos", id_col],
+        rank_col="proto_rank",
+    ).drop("_negcos")
+    counts = ranked.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+    return ranked.join(F.broadcast(counts), "cell").withColumn(
+        "keep",
+        F.col("proto_rank") > F.expr(f"(_n * {int(drop_ppm)}) div 1000000"),
+    ).drop("_n")
+
+
+def ssl_prototypes_prune(
+    corpus: DataFrame,
+    cents: list[list[int]],
+    dim: int = 64,
+    drop_ppm: int = 250000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototypes pruning (Sorscher et al. 2022 "Beyond neural
+    scaling laws"; the second stage of D4, Tirumala et al. 2023):
+    drop the most PROTOTYPICAL fraction of each cluster — the
+    easy/typical examples closest to their centroid direction — and
+    keep the hard ones. The complement of
+    :func:`semdedup_centroid_prune` (which drops redundant near-dups;
+    this drops over-represented easy mass) and, composed with it,
+    the full D4 recipe (:func:`d4_prune`).
+
+    Each vector is assigned to its nearest frozen-codebook cell and
+    scored by integer micro-cosine to that centroid (the shared
+    :func:`_semdedup_scored` map-only pass — engine-exact int64
+    dot/norms, one composed float tree, floored to micro-units).
+    Within a cell, rank 1 = highest centroid-cosine (most
+    prototypical, id tiebreak); the top ``drop_ppm``/1e6 fraction
+    (count floored per cell) is dropped.
+
+    Returns (id, cell, cos_micro, proto_rank, keep).
+
+    Scale shape: map-only scoring (no shuffle, no UDF) → ONE
+    composite-key range sort for the per-cell ranks (grouped_rank:
+    every task handles ~|data|/|partitions| rows regardless of k) →
+    a k-row count aggregate broadcast back. Corpus vectors never
+    shuffle; nothing is pairwise.
+
+    Operating point: drop_ppm = 250000 (drop the most-prototypical
+    quarter of every cell) — a fraction of the per-cell DISTRIBUTION,
+    not an absolute score threshold, so the keep rate is ~75% by
+    construction at every SF (the r11/r13 distribution-relative
+    operating-point rule; Sorscher et al. likewise prune a fixed
+    fraction, with the fraction tuned to data abundance)."""
+    scored = _semdedup_scored(
+        corpus, cents, dim, 2000, id_col, vec_col
+    ).select(id_col, "cell", "cos_micro")
+    return _proto_ranked(scored, drop_ppm, id_col).select(
+        id_col, "cell", "cos_micro", "proto_rank", "keep"
+    )
+
+
+def d4_prune(
+    corpus: DataFrame,
+    cents: list[list[int]],
+    dim: int = 64,
+    eps_micro: int = 2000,
+    drop_ppm: int = 250000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composed D4 pipeline (Tirumala et al. 2023 "D4: Improving
+    LLM pretraining via document de-duplication and diversification"):
+    SemDeDup centroid pruning first (drop semantic near-dups — one
+    representative per thin centroid-cosine shell), then SSL-prototypes
+    pruning over the SURVIVORS (drop the most-prototypical fraction of
+    each cell). Both stages read the ONE map-only scored table — the
+    semdedup output already carries (cell, cos_micro), so stage 2
+    re-ranks survivors without touching the embeddings again.
+
+    Returns every corpus row: (id, cell, cos_micro, bucket, sem_keep,
+    proto_rank, keep) — ``proto_rank`` is NULL for rows semdedup
+    already dropped (they never enter stage 2), and
+    ``keep = sem_keep AND stage-2 keep``.
+
+    Scale shape: one map-only scoring pass, checkpointed once (the
+    r13 multi-branch pin — reps branch, survivor branch, and the
+    final attach all read the same 4-longs/row materialization); a
+    domain-bounded (cell × bucket) reps aggregate broadcast back; one
+    composite-key range sort over the survivors for ranks; a k-row
+    count broadcast; one final keyed join of the survivor verdicts
+    (data-proportional but UNHINTED — the planner broadcasts it while
+    small and shuffle-joins at scale, the r11 hint policy)."""
+    scored = _semdedup_scored(
+        corpus, cents, dim, eps_micro, id_col, vec_col
+    ).drop("_se").localCheckpoint(eager=True)
+    reps = scored.groupBy("cell", "bucket").agg(
+        F.min(id_col).alias("_rep")
+    )
+    flagged = scored.join(F.broadcast(reps), ["cell", "bucket"]).select(
+        id_col,
+        "cell",
+        "cos_micro",
+        "bucket",
+        (F.col(id_col) == F.col("_rep")).alias("sem_keep"),
+    )
+    survivors = flagged.filter("sem_keep").select(
+        id_col, "cell", "cos_micro"
+    )
+    verdicts = _proto_ranked(survivors, drop_ppm, id_col).select(
+        id_col, "proto_rank", F.col("keep").alias("_pk")
+    )
+    return (
+        flagged.join(verdicts, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            "cos_micro",
+            "bucket",
+            "sem_keep",
+            "proto_rank",
+            (F.col("sem_keep") & F.coalesce(F.col("_pk"), F.lit(False))).alias(
+                "keep"
+            ),
         )
     )

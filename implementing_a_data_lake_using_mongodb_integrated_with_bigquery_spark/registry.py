@@ -20539,3 +20539,174 @@ FROM checked
 
 QUERIES["semdedup_verified_prune"] = q_semdedup_verified_prune
 ORACLES["semdedup_verified_prune"] = _oracle_semdedup_verified()
+
+
+def q_ssl_prototypes_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes pruning (operators.similarity.
+    ssl_prototypes_prune — Sorscher et al. 2022; D4 stage 2): drop the
+    most-PROTOTYPICAL quarter of every frozen-codebook cell — the
+    easy examples nearest their centroid direction — keeping the hard
+    ones; the complement of semdedup_centroid_prune (which drops
+    redundant near-dups). Map-only integer micro-cosine scoring, one
+    composite-key range sort for the per-cell ranks (grouped_rank —
+    k cells is exactly the low-cardinality partition key the r8 audit
+    bans from Window.partitionBy), a k-row count broadcast back.
+    Operating point is a per-cell FRACTION of the rank distribution
+    (drop_ppm = 250000), not an absolute score — ~75% keep at every SF
+    by construction (the distribution-relative rule)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        pq_codebooks,
+        ssl_prototypes_prune,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = pq_codebooks(1, 8, 64)[0]
+    return ssl_prototypes_prune(emb, cents, dim=64, drop_ppm=250000)
+
+
+def _oracle_ssl_prototypes(
+    k: int = 8, dim: int = 64, drop_ppm: int = 250000
+) -> str:
+    return (
+        _semdedup_sql_prefix(k, dim, 2000)
+        + f""",
+ranked AS (
+  SELECT vec_id, cell, cos_micro,
+         ROW_NUMBER() OVER (
+           PARTITION BY cell ORDER BY cos_micro DESC, vec_id
+         ) AS proto_rank,
+         COUNT(*) OVER (PARTITION BY cell) AS n
+  FROM scored)
+SELECT vec_id, cell, cos_micro, proto_rank,
+       proto_rank > (n * {drop_ppm}) // 1000000 AS keep
+FROM ranked
+"""
+    )
+
+
+QUERIES["ssl_prototypes_prune"] = q_ssl_prototypes_prune
+ORACLES["ssl_prototypes_prune"] = _oracle_ssl_prototypes()
+
+
+def q_d4_pipeline_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed D4 pipeline (operators.similarity.d4_prune — Tirumala
+    et al. 2023): SemDeDup centroid pruning first (one representative
+    per thin centroid-cosine shell), then SSL-prototypes pruning over
+    the SURVIVORS (drop the most-prototypical quarter of each cell).
+    Both stages read ONE checkpointed map-only scored table — stage 2
+    re-ranks survivors from the (cell, cos_micro) columns semdedup
+    already computed, never touching the embeddings again. Every
+    corpus row is returned with stage attribution: sem_keep,
+    proto_rank (NULL for semdedup-dropped rows), and the final
+    keep = sem_keep AND stage-2 keep."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        d4_prune,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = pq_codebooks(1, 8, 64)[0]
+    return d4_prune(emb, cents, dim=64, eps_micro=2000, drop_ppm=250000)
+
+
+def _oracle_d4(
+    k: int = 8, dim: int = 64, eps: int = 2000, drop_ppm: int = 250000
+) -> str:
+    return (
+        _semdedup_sql_prefix(k, dim, eps)
+        + f""",
+flagged AS (
+  SELECT b.vec_id, b.cell, b.cos_micro, b.bucket,
+         b.vec_id = r.rep AS sem_keep
+  FROM bucketed b JOIN reps r USING (cell, bucket)),
+ranked AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY cell ORDER BY cos_micro DESC, vec_id
+         ) AS proto_rank,
+         COUNT(*) OVER (PARTITION BY cell) AS n
+  FROM flagged WHERE sem_keep)
+SELECT f.vec_id, f.cell, f.cos_micro, f.bucket, f.sem_keep,
+       r.proto_rank,
+       f.sem_keep AND COALESCE(
+         r.proto_rank > (r.n * {drop_ppm}) // 1000000, FALSE
+       ) AS keep
+FROM flagged f LEFT JOIN ranked r USING (vec_id)
+"""
+    )
+
+
+QUERIES["d4_pipeline_prune"] = q_d4_pipeline_prune
+ORACLES["d4_pipeline_prune"] = _oracle_d4()
+
+
+def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget-capped mixture (operators.sampling.
+    unimax_allocation — Chung et al. 2023): split a training-token
+    budget across sources as UNIFORMLY as possible subject to an
+    epoch cap — the waterfilling complement of the proportional
+    apportion_budget (Hamilton) and sqrt-temperature mixture_weights.
+    Closed-form over the ascending-capacity order in pure BIGINT (the
+    capped set is provably a prefix, so the per-row flag is
+    self-consistent); residual spread as R div u with largest-remainder
+    +1s. Budget is DISTRIBUTION-RELATIVE — 96% of total capacity,
+    computed on the group table itself (both branches exercised at
+    every SF: capped 9 / uncapped 11 at sf0.01, 2/18 at sf0.1). Scale
+    shape: one map-side-combinable aggregation collapses the corpus to
+    |sources| rows; every window runs over that tiny table."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unimax_allocation(
+        docs,
+        ["source"],
+        F.size(F.split(F.col("text"), " ")),
+        epoch_cap=1,
+        budget_pct_of_capacity=96,
+    )
+
+
+ORACLE_UNIMAX = """
+WITH g AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+cap AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(n_tokens * 1 AS BIGINT) AS capacity
+  FROM g),
+ord AS (
+  SELECT c.*,
+         (SUM(capacity) OVER () * 96) // 100 AS b,
+         ROW_NUMBER() OVER (ORDER BY capacity, source) AS j,
+         COUNT(*) OVER () AS m,
+         COALESCE(SUM(capacity) OVER (
+           ORDER BY capacity, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM cap c),
+flagged AS (
+  SELECT *, capacity * (m - j + 1) <= b - prefix AS capped FROM ord),
+ranked AS (
+  SELECT f.*,
+         SUM(CASE WHEN NOT capped THEN 1 ELSE 0 END) OVER () AS u,
+         b - COALESCE(
+           SUM(CASE WHEN capped THEN capacity END) OVER (), 0) AS resid,
+         ROW_NUMBER() OVER (PARTITION BY capped ORDER BY source) AS urank
+  FROM flagged f),
+alloc AS (
+  SELECT source, n_docs, n_tokens, capacity, capped,
+         CAST(CASE WHEN capped THEN capacity
+              ELSE resid // u
+                   + (CASE WHEN urank <= resid % u THEN 1 ELSE 0 END)
+              END AS BIGINT) AS alloc_tokens
+  FROM ranked)
+SELECT source, n_docs, n_tokens, capacity, capped, alloc_tokens,
+       CAST((CAST(alloc_tokens AS HUGEINT) * 1000000) // n_tokens
+            AS BIGINT) AS epochs_micro
+FROM alloc
+"""
+
+QUERIES["unimax_mixture"] = q_unimax_mixture
+ORACLES["unimax_mixture"] = ORACLE_UNIMAX

@@ -312,3 +312,128 @@ def test_scale_probe_replica_marker_guard(tmp_path):
     (d2 / "events.parquet").write_text("")
     with pytest.raises(SystemExit, match="no scale marker"):
         scale_probe.build_replica(str(d2), copies=10)
+
+
+def test_ssl_prototypes_prune_semantics(spark):
+    """Per cell, rank 1 = highest centroid-cosine (most prototypical)
+    and the top drop_ppm fraction is dropped; ranks are a permutation
+    of 1..n_cell; drop count is floor(n·ppm/1e6)."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        pq_codebooks,
+        ssl_prototypes_prune,
+    )
+
+    dim = 64
+    # eight vectors in two far-apart directions → two occupied cells
+    base = [((i * 37) % 101 - 50) / 100.0 for i in range(dim)]
+    other = [((i * 53) % 89 - 44) / -90.0 for i in range(dim)]
+
+    def scaled(v, s):
+        # same direction, perturbed tail component → distinct cosines
+        out = list(v)
+        out[-1] = out[-1] + s * 0.07
+        return out
+
+    rows = [(i, scaled(base, i)) for i in range(4)] + [
+        (10 + i, scaled(other, i)) for i in range(4)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = pq_codebooks(1, 8, dim)[0]
+    out = ssl_prototypes_prune(
+        emb, cents, dim=dim, drop_ppm=250000
+    ).collect()
+    assert len(out) == 8
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rs in by_cell.items():
+        n = len(rs)
+        ranks = sorted(r["proto_rank"] for r in rs)
+        assert ranks == list(range(1, n + 1))
+        drop_n = n * 250000 // 1000000
+        # rank order follows cos_micro DESC (id tiebreak)
+        srt = sorted(rs, key=lambda r: (-r["cos_micro"], r["vec_id"]))
+        assert [r["proto_rank"] for r in srt] == list(range(1, n + 1))
+        for r in rs:
+            assert r["keep"] == (r["proto_rank"] > drop_n)
+
+
+def test_d4_prune_composes_stages(spark, sf_dir):
+    """d4_prune on the real embeddings: sem-dropped rows carry NULL
+    proto_rank and keep=False; survivors' stage-2 verdicts equal an
+    independent per-cell rank over the survivors; keep ⊆ sem_keep."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.similarity import (
+        d4_prune,
+        pq_codebooks,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = pq_codebooks(1, 8, 64)[0]
+    out = d4_prune(emb, cents, dim=64, eps_micro=2000, drop_ppm=250000).collect()
+    assert len(out) == emb.count()
+    survivors = [r for r in out if r["sem_keep"]]
+    assert survivors, "semdedup kept nothing — operating point broken"
+    for r in out:
+        if not r["sem_keep"]:
+            assert r["proto_rank"] is None and not r["keep"]
+        else:
+            assert r["proto_rank"] is not None
+    # independent recomputation of stage 2 over the survivors
+    by_cell = {}
+    for r in survivors:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rs in by_cell.items():
+        srt = sorted(rs, key=lambda r: (-r["cos_micro"], r["vec_id"]))
+        drop_n = len(rs) * 250000 // 1000000
+        for i, r in enumerate(srt, start=1):
+            assert r["proto_rank"] == i
+            assert r["keep"] == (i > drop_n)
+    # both branches of the stage-2 verdict exercised
+    assert any(r["keep"] for r in survivors)
+    assert any(not r["keep"] for r in survivors)
+
+
+def test_unimax_allocation_invariants(spark):
+    """Waterfill invariants on a skewed constructed mixture: exact
+    budget conservation when feasible, per-group cap never exceeded,
+    capped set = ascending-capacity prefix, uniform-uncapped spread
+    within 1 token; infeasible budget caps everything and the
+    shortfall is visible."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    rows = [(f"s{i}", "x " * n) for i, n in enumerate([5, 5, 40, 200, 900])]
+    df = spark.createDataFrame(rows, "source string, text string")
+    from pyspark.sql import functions as F
+
+    size = F.size(F.split(F.col("text").substr(F.lit(1), F.length("text") - 1), " "))
+    out = unimax_allocation(
+        df, ["source"], size, budget=400, epoch_cap=2
+    ).collect()
+    by = {r["source"]: r for r in out}
+    assert sum(r["alloc_tokens"] for r in out) == 400
+    for r in out:
+        assert r["alloc_tokens"] <= r["capacity"]
+        assert r["capacity"] == 2 * r["n_tokens"]
+    # ascending-capacity prefix property
+    srt = sorted(out, key=lambda r: (r["capacity"], r["source"]))
+    flags = [r["capped"] for r in srt]
+    assert flags == sorted(flags, reverse=True)
+    # small groups capped at capacity; big groups share the rest evenly
+    assert by["s0"]["capped"] and by["s0"]["alloc_tokens"] == 10
+    unc = [r["alloc_tokens"] for r in out if not r["capped"]]
+    assert unc and max(unc) - min(unc) <= 1
+    # infeasible budget: every group capped, sum(alloc) = total capacity
+    out2 = unimax_allocation(
+        df, ["source"], size, budget=10_000_000, epoch_cap=1
+    ).collect()
+    assert all(r["capped"] for r in out2)
+    assert sum(r["alloc_tokens"] for r in out2) == sum(
+        r["n_tokens"] for r in out2
+    )
+    # epochs_micro: capped groups sit exactly at the epoch cap
+    assert all(r["epochs_micro"] == 1_000_000 for r in out2)
