@@ -437,3 +437,23 @@ def test_unimax_allocation_invariants(spark):
     )
     # epochs_micro: capped groups sit exactly at the epoch cap
     assert all(r["epochs_micro"] == 1_000_000 for r in out2)
+
+
+def test_settle_load_checks_all_three_horizons(monkeypatch):
+    """The r13 bench-hygiene fix: a machine that passes the 1- and
+    5-min gates while the 15-MIN average is still draining must NOT
+    count as quiet (the r13 run that did produced 12 phantom ≥2x
+    flags, all dismissed standalone)."""
+    import os as _os
+
+    import bench
+
+    cases = [
+        ((0.5, 2.0, 3.0), True),   # genuinely quiet
+        ((0.9, 2.9, 5.3), False),  # the r13 phantom-flag state
+        ((0.5, 4.0, 1.0), False),  # 5-min draining
+        ((3.0, 1.0, 1.0), False),  # hot right now
+    ]
+    for la, expect in cases:
+        monkeypatch.setattr(_os, "getloadavg", lambda la=la: la)
+        assert bench._settle_load(max_wait_s=0.0) is expect, la
