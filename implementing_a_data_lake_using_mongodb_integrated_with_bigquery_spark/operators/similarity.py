@@ -1382,9 +1382,14 @@ def ssl_prototypes_prune(
     construction at every SF (the r11/r13 distribution-relative
     operating-point rule; Sorscher et al. likewise prune a fixed
     fraction, with the fraction tuned to data abundance)."""
+    # the checkpoint pin (r13 multi-branch rule): grouped_rank's range
+    # partitioner SAMPLES its input in a separate pass before the
+    # shuffle, so an unpinned scored table evaluates the k×dim
+    # assignment expression twice — materialized it's 3 longs/row
+    # (20.2 s → 15.5 s at the 10× probe)
     scored = _semdedup_scored(
         corpus, cents, dim, 2000, id_col, vec_col
-    ).select(id_col, "cell", "cos_micro")
+    ).select(id_col, "cell", "cos_micro").localCheckpoint(eager=True)
     return _proto_ranked(scored, drop_ppm, id_col).select(
         id_col, "cell", "cos_micro", "proto_rank", "keep"
     )
