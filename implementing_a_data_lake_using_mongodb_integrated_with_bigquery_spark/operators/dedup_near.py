@@ -760,6 +760,110 @@ def blocking_quality(
     )
 
 
+def scurve_expected_expr(r: int, b: int, buckets: int) -> str:
+    """The analytic banded-LSH detection probability at a similarity
+    bucket's midpoint, as ONE SQL expression string shared verbatim by
+    the Spark query and the DuckDB oracle (the engine-exact
+    one-builder convention of ``operators.similarity.hyperplanes``):
+    ``p(s) = 1 − (1 − s^r)^b`` with ``s = (2·bucket + 1)/(2·buckets)``.
+
+    Both powers are expanded into an EXPLICIT multiplication tree
+    (repeated squaring, textual) — ``pow()`` would route through each
+    engine's libm and is not ULP-portable, while an identical composed
+    float tree over identical inputs is bit-equal on both engines
+    (the r9 float-determinism taxonomy, class 1)."""
+    s = f"(CAST(2 * bucket + 1 AS DOUBLE) / {2 * buckets}.0)"
+    sr = s if r == 1 else "(" + " * ".join([s] * r) + ")"
+    t = f"(1.0 - {sr})"
+
+    def _pow(base: str, e: int) -> str:
+        if e == 1:
+            return base
+        half = _pow(base, e // 2)
+        sq = f"({half} * {half})"
+        return sq if e % 2 == 0 else f"({sq} * {base})"
+
+    return f"round(1.0 - {_pow(t, b)}, 6)"
+
+
+def lsh_scurve_eval(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    buckets: int = 20,
+) -> DataFrame:
+    """Per-similarity-bucket S-curve evaluation of banded-MinHash LSH
+    (the textbook curve of Leskovec/Rajaraman/Ullman, MMDS ch. 3):
+    for each exact-Jaccard bucket, the OBSERVED share of true pairs
+    surfaced as band candidates next to the ANALYTIC detection
+    probability ``1 − (1 − s^r)^b`` at the bucket midpoint — the
+    per-bucket refinement of :func:`blocking_quality`'s single-row
+    pair completeness, and the standard way to check that a chosen
+    (r, b) puts the curve's transition where the dedup threshold is.
+
+    Buckets are INTEGER: ``least(shared·buckets div union,
+    buckets−1)`` — no float boundary can disagree between engines
+    (exact duplicates clamp into the top bucket). The expected
+    probability is one composed float tree from
+    :func:`scurve_expected_expr`, inlined verbatim into both engines.
+
+    Scale shape: candidates from the block-internal band join (never
+    all-pairs); the truth side is the counting inverted-index
+    self-join :func:`blocking_quality` already uses (evaluation runs
+    on a sample at 100 TB); the caught join is amplification-free
+    (key = the pair itself) and the final aggregate collapses to
+    ≤ ``buckets`` rows map-side."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    banded = portable_minhash_bands(sh, num_hashes, bands)
+    a = banded.select(F.col("doc").alias("d1"), "band_idx", "band_key")
+    b = banded.select(F.col("doc").alias("d2"), "band_idx", "band_key")
+    # the r12 estimate-miss pin: the distinct candidate-pair aggregate
+    # is statically underestimated by Catalyst, and the LEFT caught-
+    # join below CAN broadcast it (unlike blocking_quality's full
+    # outer) — the 10× probe saw a 335 MB broadcast of 2.6M pairs
+    # before this checkpoint; with it the planner sees the TRUE size
+    # (broadcasts only when genuinely small, shuffle-joins at scale)
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    truth = _jaccard_counting(sh, 0.0).select(
+        "d1",
+        "d2",
+        F.least(
+            F.expr(f"(shared * {int(buckets)}) div (n1 + n2 - shared)"),
+            F.lit(buckets - 1).cast("long"),
+        ).alias("bucket"),
+    )
+    paired = truth.join(
+        cand.withColumn("_c", F.lit(1)), ["d1", "d2"], "left"
+    )
+    per = paired.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("long").alias(
+            "n_caught"
+        ),
+    )
+    r = num_hashes // bands
+    return per.select(
+        "bucket",
+        "n_true",
+        "n_caught",
+        F.round(F.col("n_caught") / F.col("n_true").cast("double"), 6).alias(
+            "observed_rate"
+        ),
+        F.expr(scurve_expected_expr(r, bands, buckets)).alias(
+            "expected_rate"
+        ),
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 8,

@@ -11349,6 +11349,80 @@ QUERIES["blocking_quality_report"] = q_blocking_quality_report
 ORACLES["blocking_quality_report"] = ORACLE_BLOCKING_QUALITY
 
 
+def q_lsh_scurve_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH S-curve evaluation (operators.dedup_near.
+    lsh_scurve_eval — MMDS ch. 3): per exact-Jaccard similarity
+    bucket, the observed share of true pairs the band join surfaced
+    next to the analytic 1−(1−s^r)^b at the bucket midpoint — the
+    per-bucket refinement of blocking_quality_report. Integer
+    bucketing (shared·20 div union, clamped) so no float boundary can
+    disagree; the expected probability is one composed float tree
+    built ONCE and inlined verbatim into both engines (pow() would
+    route through libm and is not ULP-portable). Candidates stay
+    block-internal; the caught join is amplification-free; the output
+    is ≤20 rows."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        lsh_scurve_eval,
+    )
+
+    return lsh_scurve_eval(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_lsh_scurve(buckets: int = 20) -> str:
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        scurve_expected_expr,
+    )
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(('0x' || substr(md5('pmh' || seed || ':' || shingle), 1, 8))::BIGINT) AS v
+  FROM sh, LATERAL (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY 1, 2),
+bandkeys AS (
+  SELECT doc_id, seed // 2 AS band_idx,
+         string_agg(CAST(v AS VARCHAR), ':' ORDER BY seed) AS band_key
+  FROM mh GROUP BY doc_id, seed // 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+bucketed AS (
+  SELECT p.d1, p.d2,
+         LEAST((p.shared * {buckets}) // (s1.n_sh + s2.n_sh - p.shared),
+               {buckets - 1}) AS bucket
+  FROM shared p JOIN sizes s1 ON p.d1 = s1.doc_id
+                JOIN sizes s2 ON p.d2 = s2.doc_id),
+per AS (
+  SELECT b.bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_caught
+  FROM bucketed b LEFT JOIN cand c ON b.d1 = c.d1 AND b.d2 = c.d2
+  GROUP BY 1)
+SELECT bucket, n_true, n_caught,
+       round(n_caught / CAST(n_true AS DOUBLE), 6) AS observed_rate,
+       {scurve_expected_expr(2, 8, buckets)} AS expected_rate
+FROM per
+"""
+
+
+QUERIES["lsh_scurve_eval"] = q_lsh_scurve_eval
+ORACLES["lsh_scurve_eval"] = _oracle_lsh_scurve()
+
+
 def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-join cardinality estimation WITHOUT running the join: the
     orders- and lineitem-side key-frequency tables collapse to 4×256

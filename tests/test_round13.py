@@ -457,3 +457,30 @@ def test_settle_load_checks_all_three_horizons(monkeypatch):
     for la, expect in cases:
         monkeypatch.setattr(_os, "getloadavg", lambda la=la: la)
         assert bench._settle_load(max_wait_s=0.0) is expect, la
+
+
+def test_lsh_scurve_eval_semantics(spark, sf_dir):
+    """S-curve evaluation on the real documents: expected_rate matches
+    the analytic 1-(1-s^2)^8 at each bucket midpoint (6dp); counts are
+    consistent; the high-similarity buckets are essentially all
+    caught while the noise bucket is essentially all missed — the
+    curve's two ends."""
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.dedup_near import (
+        lsh_scurve_eval,
+    )
+    from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.sources.tables import (
+        load_table,
+    )
+
+    out = lsh_scurve_eval(load_table(spark, sf_dir, "documents")).collect()
+    assert out
+    for r in out:
+        s = (2 * r["bucket"] + 1) / 40.0
+        p = round(1.0 - (1.0 - s * s) ** 8, 6)
+        assert abs(r["expected_rate"] - p) < 2e-6, (r["bucket"], p)
+        assert 0 <= r["n_caught"] <= r["n_true"]
+        assert r["observed_rate"] == round(r["n_caught"] / r["n_true"], 6)
+    by = {r["bucket"]: r for r in out}
+    top = max(by)
+    assert top >= 18 and by[top]["observed_rate"] >= 0.9
+    assert 0 in by and by[0]["observed_rate"] <= 0.1
