@@ -55,5 +55,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("LAKEFLOW_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Partition discovery of the keyed merge stores (N_BUCKETS=64
+        # hive dirs) crossed the default threshold (32) and ran as a
+        # 64-TASK DISTRIBUTED JOB on every store read — 3-6 listing
+        # jobs per streaming micro-batch at ~0.2s each. Driver-side
+        # listing of a few hundred local directories is faster than a
+        # cluster job; distributed listing only pays off at
+        # thousands-of-paths object-store scale (r13 optimization
+        # measurement; see OPTIMIZATION_r13.md).
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "256")
     )
     return builder.getOrCreate()

@@ -156,9 +156,29 @@ def apply_cdc_batch(
     batch = batch.localCheckpoint(eager=True)
     parts = split_by_operation(batch)
 
+    # ONE probe job for all three branch gates: the former per-branch
+    # isEmpty() calls each launched their own Spark job over the batch
+    # (3 probe jobs per micro-batch of pure scheduling overhead at
+    # replay batch sizes — r13 optimization measurement); a single
+    # map-side-combined aggregate answers all three
+    _unknown_cond = F.col("operation_type").isNull() | ~F.col(
+        "operation_type"
+    ).isin(*KNOWN_OPS)
+    _probe = batch.agg(
+        F.coalesce(F.sum(_unknown_cond.cast("long")), F.lit(0)).alias("u"),
+        F.coalesce(
+            F.sum(F.col("operation_type").isin("insert", "replace").cast("long")),
+            F.lit(0),
+        ).alias("i"),
+        F.coalesce(
+            F.sum((F.col("operation_type") == "update").cast("long")), F.lit(0)
+        ).alias("p"),
+    ).first()
+    n_unknown, n_insert, n_update = _probe["u"], _probe["i"], _probe["p"]
+
     # poison events → DLQ (instead of the reference's os._exit(1))
     unknown = parts["unknown"]
-    if not unknown.isEmpty():
+    if n_unknown:
         unknown.withColumn("batch_id", F.lit(batch_id)).write.mode("append").json(
             os.path.join(dlq_path, "unknown_ops")
         )
@@ -167,7 +187,7 @@ def apply_cdc_batch(
 
     # ---- insert path: dedup → PK anti → FK semi (+DLQ) → flatten → append
     ins_docs = parts["insert"].select("full_document.*")
-    if not ins_docs.isEmpty():
+    if n_insert:
         if target is not None:
             ins_docs = dedup_against_target(
                 ins_docs, target.selectExpr("id as _id"), "_id"
@@ -186,7 +206,7 @@ def apply_cdc_batch(
 
     # ---- update path: LWW collapse → FK check → upsert merge → swap
     upd_docs = parts["update"].select("ts", "full_document.*")
-    if not upd_docs.isEmpty():
+    if n_update:
         from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.merge import (
             last_write_wins,
         )

@@ -727,6 +727,12 @@ def _update_merge_run(
                 *[F.col(c).cast("string") for c in group_cols],
             ),
         )
+        # pin the changed-windows batch ONCE: the merge path consumes it
+        # twice (touched-bucket collect + the upsert/write), and each
+        # reference re-executes the stateful batch plan — the
+        # foreachBatch multi-reference class (scd2_stream/apply_cdc_batch
+        # precedent, CLAUDE.md)
+        keyed = keyed.localCheckpoint(eager=True)
         if cdc_merge.read_target(sp, store) is None:
             # one shuffle on the bucket column → one file per bucket
             # (without it every task writes into every bucket dir:
