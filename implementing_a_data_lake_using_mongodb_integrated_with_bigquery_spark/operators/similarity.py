@@ -158,12 +158,13 @@ def _nearest_centroid_expr(vec_col: str, centroids):
     LITERALS (k × dim constants). No shuffle, no ML pipeline, no
     Python — the corpus is assigned in the same scan that reads it."""
     v = F.col(vec_col).cast("array<double>")
-    dists = F.array(
-        *[
-            _sq_euclidean(v, F.array(*[F.lit(float(x)) for x in c]))
-            for c in centroids
-        ]
+    cents = F.lit([[float(x) for x in c] for c in centroids]).cast(
+        "array<array<double>>"
     )
+    # one transform over a single centroid-matrix Literal (r13
+    # planning-time fix): same _sq_euclidean fold per centroid, same
+    # argmin-first tiebreak — values bit-identical
+    dists = F.transform(cents, lambda c: _sq_euclidean(v, c))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
@@ -437,16 +438,54 @@ def hyperplane_code(vec_col: Column, planes: list[list[int]]) -> Column:
     e = F.transform(
         vec_col, lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
     )
-    code = F.lit(0).cast("long")
-    for r, h in enumerate(planes):
-        harr = F.array(*[F.lit(int(c)).cast("long") for c in h])
-        dot = F.aggregate(
-            F.zip_with(e, harr, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        code = code + F.when(dot > 0, F.lit(1 << r)).otherwise(F.lit(0)).cast("long")
-    return code
+    # all plane dots via ONE transform over the hyperplane-matrix
+    # Literal; bit r's weight comes from a weights-array Literal (the
+    # r13 planning-time fix — same dots, same weights, same sum)
+    weights = _int_arr_lit([1 << r for r in range(len(planes))])
+    bits = F.transform(
+        _int_mat_lit(planes),
+        lambda h, i: F.when(
+            F.aggregate(
+                F.zip_with(e, h, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.element_at(weights, (i + 1).cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _int_arr_lit(values: list[int]) -> Column:
+    """ONE typed Literal node for an integer array.
+
+    ``F.array(*[F.lit(int(v)) ... ])`` builds |values| child
+    expressions; a k×dim codebook expanded that way puts thousands of
+    nodes into the plan and Catalyst ANALYSIS/OPTIMIZATION time — not
+    execution — dominated the similarity queries (r13 measurement:
+    ivf_pq_search spent 5.9s driver-side vs 0.8s executing). A python
+    list through ``F.lit`` is a single array Literal."""
+    return F.lit([int(v) for v in values]).cast("array<bigint>")
+
+
+def _int_mat_lit(rows: list[list[int]]) -> Column:
+    """ONE typed Literal node for an integer matrix (see
+    :func:`_int_arr_lit`); per-centroid loops become a single
+    ``F.transform`` over this literal."""
+    return F.lit([[int(v) for v in r] for r in rows]).cast(
+        "array<array<bigint>>"
+    )
+
+
+def _sq_dist_agg(sub: Column, cent: Column) -> Column:
+    """Exact int64 squared euclidean distance between two long arrays
+    (left-to-right aggregate — integer, so order-independent)."""
+    return F.aggregate(
+        F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def _dim_checked(vec: Column, dim: int, where: str) -> Column:
@@ -839,18 +878,12 @@ def pq_assign_audit(
         lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
     )
 
-    def sq_dist(sub, cent: list[int]):
-        carr = F.array(*[F.lit(int(c)).cast("long") for c in cent])
-        return F.aggregate(
-            F.zip_with(sub, carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    def _book_dists(sub, book):
+        return F.transform(_int_mat_lit(book), lambda c: _sq_dist_agg(sub, c))
 
     per_sub = []
     for s in range(m):
-        sub = F.slice(e, s * dsub + 1, dsub)
-        dists = F.array(*[sq_dist(sub, books[s][j]) for j in range(k)])
+        dists = _book_dists(F.slice(e, s * dsub + 1, dsub), books[s])
         per_sub.append(
             F.struct(
                 F.lit(s).cast("long").alias("subspace"),
@@ -903,20 +936,11 @@ def int_centroid_assign(
         _dim_checked(vec, dim, where),
         lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
     )
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    e,
-                    F.array(*[F.lit(int(v)).cast("long") for v in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for c in cents
-        ]
-    )
+    # one transform over a single codebook Literal instead of k
+    # expanded per-centroid expressions — same per-centroid aggregate,
+    # same argmin-first tiebreak, ~k·dim fewer plan nodes (the r13
+    # planning-time fix; values bit-identical)
+    dists = F.transform(_int_mat_lit(cents), lambda c: _sq_dist_agg(e, c))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
 
 
@@ -971,23 +995,18 @@ def ivf_pq_search(
             lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
         )
 
-    def sq_dist(sub, cent: list[int]):
-        return F.aggregate(
-            F.zip_with(
-                sub,
-                F.array(*[F.lit(int(c)).cast("long") for c in cent]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    # corpus side: map-only cell + per-subspace PQ codes (per-book
+    # distances via ONE transform over a codebook Literal — the r13
+    # planning-time fix, values bit-identical). NB: the one-arg lambda
+    # must close over the subvector via a factory, not a default arg —
+    # PySpark reads lambda arity to pick the (element, index) form.
+    def _book_dists(sub, book):
+        return F.transform(_int_mat_lit(book), lambda c: _sq_dist_agg(sub, c))
 
-    # corpus side: map-only cell + per-subspace PQ codes
     ce = ints(F.col(vec_col))
     code_cols = []
     for s in range(m):
-        sub = F.slice(ce, s * dsub + 1, dsub)
-        dists = F.array(*[sq_dist(sub, books[s][j]) for j in range(n_codes)])
+        dists = _book_dists(F.slice(ce, s * dsub + 1, dsub), books[s])
         code_cols.append(
             (F.array_position(dists, F.array_min(dists)) - 1)
             .cast("long")
@@ -1002,14 +1021,11 @@ def ivf_pq_search(
 
     # query side: nprobe nearest cells, carried with the int vector
     qe = ints(F.col(query_vec_col))
-    qcells = F.array(
-        *[
-            F.struct(
-                sq_dist(qe, coarse_cents[c]).alias("d"),
-                F.lit(c).cast("long").alias("cell"),
-            )
-            for c in range(kc)
-        ]
+    qcells = F.transform(
+        _int_mat_lit(coarse_cents),
+        lambda c, i: F.struct(
+            _sq_dist_agg(qe, c).alias("d"), i.cast("long").alias("cell")
+        ),
     )
     probes = (
         queries.select(
@@ -1029,8 +1045,7 @@ def ivf_pq_search(
     # the candidate's stored code — never a full-vector distance
     adc_terms = []
     for s in range(m):
-        qsub = F.slice(F.col("_qe"), s * dsub + 1, dsub)
-        lut = F.array(*[sq_dist(qsub, books[s][j]) for j in range(n_codes)])
+        lut = _book_dists(F.slice(F.col("_qe"), s * dsub + 1, dsub), books[s])
         adc_terms.append(F.element_at(lut, (F.col(f"code{s}") + 1).cast("int")))
     adc = adc_terms[0]
     for t in adc_terms[1:]:
@@ -1067,29 +1082,25 @@ def _semdedup_scored(
         lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
     )
 
-    def dot(cent: list[int]):
-        carr = F.array(*[F.lit(int(c)).cast("long") for c in cent])
-        return F.aggregate(
-            F.zip_with(e, carr, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
     se = F.aggregate(
         F.transform(e, lambda a: a * a),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    sc = F.array(
-        *[
-            F.lit(int(sum(c * c for c in cent))).cast("long")
-            for cent in cents
-        ]
-    )
+    sc = _int_arr_lit([sum(c * c for c in cent) for cent in cents])
     cell = int_centroid_assign(
         F.col(vec_col), cents, dim, "semdedup_centroid_prune"
     )
-    dots = F.array(*[dot(c) for c in cents])
+    # per-centroid dot products via ONE transform over the codebook
+    # Literal (r13 planning-time fix, values bit-identical)
+    dots = F.transform(
+        _int_mat_lit(cents),
+        lambda c: F.aggregate(
+            F.zip_with(e, c, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
     idx = (F.col("cell") + 1).cast("int")
     extra = [F.col("_e")] if carry_vec else []
     return corpus.select(
