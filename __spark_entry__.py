@@ -215,6 +215,13 @@ _DRIVER_VERIFIED = frozenset(
         "cms_join_size", "spearman_rank_correlation", "pq_codebook_audit",
         "substring_dedup_spans", "substring_dedup_apply",
         "contamination_span_report",
+        # round 13 (50 green rows in CORRECTNESS_r13.json, 0 failures:
+        # the 8 new build-round queries below plus 42 rotation
+        # re-verifications; cumulative 367/367 distinct driver-green)
+        "lsh_scurve_eval", "semdedup_centroid_prune",
+        "semdedup_verified_prune", "ssl_prototypes_prune",
+        "d4_pipeline_prune", "kn_perplexity_filter",
+        "substring_dedup_apply_exact", "unimax_mixture",
     }
 )
 

@@ -1067,6 +1067,15 @@ def _substring_dup_hits(
             ).cast("binary")
         ).alias("_h"),
     )
+    # materialize the gram table ONCE (r14): every caller consumes it
+    # through several checkpointed branches (dup counts, span decision,
+    # gram representatives), and without the pin the expression-dense
+    # explode+slice+md5 pass re-ran per branch — 4× in
+    # substring_dedup_apply_exact (the multi-branch map-side-expression
+    # class, CLAUDE.md). Narrow rows (id, pos, 32-hex hash), |tokens|
+    # rows, disk-spilling storage — strictly cheaper than recomputing
+    # the md5 pass per branch at any scale.
+    grams = grams.localCheckpoint(eager=True)
     # dedupe (hash, doc) first so the per-hash count is DISTINCT docs
     # without count-distinct's Expand node. The eager localCheckpoint
     # is broadcast-safety, not caching: Catalyst's STATIC size estimate
@@ -1279,6 +1288,10 @@ def substring_dedup_apply_exact(
     struct arrays onto the doc row; kept tokens fall out of one
     higher-order filter; corpus text never shuffles."""
     toks, hits = _substring_dup_hits(docs, min_tokens, id_col, text_col)
+    # hits feeds TWO independent branches here (the span decision and
+    # the gram-representative rescue) — pin it once so the grams⋈dup
+    # join doesn't re-run per branch (r14; the multi-branch pin class)
+    hits = hits.localCheckpoint(eager=True)
     decided = _decided_spans(hits, min_tokens, id_col)
     cuts = (
         decided.where("_removed")

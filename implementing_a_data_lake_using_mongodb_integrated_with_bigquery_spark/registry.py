@@ -13957,6 +13957,15 @@ def q_subsample_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = 32
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # pre-aggregate cents per CUSTOMER first: the replicate coin is a
+    # function of o_custkey alone, so Σ over orders of coin(r,c)·cents
+    # == Σ over customers of coin(r,c)·Σcents(c) exactly (integer
+    # sums reassociate freely). The 32 md5 draws then evaluate once
+    # per customer (~|customers| rows) instead of once per order row —
+    # ~10× less md5/substring work with bit-identical outputs
+    # (r14 optimization, guide §2.3 aggregate-before-expensive-work).
+    per_cust = o.groupBy("o_custkey").agg(F.sum(cents).cast("long").alias("_c"))
+    ccents = F.col("_c")
     inc = [
         F.substring(
             F.md5(F.concat(F.lit(f"ci:{r}:"), F.col("o_custkey").cast("string"))),
@@ -13967,12 +13976,12 @@ def q_subsample_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in range(B)
     ]
     aggs = [
-        F.sum(F.when(inc[r], cents).otherwise(F.lit(0).cast("long")))
+        F.sum(F.when(inc[r], ccents).otherwise(F.lit(0).cast("long")))
         .cast("long")
         .alias(f"_s{r}")
         for r in range(B)
     ]
-    wide = o.agg(F.sum(cents).cast("long").alias("_tot"), *aggs)
+    wide = per_cust.agg(F.sum(ccents).cast("long").alias("_tot"), *aggs)
     # doubled half-sample totals are the replicate estimates; Σx is
     # BIGINT-exact and Σx² is DECIMAL(38,0)-exact (x ≤ ~2^43 so
     # x² ≤ ~8e25 ≪ 1e38), so the variance numerator B·Σx² − (Σx)² is
@@ -16629,18 +16638,30 @@ def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # default micro-batch trigger + processAllAvailable: each offset
     # advance (one synthetic hour) is its own micro-batch — availableNow
     # would prefetch every hour into ONE batch, collapsing the
-    # per-batch replay this query exists to pin
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .start()
-    )
+    # per-batch replay this query exists to pin.
+    # State-partition sizing (r14, the session_windows_once /
+    # _update_merge_run precedent): the keyspace is 30 places, so the
+    # session's 32-partition default opens/commits 32 state stores per
+    # micro-batch (6 batches = 192 commits) for ~1 key each —
+    # per-partition store open/commit dominates at this keyspace.
+    # 8 partitions carry the same 30 keys; restored after the bounded
+    # run. Values unchanged (hash partitioning only moves keys).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
-        progress = list(q.recentProgress)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = list(q.recentProgress)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     data_batches = sum(1 for p in progress if p["numInputRows"] > 0)
     if data_batches != 6:
         raise RuntimeError(

@@ -91,20 +91,27 @@ def read_target(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 def _merge_touched_partitions(
-    spark: SparkSession, target_path: str, newest: DataFrame, key_col: str = "id"
+    spark: SparkSession,
+    target_path: str,
+    newest: DataFrame,
+    key_col: str = "id",
+    touched: list[int] | None = None,
 ) -> None:
     """Partition-scoped MERGE: upsert ``newest`` into only the target
     partitions whose bucket contains an updated key, then commit with
     dynamic partition overwrite (untouched partitions' files are never
-    read or rewritten)."""
+    read or rewritten). ``touched`` (≤ N_BUCKETS small ints) may be
+    precomputed by the caller — e.g. folded into an already-running
+    probe aggregate — to skip the discovery job here."""
     from implementing_a_data_lake_using_mongodb_integrated_with_bigquery_spark.operators.merge import (
         upsert,
     )
 
     newest_b = with_bucket(newest, key_col)
-    # ≤ N_BUCKETS small ints — a bounded metadata collect, not a data
-    # collect (the driver holds partition IDs, never rows)
-    touched = [r[0] for r in newest_b.select(PART_COL).distinct().collect()]
+    if touched is None:
+        # ≤ N_BUCKETS small ints — a bounded metadata collect, not a
+        # data collect (the driver holds partition IDs, never rows)
+        touched = [r[0] for r in newest_b.select(PART_COL).distinct().collect()]
     target_raw = spark.read.parquet(target_path)
     target_touched = target_raw.filter(F.col(PART_COL).isin(touched)).drop(PART_COL)
     merged = with_bucket(upsert(target_touched, newest, key_col), key_col)
@@ -156,25 +163,62 @@ def apply_cdc_batch(
     batch = batch.localCheckpoint(eager=True)
     parts = split_by_operation(batch)
 
-    # ONE probe job for all three branch gates: the former per-branch
+    # ONE probe job for every per-batch gate: the former per-branch
     # isEmpty() calls each launched their own Spark job over the batch
-    # (3 probe jobs per micro-batch of pure scheduling overhead at
-    # replay batch sizes — r13 optimization measurement); a single
-    # map-side-combined aggregate answers all three
+    # (pure scheduling overhead at replay batch sizes — r13/r14
+    # optimization measurements). One aggregate over the pinned batch,
+    # broadcast-left-joined to the (domain-bounded) places dim's key
+    # set, answers the three branch gates AND the two FK-violation
+    # gates AND the update path's touched-bucket discovery:
+    #   - orphan flags replicate fk_violations' left_anti null
+    #     semantics exactly (no dim match — including NULL fk — means
+    #     violation); the dim key set is distinct-ed so the left join
+    #     cannot duplicate batch rows;
+    #   - `tb` collects the buckets of FK-VALID update keys (the LWW
+    #     collapse preserves the key set, so post-collapse buckets are
+    #     identical) — ≤ N_BUCKETS small ints, bounded metadata.
     _unknown_cond = F.col("operation_type").isNull() | ~F.col(
         "operation_type"
     ).isin(*KNOWN_OPS)
-    _probe = batch.agg(
-        F.coalesce(F.sum(_unknown_cond.cast("long")), F.lit(0)).alias("u"),
-        F.coalesce(
-            F.sum(F.col("operation_type").isin("insert", "replace").cast("long")),
-            F.lit(0),
-        ).alias("i"),
-        F.coalesce(
-            F.sum((F.col("operation_type") == "update").cast("long")), F.lit(0)
-        ).alias("p"),
-    ).first()
+    _is_ins = F.col("operation_type").isin("insert", "replace")
+    _is_upd = F.col("operation_type") == "update"
+    _orphan = F.col("__dim_pid").isNull()
+    _dim_keys = places_dim.select(
+        F.col("place_id").alias("__dim_pid")
+    ).distinct()
+    _probe = (
+        batch.join(
+            F.broadcast(_dim_keys),
+            F.col("full_document.place_id") == F.col("__dim_pid"),
+            "left",
+        )
+        .agg(
+            F.coalesce(F.sum(_unknown_cond.cast("long")), F.lit(0)).alias("u"),
+            F.coalesce(F.sum(_is_ins.cast("long")), F.lit(0)).alias("i"),
+            F.coalesce(F.sum(_is_upd.cast("long")), F.lit(0)).alias("p"),
+            F.coalesce(
+                F.sum((_is_ins & _orphan).cast("long")), F.lit(0)
+            ).alias("io"),
+            F.coalesce(
+                F.sum((_is_upd & _orphan).cast("long")), F.lit(0)
+            ).alias("po"),
+            F.sort_array(
+                F.collect_set(
+                    F.when(
+                        _is_upd & ~_orphan,
+                        F.pmod(
+                            F.xxhash64(F.col("full_document._id")),
+                            F.lit(N_BUCKETS),
+                        ).cast("int"),
+                    )
+                )
+            ).alias("tb"),
+        )
+        .first()
+    )
     n_unknown, n_insert, n_update = _probe["u"], _probe["i"], _probe["p"]
+    n_ins_orphans, n_upd_orphans = _probe["io"], _probe["po"]
+    upd_touched = list(_probe["tb"])
 
     # poison events → DLQ (instead of the reference's os._exit(1))
     unknown = parts["unknown"]
@@ -194,11 +238,19 @@ def apply_cdc_batch(
             )
         else:
             ins_docs = ins_docs.dropDuplicates(["_id"])
-        rejected = fk_violations(ins_docs, places_dim, "place_id")
-        if not rejected.isEmpty():
-            rejected.withColumn("batch_id", F.lit(batch_id)).write.mode("append").json(
-                os.path.join(dlq_path, "fk_violations")
-            )
+        # post-dedup FK rejects are a SUBSET of the raw insert orphans
+        # the probe already counted (dedup only removes rows), so a
+        # zero raw count skips both the probe and the write; only a
+        # batch that actually carries insert orphans still pays the
+        # emptiness probe (dedup against the target can in principle
+        # absorb them, and an empty JSON append would corrupt the DLQ
+        # read-back)
+        if n_ins_orphans:
+            rejected = fk_violations(ins_docs, places_dim, "place_id")
+            if not rejected.isEmpty():
+                rejected.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).json(os.path.join(dlq_path, "fk_violations"))
         valid = fk_filter(ins_docs, places_dim, "place_id")
         flat = with_bucket(flatten_weather(valid))
         flat.write.mode("append").partitionBy(PART_COL).parquet(target_path)
@@ -212,9 +264,12 @@ def apply_cdc_batch(
         )
 
         # FK rejects dead-letter here exactly as on the insert path —
-        # the same integrity failure must not vanish silently on update
-        upd_rejected = fk_violations(upd_docs, places_dim, "place_id")
-        if not upd_rejected.isEmpty():
+        # the same integrity failure must not vanish silently on
+        # update. The update path checks PRE-collapse rows, so the
+        # probe's orphan count IS the exact emptiness decision (no
+        # per-branch isEmpty job — r14 probe fold).
+        if n_upd_orphans:
+            upd_rejected = fk_violations(upd_docs, places_dim, "place_id")
             upd_rejected.withColumn("batch_id", F.lit(batch_id)).write.mode(
                 "append"
             ).json(os.path.join(dlq_path, "fk_violations"))
@@ -231,7 +286,12 @@ def apply_cdc_batch(
                 PART_COL
             ).parquet(target_path)
         else:
-            _merge_touched_partitions(spark, target_path, newest, "id")
+            # touched buckets were computed in the probe aggregate
+            # (FK-valid update keys; the LWW collapse preserves the
+            # key set) — skips the per-batch distinct().collect() job
+            _merge_touched_partitions(
+                spark, target_path, newest, "id", touched=upd_touched
+            )
 
     # ---- delete path: intentionally a no-op (README.md:15)
 

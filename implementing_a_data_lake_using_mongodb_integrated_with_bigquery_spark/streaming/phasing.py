@@ -26,21 +26,75 @@ def stage_phase_files(
 
     ``start`` offsets the phase numbering (file names AND mtimes), so
     checkpoint-RESTART replays can stage later phases after an earlier
-    run already consumed phases ``0..start-1`` from the same dir."""
+    run already consumed phases ``0..start-1`` from the same dir.
+
+    Staging is ONE Spark job for any phase count (r14 optimization):
+    each phase is tagged with a ``__phase`` literal, the tagged union
+    is written once with ``partitionBy("__phase")``, and
+    ``coalesce(1)`` keeps the whole write a single task — the same
+    serial per-phase compute the old one-job-PER-phase loop did, minus
+    N−1 job schedulings and write commits (the replay pre-start was
+    3–5s of which staging jobs were the bulk; guide §2.4 remove whole
+    jobs). Dynamic partitioning yields exactly one part file per phase
+    value, which the hardlink step below renames into the flat
+    ``phase-NNN.parquet`` layout the admission-log guard expects —
+    invariants (one file per phase, fixed mtimes, footer counts,
+    loud empty-phase reject) unchanged."""
     import tempfile
 
     import pyarrow.parquet as pq
 
+    from pyspark.sql import functions as F
+
     os.makedirs(input_dir, exist_ok=True)
+    parent = os.path.dirname(input_dir)
+    idx = list(range(start, start + len(phases)))
+
+    if len(phases) == 1:
+        # restart staging / single phase: the direct one-job write
+        stage = tempfile.mkdtemp(prefix=f"phase{idx[0]}_", dir=parent)
+        phases[0].coalesce(1).write.mode("overwrite").parquet(stage)
+        src_dirs = {idx[0]: stage}
+    else:
+        for ph in phases:
+            if "__phase" in ph.columns:
+                raise ValueError(
+                    "phase schema must not contain a '__phase' column "
+                    "(reserved by stage_phase_files)"
+                )
+        tagged = None
+        for i, ph in zip(idx, phases):
+            t = ph.withColumn("__phase", F.lit(i))
+            tagged = t if tagged is None else tagged.unionByName(t)
+        stage = tempfile.mkdtemp(prefix=f"phases{idx[0]}_", dir=parent)
+        (
+            tagged.coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("__phase")
+            .parquet(stage)
+        )
+        src_dirs = {i: os.path.join(stage, f"__phase={i}") for i in idx}
+
     counts = []
-    for i, ph in enumerate(phases, start=start):
-        stage = tempfile.mkdtemp(prefix=f"phase{i}_", dir=os.path.dirname(input_dir))
-        ph.coalesce(1).write.mode("overwrite").parquet(stage)
-        parts = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    for i in idx:
+        pdir = src_dirs[i]
+        parts = (
+            [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            if os.path.isdir(pdir)
+            else []
+        )
+        if not parts:
+            # a 0-row phase writes no partition directory at all — the
+            # same construction-time loud reject as the footer check
+            raise ValueError(
+                f"phase {i} is empty: a 0-row phase produces no data "
+                "micro-batch and cannot participate in a deterministic "
+                "phase-per-batch replay"
+            )
         if len(parts) != 1:
             raise RuntimeError(f"phase {i}: expected 1 part file, got {parts}")
         dest = os.path.join(input_dir, f"phase-{i:03d}.parquet")
-        os.link(os.path.join(stage, parts[0]), dest)
+        os.link(os.path.join(pdir, parts[0]), dest)
         t = 1_600_000_000 + 60 * i
         os.utime(dest, (t, t))
         n = pq.ParquetFile(dest).metadata.num_rows
