@@ -458,24 +458,35 @@ def hyperplane_code(vec_col: Column, planes: list[list[int]]) -> Column:
 
 
 def _int_arr_lit(values: list[int]) -> Column:
-    """ONE typed Literal node for an integer array.
+    """ONE typed Literal node for an integer array, built in ONE py4j
+    round-trip.
 
     ``F.array(*[F.lit(int(v)) ... ])`` builds |values| child
     expressions; a k×dim codebook expanded that way puts thousands of
     nodes into the plan and Catalyst ANALYSIS/OPTIMIZATION time — not
     execution — dominated the similarity queries (r13 measurement:
-    ivf_pq_search spent 5.9s driver-side vs 0.8s executing). A python
-    list through ``F.lit`` is a single array Literal."""
-    return F.lit([int(v) for v in values]).cast("array<bigint>")
+    ivf_pq_search spent 5.9s driver-side vs 0.8s executing). r13 used
+    ``F.lit(list)``, which folds to one JVM Literal but — r14
+    measurement — PySpark expands it PYTHON-side into per-element
+    ``lit``/``array`` calls: ~1640 py4j invocations (~1.0s of the
+    remaining 1.5-1.8s driver residual) for ivf_pq_search's ten
+    codebook literals. An ``F.expr`` string ships the whole constant
+    in one call and parses JVM-side; the CAST keeps the type identical
+    to the r13 form, so the analyzed expression — and every value — is
+    unchanged."""
+    body = ",".join(str(int(v)) for v in values)
+    return F.expr(f"CAST(array({body}) AS array<bigint>)")
 
 
 def _int_mat_lit(rows: list[list[int]]) -> Column:
     """ONE typed Literal node for an integer matrix (see
-    :func:`_int_arr_lit`); per-centroid loops become a single
-    ``F.transform`` over this literal."""
-    return F.lit([[int(v) for v in r] for r in rows]).cast(
-        "array<array<bigint>>"
+    :func:`_int_arr_lit` — same one-py4j-call construction); per-
+    centroid loops become a single ``F.transform`` over this
+    literal."""
+    body = ",".join(
+        "array(" + ",".join(str(int(v)) for v in r) + ")" for r in rows
     )
+    return F.expr(f"CAST(array({body}) AS array<array<bigint>>)")
 
 
 def _sq_dist_agg(sub: Column, cent: Column) -> Column:

@@ -115,6 +115,13 @@ def _merge_touched_partitions(
     target_raw = spark.read.parquet(target_path)
     target_touched = target_raw.filter(F.col(PART_COL).isin(touched)).drop(PART_COL)
     merged = with_bucket(upsert(target_touched, newest, key_col), key_col)
+    # one shuffle on the bucket column → ONE file per touched bucket
+    # per commit (r14): without it every upsert task writes into every
+    # touched bucket dir — tasks × buckets small files per batch that
+    # every LATER batch's target read must list and open again (the
+    # init path at windowed.py already does this; the merge path was
+    # the gap)
+    merged = merged.repartition(F.col(PART_COL))
     # localCheckpoint truncates lineage so the write no longer reads the
     # path it overwrites; it materializes only the touched partitions
     # (a lakehouse MERGE makes this a metadata-only commit instead)
